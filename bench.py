@@ -1,0 +1,68 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once for warmup-free wall-clock via a count-style
+action that forces full materialization without driver-side collect of the
+payload (df.write.format("noop") is the standard trick).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shelf_spark.queries import QUERIES  # noqa: E402
+from shelf_spark.session import get_spark  # noqa: E402
+
+#: Headline set: scan-agg, multi-join, window, sessionization, as-of,
+#: dedup/text/vector ops (skip none present yet).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "agg_rollup",
+    "window_running",
+    "events_sessionize",
+    "events_asof_join",
+    "fn_explode_words",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("shelf-spark-bench")
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in QUERIES]
+    # one warmup query to absorb JVM/codegen startup
+    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Test-table loading & temp-view registration for the query layer.
+
+Mirrors the reference's ad-hoc query path (``shelf db``): every Parquet
+table in the lake is exposed as a temp view under a snake-case name
+(reference ``src/shelf/__init__.py:373-379``). Here the "lake" is the
+driver-generated star schema at ``/root/testdata/sf*``.
+
+View registration is lazy metadata only (no scan), so re-registering per
+query call is free; Catalyst prunes columns & pushes filters into the
+Parquet scan from these views exactly as from ``spark.read.parquet``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+#: All driver-generated tables (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+_NS_COLS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] (Spark can't read natively)."""
+    if path not in _NS_COLS_CACHE:
+        schema = pq.read_schema(path)
+        _NS_COLS_CACHE[path] = tuple(
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        )
+    return _NS_COLS_CACHE[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # Parquet TIMESTAMP(NANOS) is unreadable by Spark's converter; read the
+    # raw int64 nanos (legacy conf) and floor-convert to microseconds —
+    # lossless here and matching DuckDB's ns→us presentation.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer `div` — a double division would round at 1e18 magnitude
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df.select(*[f.name for f in pq.read_schema(path)])
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; return name → DataFrame."""
+    tune(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

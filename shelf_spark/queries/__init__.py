@@ -1,0 +1,11 @@
+"""Operator inventory — importing this package populates the registry."""
+
+from __future__ import annotations
+
+from .registry import ORACLES, QUERIES, query  # noqa: F401
+
+# Import order = inventory order in SURVEY.md §2.
+from . import relational  # noqa: F401,E402
+from . import functions  # noqa: F401,E402
+from . import windows  # noqa: F401,E402
+from . import events  # noqa: F401,E402

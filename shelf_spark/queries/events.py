@@ -1,0 +1,238 @@
+"""Event-time operators over the `events` table (SURVEY.md §2.3).
+
+The reference has no streaming layer (batch subprocess-per-step,
+reference ``src/shelf/steps.py:67-94``), so these are the *extension*
+surface: tumbling / sliding / session windows and an as-of join,
+implemented batch-first (DuckDB-oracle-checkable). The same expressions
+wire into Structured Streaming unchanged — see
+:mod:`shelf_spark.streaming` for the `readStream` + watermark variants.
+
+Scale notes:
+- F.window() is a projection (no shuffle by itself); the groupBy shuffles
+  on (window, key) which spreads with key cardinality.
+- sessionization and the as-of join are single-shuffle designs: one
+  repartition by user_id, then sort-within-partition window functions —
+  no self-join, no range-join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .num import davg, dsum, sql_davg, sql_dsum
+from .registry import query
+
+SQL_DSUM_VALUE = sql_dsum("value")
+SQL_DAVG_VALUE = sql_davg("value")
+
+# DuckDB-side 10-minute tumbling bucket, epoch-aligned like F.window.
+_BUCKET_10M = (
+    "date_trunc('hour', ts) + CAST(floor(extract(minute FROM ts) / 10) * 10 AS INTEGER)"
+    " * INTERVAL 1 MINUTE"
+)
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT {_BUCKET_10M} AS w_start,
+           event_type,
+           count(*) AS n_events,
+           {SQL_DSUM_VALUE} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10-minute tumbling windows (F.window aligns to the 1970 epoch, same as
+    # the truncation arithmetic in the oracle).
+    e = spark.table("events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH slid AS (
+      SELECT e.*,
+             (date_trunc('hour', ts)
+               + CAST(floor(extract(minute FROM ts) / 5) * 5 AS INTEGER) * INTERVAL 1 MINUTE)
+               - (k.k * INTERVAL 5 MINUTE) AS w_start
+      FROM events e
+      CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT w_start, count(*) AS n_events, {SQL_DAVG_VALUE} AS avg_value
+    FROM slid
+    GROUP BY w_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10-minute windows sliding every 5 minutes: each event lands in exactly
+    # two windows; F.window(ts, '10 minutes', '5 minutes') expands rows
+    # map-side (narrow), then aggregates.
+    e = spark.table("events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), davg(F.col("value")).alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           {SQL_DSUM_VALUE} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands sessionization (30-min inactivity gap): lag → flag →
+    # running sum → aggregate. One shuffle on user_id; everything after is
+    # sort-within-partition. (Streaming twin: F.session_window /
+    # applyInPandasWithState in shelf_spark.streaming.)
+    e = spark.table("events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    gap = F.col("ts").cast("double") - prev_ts.cast("double")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(prev_ts.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("is_new").over(w_run).cast("long"))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("session_value"),
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, value,
+             (event_type = 'click') AS is_click
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    enriched AS (
+      SELECT *,
+             last_value(CASE WHEN is_click THEN ts END IGNORE NULLS)
+               OVER w AS last_click_ts,
+             last_value(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+               OVER w AS last_click_id
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           round(value, 2) AS purchase_value,
+           last_click_ts, last_click_id
+    FROM enriched
+    WHERE NOT is_click
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AS-OF join (DuckDB exposes ASOF JOIN; Spark lacks it — SURVEY §2.2 C):
+    # for each purchase, the most recent click by the same user at/before
+    # its timestamp. Implemented as union + last(ignorenulls) over an
+    # event-time ordering — a single shuffle on user_id, linear in events,
+    # vs. the naive time-range self-join which is quadratic per user. Clicks
+    # sort before purchases at identical timestamps (is_click DESC).
+    e = spark.table("events").filter(F.col("event_type").isin("click", "purchase"))
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click").desc(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("is_click"), F.col("ts"))
+    click_id = F.when(F.col("is_click"), F.col("event_id"))
+    enriched = tagged.select(
+        "*",
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    return enriched.filter(~F.col("is_click")).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        "last_click_ts",
+        "last_click_id",
+    )
+
+
+@query(
+    "events_rate_per_user",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           {SQL_DSUM_VALUE} AS total_value,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           round(count(*) / greatest(date_diff('second', min(ts), max(ts)) / 86400.0, 1.0), 4)
+             AS events_per_day
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.table("events")
+    # date_diff('second', a, b) counts second boundaries crossed =
+    # unix_timestamp(b) - unix_timestamp(a) (both truncate sub-seconds).
+    span_days_trunc = (
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("double")
+        / 86400.0
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        dsum(F.col("value")).alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.round(
+            F.count("*") / F.greatest(span_days_trunc, F.lit(1.0)),
+            4,
+        ).alias("events_per_day"),
+    )

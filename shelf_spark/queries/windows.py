@@ -1,0 +1,187 @@
+"""Window-function operator inventory (SURVEY.md §2.2 window row).
+
+Ranking, analytic (lag/lead/first/last), running aggregates with ROWS
+frames, value-based RANGE frames, and ntile — each with a deterministic
+ordering (explicit tie-breakers) so results hash identically to DuckDB.
+
+Scale note: every window here partitions by a key whose cardinality grows
+with the data (custkey, suppkey, segment), so the shuffle is well-spread;
+none uses a global (unpartitioned) window, which would serialize to one
+task at 100 TB. The one global ordering (fn: ntile) rides on a small
+aggregated input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .num import davg_win, dsum_win, sql_davg_over, sql_dsum_over
+from .registry import query
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(c_acctbal, 2) AS acctbal,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return spark.table("customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2)                       AS total,
+           round(lag(o_totalprice)  OVER w, 2)          AS prev_total,
+           round(lead(o_totalprice) OVER w, 2)          AS next_total,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_vs_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    total = F.col("o_totalprice")
+    return spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(total, 2).alias("total"),
+        F.round(F.lag(total).over(w), 2).alias("prev_total"),
+        F.round(F.lead(total).over(w), 2).alias("next_total"),
+        F.round(total - F.lag(total).over(w), 2).alias("delta_vs_prev"),
+    )
+
+
+_W_RUN = (
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_W_MOV = (
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+)
+
+
+@query(
+    "window_running",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_dsum_over('o_totalprice', _W_RUN)} AS running_total,
+           {sql_davg_over('o_totalprice', _W_MOV)} AS moving_avg3,
+           CAST(count(*) OVER {_W_RUN} AS BIGINT)  AS nth_order
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Windowed sums also go through exact decimal aggregation: DuckDB's
+    # segment-tree window aggregation reorders double additions vs Spark's
+    # running accumulator.
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_mov = w.rowsBetween(-2, W.currentRow)
+    return spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        dsum_win(F.col("o_totalprice"), w_run).alias("running_total"),
+        davg_win(F.col("o_totalprice"), w_mov).alias("moving_avg3"),
+        F.count("*").over(w_run).cast("long").alias("nth_order"),
+    )
+
+
+_W_RANGE = (
+    "(PARTITION BY o_custkey ORDER BY epoch_s"
+    " RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)"
+)
+
+
+@query(
+    "window_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, epoch_s,
+           {sql_dsum_over('o_totalprice', _W_RANGE)} AS trailing_90d_total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+      FROM orders
+    ) t
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Value-based RANGE frame: trailing 90 days of spend per customer,
+    # ordered by epoch seconds (RANGE needs a numeric ordering key in both
+    # engines).
+    o = spark.table("orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate").cast("long")
+    )
+    w = W.partitionBy("o_custkey").orderBy("epoch_s").rangeBetween(-90 * 86400, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "epoch_s",
+        dsum_win(F.col("o_totalprice"), w).alias("trailing_90d_total"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)   OVER (ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile,
+           CAST(round(percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey) * 1000)
+                AS BIGINT) AS pct_rank_k
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return spark.table("customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        (F.round(F.percent_rank().over(w) * 1000)).cast("long").alias("pct_rank_k"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT c_nationkey,
+           first_value(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+           last_value(c_name)  OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM customer
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        spark.table("customer")
+        .select(
+            "c_nationkey",
+            F.first("c_name").over(w).alias("richest"),
+            F.last("c_name").over(w).alias("poorest"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,60 @@
+"""SparkSession construction and per-session tuning.
+
+The driver hands ``entry``/``queries`` an existing session, so anything we
+rely on for correctness must be a *runtime-settable* conf applied in
+:func:`tune`; :func:`get_spark` is for our own CLI / bench / tests.
+
+Scale notes (the engine targets a multi-executor cluster even though tests
+run on ``local[N]``):
+
+- AQE on: runtime join-strategy switches, skew-join splitting and partition
+  coalescing are the main levers that keep plans healthy at 100 TB.
+- ``spark.sql.shuffle.partitions`` is only the *pre-AQE* upper bound; AQE
+  coalesces. On a real cluster set it ~2-3x total cores.
+- UTC session timezone pins timestamp semantics to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session we are handed.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Single-file-per-table testdata at sf<=0.1 doesn't need 200 reducers;
+    # AQE coalesces anyway, this just caps pre-AQE task count locally.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down on some build — never fatal
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "shelf-spark") -> SparkSession:
+    """Build a local session (CLI / bench / tests)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/shelf-spark-warehouse"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
