@@ -9,3 +9,7 @@ from . import relational  # noqa: F401,E402
 from . import functions  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
+from . import text  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import vectors  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402

@@ -1,0 +1,255 @@
+"""Deduplication operators over `documents` (BASELINE north star §2.4).
+
+The dedup ladder a training-data pipeline needs, cheapest first:
+
+- exact: SHA-256 group-by (one shuffle on the 32-byte digest — never on
+  the document text itself);
+- near-dup, exact verification: shingle inverted-index self-join
+  (`dedup_ngram_jaccard`) — MapReduce-style similarity join;
+- near-dup, sub-quadratic: MinHash + LSH banding (`dedup_minhash_lsh`) —
+  the 100 TB path: candidate pairs come from band-bucket joins whose
+  cost scales with collisions, not with n²;
+- SimHash: 64-bit fingerprints whose Hamming proximity ≈ cosine
+  similarity of the token multiset (`dedup_simhash`).
+
+Everything is built from JVM-side higher-order functions (xxhash64,
+transform, array_min) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query
+
+def _words() -> Column:
+    """Tokenized `text` (lazy: building a Column needs an active session)."""
+    return F.split(F.col("text"), " ")
+
+#: MinHash config: 16 permutations in 4 bands of 4 rows → catches
+#: Jaccard ≳ 0.5 candidates with good probability.
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT fingerprint,
+           count(*)          AS n_docs,
+           min(doc_id)       AS canonical_doc,
+           (count(*) > 1)    AS is_duplicated
+    FROM (SELECT doc_id, sha256(text) AS fingerprint FROM documents) t
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup: hash first so the shuffle carries 32-byte digests, not
+    # document bodies; min(doc_id) elects a deterministic canonical row.
+    d = spark.table("documents")
+    return (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            (F.count("*") > 1).alias("is_duplicated"),
+        )
+    )
+
+
+def _shingles(words: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a tokenized document."""
+    return F.when(
+        F.size(words) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(k))),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+               ELSE [text] END)) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact n-gram Jaccard similarity join via shingle inverted index:
+    # explode distinct 3-shingles, self-join on shingle (the classic
+    # MapReduce similarity join — cost scales with Σ per-shingle df², i.e.
+    # with actual overlap, not with n² documents), count common shingles,
+    # Jaccard = |∩| / (|A|+|B|-|∩|). Distinct word-shingles are selective,
+    # so hot shingles are rare; at skew, salt the shingle key.
+    d = spark.table("documents")
+    sh = d.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # LSH recall < 1 by design → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs, exact-Jaccard verified.
+
+    shingle → 16 minhashes (xxhash64 with seed per permutation) → 4 bands
+    of 4 → band-bucket join → verify candidates with exact Jaccard.
+    Sub-quadratic: pairs are generated per band bucket, so cost follows
+    collisions. The verification join is the only place full shingle sets
+    meet, and only for candidates. (No oracle: banding recall is
+    probabilistic by design; the driver records a rows-only check.)
+    """
+    d = spark.table("documents")
+    docs = d.select("doc_id", _shingles(_words()).alias("shingles"))
+
+    def minhash(seed: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(seed), s))
+        )
+
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        F.array(*[minhash(i) for i in range(N_HASHES)]).alias("sig"),
+    )
+    # one row per band: (band_id, hash of the band's signature slice)
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return cand.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@query("dedup_simhash")  # engine-specific hash mix → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + 16-bit prefix bucket.
+
+    bit_j(doc) = sign( Σ_tokens ±1 by bit j of xxhash64(token) ); docs
+    whose fingerprints are Hamming-close are near-duplicates. Computed
+    with one aggregate over a 64-slot array accumulator — a narrow
+    map-only stage; the prefix bucket gives a shuffle key for banded
+    Hamming search at scale.
+    """
+    d = spark.table("documents")
+    # SQL exprs: the Python shiftleft/shiftright APIs only take literal
+    # shift amounts, the SQL forms take expressions.
+    votes = F.expr(
+        "aggregate(array_distinct(split(text, ' ')),"
+        " array_repeat(CAST(0 AS BIGINT), 64),"
+        " (acc, w) -> zip_with(acc,"
+        "   transform(sequence(0, 63),"
+        "     j -> (CAST(shiftrightunsigned(xxhash64(w), j) & 1 AS BIGINT)) * 2 - 1),"
+        "   (x, y) -> x + y))"
+    )
+    simhash = F.expr(
+        "aggregate(zip_with(votes, sequence(0, 63),"
+        " (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        d.withColumn("votes", votes)
+        .select("doc_id", simhash.alias("simhash"))
+        .withColumn("band16", F.shiftrightunsigned(F.col("simhash"), 48))
+    )
+
+
+@query(
+    "dedup_events_exact",
+    oracle="""
+    SELECT user_id, event_type, ts,
+           min(event_id) AS keep_event_id,
+           count(*)      AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type, ts
+    """,
+)
+def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact row dedup on a business key (the streaming twin is
+    # dropDuplicates + watermark; see shelf_spark.streaming).
+    e = spark.table("events")
+    return e.groupBy("user_id", "event_type", "ts").agg(
+        F.min("event_id").alias("keep_event_id"),
+        F.count("*").alias("n_dupes"),
+    )

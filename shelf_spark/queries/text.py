@@ -1,0 +1,191 @@
+"""Text-analysis operators over `documents` (BASELINE north star §2.4).
+
+Language-ID, quality scoring, token counting, and document fingerprinting —
+the per-document text passes an LLM training-data pipeline runs before
+dedup/filtering. All implemented with JVM-side higher-order array
+functions (split → transform/filter/aggregate), no Python in the hot path:
+at 100 TB these are narrow map-only stages that pipeline with the scan.
+
+Cross-engine determinism: token counts are integers; ratios are single
+IEEE divisions of identical integers; composite scores use one fixed
+left-associative expression shape on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .num import davg, sql_davg
+from .registry import query
+
+#: Stopword set for the ratio features (vocabulary-appropriate: the
+#: synthetic corpus is bag-of-tech-words English across all langs).
+STOPWORDS = ("the", "a")
+
+def _words() -> Column:
+    """Tokenized `text` (lazy: building a Column needs an active session)."""
+    return F.split(F.col("text"), " ")
+
+
+def _n_stop(words: Column) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           round(CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6)                    AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.table("documents")
+    total_len = F.aggregate(
+        F.transform(_words(), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_words())).cast("long").alias("n_distinct_tokens"),
+        F.round(total_len.cast("double") / F.size(_words()), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) * 10
+                  >= len(string_split(text, ' ')) THEN 'en'
+             WHEN length(text) % 5 = 0 THEN 'zh'
+             ELSE 'unk'
+           END AS pred_lang,
+           (CASE
+             WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) * 10
+                  >= len(string_split(text, ' ')) THEN 'en'
+             WHEN length(text) % 5 = 0 THEN 'zh'
+             ELSE 'unk'
+           END = lang) AS is_correct
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-density n-gram-style profiling).
+
+    NOTE: the synthetic corpus shares one vocabulary across all `lang`
+    values, so no text-only classifier can genuinely recover the label —
+    this pins the *operator shape* (deterministic features → rule), with
+    accuracy measured against the `lang` column.
+    """
+    d = spark.table("documents")
+    pred = (
+        F.when(_n_stop(_words()) * 10 >= F.size(_words()), "en")
+        .when(F.length("text") % 5 == 0, "zh")
+        .otherwise("unk")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             0.5 * least(n_chars / 500.0, 1.0)
+             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens),
+           6) AS quality,
+           (n_tokens >= 20) AS len_ok
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality = length saturation + lexical diversity + (1 - stopword
+    # density), one fixed expression shape on both engines.
+    d = spark.table("documents")
+    n_tokens = F.size(_words()).cast("long")
+    n_distinct = F.size(F.array_distinct(_words())).cast("long")
+    n_stop = _n_stop(_words()).cast("long")
+    quality = F.round(
+        F.lit(0.5) * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + F.lit(0.3) * (n_distinct.cast("double") / n_tokens)
+        + F.lit(0.2) * (F.lit(1.0) - n_stop.cast("double") / n_tokens),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        quality.alias("quality"),
+        (n_tokens >= 20).alias("len_ok"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS doc_sha256,
+           CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+             list_aggregate(
+               list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 4),
+                 i -> sha256(array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))),
+               'min')
+           END AS min_shingle_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winnowing-style fingerprint: whole-doc SHA-256 + min over 5-word
+    # shingle hashes (SHA-256 so both engines agree; the framework's
+    # content-addressing hash reused at row level).
+    d = spark.table("documents")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(_words()) - 4),
+        lambda i: F.sha2(F.concat_ws(" ", F.slice(_words(), i, F.lit(5))), 256),
+    )
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("doc_sha256"),
+        F.when(F.size(_words()) >= 5, F.array_min(shingle_hashes)).alias("min_shingle_hash"),
+    )
+
+
+@query(
+    "docs_stats_by_source",
+    oracle=f"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def docs_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.table("documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("n_chars")).alias("avg_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

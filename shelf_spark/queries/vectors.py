@@ -1,0 +1,233 @@
+"""Vector-similarity operators over `embeddings` (BASELINE north star §2.4).
+
+Approximate-nearest-neighbor surface: brute-force cosine top-k as the
+exact baseline, an IVF-style (inverted-file) probe as the scale path, plus
+high-cosine pair mining and norm statistics.
+
+Design for 100 TB:
+- query sets are broadcast (small side), so the corpus never shuffles for
+  brute force; top-k is a per-query window over a q_id-partitioned shuffle
+  whose size is |queries| × |corpus-partition top-k| after AQE.
+- the IVF variant prunes the corpus to the probed cells *before* the
+  distance computation — the join on cell id is the partition-pruning
+  analogue for vector search.
+- all dot products use JVM-side zip_with/aggregate folds — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .num import davg, sql_davg
+from .registry import query
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+N_PROBE = 3  # IVF cells probed
+
+#: DuckDB fragments shared by the vector oracles.
+_SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_NORM = f"sqrt(list_sum(list_transform({_SQL_VEC}, x -> x * x)))"
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM v WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q_vec, vec), s -> s[1] * s[2]))
+               / (q_nrm * nrm) AS cosine
+      FROM q CROSS JOIN v
+      WHERE v.vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT q_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brute-force exact cosine top-k: broadcast the queries, scan the
+    # corpus once, rank per query. The exact baseline the ANN variants are
+    # measured against.
+    v = spark.table("embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm")
+    )
+    pairs = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+@query("ann_ivf_topk")  # IVF probing is approximate → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroid per `label` cell, probe the top-N_PROBE
+    cells per query, exact search within probed cells only.
+
+    The `label` column stands in for a k-means cell assignment (the
+    clustering step itself is offline in a real pipeline). Cost model at
+    scale: centroids table is tiny (broadcast); the corpus is pruned by
+    the cell-id join before any distance math — the vector analogue of
+    partition pruning. Approximate by construction → rows-only check.
+    """
+    v = spark.table("embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+
+    # cell centroids: elementwise mean via posexplode → avg per dimension
+    cent = (
+        v.select("label", F.posexplode("vec").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda s: s.getField("cval")).alias("cvec"),
+        )
+        .withColumn("cnrm", _norm(F.col("cvec")))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm")
+    )
+    # probe: top-N_PROBE cells by query↔centroid cosine
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "q_vec",
+            "q_nrm",
+            "label",
+            (_dot(F.col("q_vec"), F.col("cvec")) / (F.col("q_nrm") * F.col("cnrm"))).alias(
+                "ccos"
+            ),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("ccos"), "label")),
+        )
+        .filter(F.col("crnk") <= N_PROBE)
+        .select("q_id", "q_vec", "q_nrm", "label")
+    )
+    # exact search within probed cells
+    pairs = (
+        v.join(F.broadcast(qc), on="label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "embed_cosine_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
+          / (a.nrm * b.nrm) >= 0.92
+    """,
+)
+def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding near-dup mining: high-cosine pairs within the same label
+    # cell (blocking key bounds the pair space — the same trick LSH
+    # banding generalizes).
+    v = spark.table("embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.92)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "embed_norm_stats",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n_vecs,
+           {sql_davg(_SQL_NORM)} AS avg_norm,
+           round(min({_SQL_NORM}), 4) AS min_norm,
+           round(max({_SQL_NORM}), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = spark.table("embeddings").select(
+        "label", _norm(_as_double(F.col("embedding"))).alias("nrm")
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            davg(F.col("nrm")).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
