@@ -1,0 +1,284 @@
+"""Framework-layer tests: pure functions + end-to-end build cycle in a
+tmp shelf (mirrors the reference's test strategy, SURVEY §5: e2e through
+a real — here local-FS — object store)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import pytest
+
+from shelf_spark.framework.core import Shelf
+from shelf_spark.framework.exceptions import StepDefinitionError
+from shelf_spark.framework.query import path_to_snake, table_aliases
+from shelf_spark.framework.tables import simplify_dependency_names
+from shelf_spark.framework.types import StepURI, is_valid_version
+from shelf_spark.framework.utils import (
+    checksum_file,
+    checksum_folder,
+    checksum_manifest,
+)
+
+
+# -- pure functions ----------------------------------------------------------
+
+
+def test_step_uri_parse_and_order():
+    a = StepURI.parse("snapshot://ns/ds/2024-01-01")
+    assert (a.scheme, a.path) == ("snapshot", "ns/ds/2024-01-01")
+    assert a.version == "2024-01-01"
+    assert a.dataset_path == "ns/ds"
+    assert str(a) == "snapshot://ns/ds/2024-01-01"
+    # lexicographic order: later dates, then `latest`, sort last
+    b = StepURI.parse("snapshot://ns/ds/2024-02-01")
+    latest = StepURI.parse("snapshot://ns/ds/latest")
+    assert a < b < latest
+    with pytest.raises(StepDefinitionError):
+        StepURI.parse("bogus://x/y")
+    with pytest.raises(StepDefinitionError):
+        StepURI.parse("not a uri")
+
+
+def test_is_valid_version():
+    assert is_valid_version("2024-07-26")
+    assert is_valid_version("latest")
+    assert not is_valid_version("v1")
+    assert not is_valid_version("2024-7-6")
+
+
+def test_checksums(tmp_path):
+    f = tmp_path / "a.txt"
+    f.write_bytes(b"hello world\n")
+    assert checksum_file(f) == hashlib.sha256(b"hello world\n").hexdigest()
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.txt").write_bytes(b"bbb")
+    (tmp_path / ".DS_Store").write_bytes(b"junk")  # ignored
+    manifest = checksum_folder(tmp_path)
+    assert set(manifest) == {"a.txt", "sub/b.txt"}
+    # digest is deterministic and order-insensitive over dict ordering
+    d1 = checksum_manifest(manifest)
+    d2 = checksum_manifest(dict(reversed(list(manifest.items()))))
+    assert d1 == d2 and len(d1) == 64
+
+
+def test_path_to_snake_and_aliases():
+    assert path_to_snake("ns/some-ds/2024-07-26") == "ns_someds_20240726"
+    # unique dataset gets its unversioned short alias
+    aliases = table_aliases(["ns/prices/2024-07-26"])
+    assert aliases == {"prices": "ns_prices_20240726"}
+    # two versions of the same dataset: alias must qualify by version
+    aliases = table_aliases(["ns/prices/2024-07-26", "ns/prices/2024-08-01"])
+    assert aliases["prices_20240726"] == "ns_prices_20240726"
+    assert aliases["prices_20240801"] == "ns_prices_20240801"
+    assert "prices" not in aliases
+    # same dataset name in two namespaces: alias extends leftward
+    aliases = table_aliases(["a/prices/2024-07-26", "b/prices/2024-07-26"])
+    assert aliases["a_prices"] == "a_prices_20240726"
+    assert aliases["b_prices"] == "b_prices_20240726"
+
+
+def test_simplify_dependency_names():
+    deps = [StepURI.parse("table://ns/customers/2024-01-01")]
+    assert simplify_dependency_names(deps) == {"customers": deps[0]}
+    # collision on dataset name → qualify with namespace
+    deps = [
+        StepURI.parse("table://a/prices/2024-01-01"),
+        StepURI.parse("table://b/prices/2024-01-01"),
+    ]
+    names = simplify_dependency_names(deps)
+    assert names == {"a_prices": deps[0], "b_prices": deps[1]}
+    # same path twice is irresolvable
+    with pytest.raises(StepDefinitionError):
+        simplify_dependency_names([deps[0], deps[0]])
+
+
+def test_latest_resolution(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    shelf = Shelf.init()
+    shelf.add_step(StepURI.parse("snapshot://ns/raw/2024-01-01"))
+    shelf.add_step(StepURI.parse("snapshot://ns/raw/2024-03-01"))
+    shelf.add_step(
+        StepURI.parse("table://ns/out/2024-03-02"),
+        [StepURI.parse("snapshot://ns/raw/latest")],
+    )
+    dag = shelf.resolve_latest()
+    deps = dag[StepURI.parse("table://ns/out/2024-03-02")]
+    assert deps == [StepURI.parse("snapshot://ns/raw/2024-03-01")]
+
+
+# -- end-to-end build cycle --------------------------------------------------
+
+
+@pytest.fixture()
+def workspace(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SHELF_STORE_DIR", str(tmp_path / ".store"))
+    monkeypatch.setenv("SHELF_CACHE_DIR", str(tmp_path / ".cache"))
+    return tmp_path
+
+
+def test_snapshot_roundtrip(workspace):
+    from shelf_spark.framework.snapshots import Snapshot
+
+    raw = workspace / "input.csv"
+    raw.write_text("x,y\n1,2\n3,4\n")
+    snap = Snapshot.create(raw, "ns/raw/2024-01-01")
+    assert snap.is_up_to_date()
+    assert snap.metadata_path.exists()
+
+    # delete the materialized copy; fetch() restores from the store
+    snap.data_path.unlink()
+    assert not snap.is_up_to_date()
+    loaded = Snapshot.load(StepURI.parse("snapshot://ns/raw/2024-01-01"))
+    loaded.fetch()
+    assert loaded.is_up_to_date()
+    assert loaded.data_path.read_text() == "x,y\n1,2\n3,4\n"
+
+
+def test_directory_snapshot_roundtrip(workspace):
+    from shelf_spark.framework.snapshots import Snapshot
+
+    d = workspace / "rawdir"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("alpha")
+    (d / "sub" / "b.txt").write_text("beta")
+    snap = Snapshot.create(d, "ns/dir/2024-01-01")
+    assert snap.snapshot_type == "directory"
+    assert set(snap.manifest) == {"a.txt", "sub/b.txt"}
+
+    # corrupt one file + add a stray; fetch restores manifest state
+    (snap.data_path / "a.txt").write_text("corrupted")
+    (snap.data_path / "stray.txt").write_text("stray")
+    loaded = Snapshot.load(StepURI.parse("snapshot://ns/dir/2024-01-01"))
+    assert not loaded.is_up_to_date()
+    loaded.fetch()
+    assert loaded.is_up_to_date()
+    assert (loaded.data_path / "a.txt").read_text() == "alpha"
+    assert not (loaded.data_path / "stray.txt").exists()
+
+
+def test_build_cycle_sql_step(workspace, spark):
+    """init → snapshot → sql table → run → incremental no-op → edit →
+    rebuild (the reference's core loop, tests/test_shelf.py:320-358)."""
+    from shelf_spark.framework.cli import main as cli
+    from shelf_spark.framework.snapshots import Snapshot
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+
+    assert cli(["init"]) == 0
+    raw = workspace / "numbers.csv"
+    raw.write_text("n,label\n1,one\n2,two\n3,three\n")
+    assert cli(["snapshot", str(raw), "ns/numbers/2024-01-01"]) == 0
+
+    shelf = Shelf()
+    shelf.new_table("ns/doubled/2024-01-02", ["snapshot://ns/numbers/2024-01-01"])
+    shelf.save()
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "doubled.sql"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text("SELECT n, n * 2 AS n2 FROM {numbers}")
+
+    dag = prune_completed(Shelf().resolve_latest())
+    assert dag, "table step should be dirty"
+    execute_dag(spark, dag)
+
+    out = paths.table_data_path("ns/doubled/2024-01-02")
+    assert out.exists()
+    rows = {tuple(r) for r in spark.read.parquet(str(out.resolve())).collect()}
+    assert rows == {(1, 2), (2, 4), (3, 6)}
+    sidecar = paths.table_metadata_path("ns/doubled/2024-01-02")
+    assert sidecar.exists()
+
+    # incremental: everything fresh → empty dag
+    assert prune_completed(Shelf().resolve_latest()) == {}
+
+    # editing the script dirties the step (Merkle edge via input_manifest)
+    script.write_text("SELECT n, n * 3 AS n3 FROM {numbers}")
+    dag = prune_completed(Shelf().resolve_latest())
+    assert StepURI.parse("table://ns/doubled/2024-01-02") in dag
+    execute_dag(spark, dag)
+    rows = {tuple(r) for r in spark.read.parquet(str(out.resolve())).collect()}
+    assert rows == {(1, 3), (2, 6), (3, 9)}
+
+
+def test_build_cycle_python_step(workspace, spark):
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+
+    Shelf.init()
+    raw = workspace / "vals.csv"
+    raw.write_text("v\n10\n20\n")
+    from shelf_spark.framework.snapshots import Snapshot
+
+    Snapshot.create(raw, "ns/vals/2024-01-01")
+    shelf = Shelf()
+    shelf.add_step(StepURI.parse("snapshot://ns/vals/2024-01-01"))
+    shelf.new_table("ns/squared/2024-01-02", ["snapshot://ns/vals/2024-01-01"])
+    shelf.save()
+
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "squared.py"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    # reference argv contract: script dep1 … depN out
+    script.write_text(
+        "import sys, pandas as pd\n"
+        "df = pd.read_csv(sys.argv[1])\n"
+        "df['sq'] = df['v'] ** 2\n"
+        "df.to_parquet(sys.argv[2])\n"
+    )
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+    out = paths.table_data_path("ns/squared/2024-01-02")
+    rows = {tuple(r) for r in spark.read.parquet(str(out.resolve())).collect()}
+    assert rows == {(10, 100), (20, 400)}
+
+
+def test_db_query_and_export(workspace, spark, capsys):
+    from shelf_spark.framework.query import execute_query, export_tables
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+
+    Shelf.init()
+    shelf = Shelf()
+    shelf.new_table("ns/lit/2024-01-01", [])
+    shelf.save()
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "lit.sql"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text("SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'")
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+
+    # single-token sugar + short alias
+    df = execute_query(spark, Shelf(), "lit")
+    assert df.count() == 2
+    out = capsys.readouterr().out
+    assert '"a": 1' in out
+
+    import duckdb
+
+    db = workspace / "out.duckdb"
+    names = export_tables(spark, Shelf(), db, short_names=True)
+    assert names == ["lit"]
+    con = duckdb.connect(str(db))
+    assert con.execute("SELECT count(*) FROM lit").fetchone()[0] == 2
+
+
+def test_validation_gate(workspace, spark):
+    """Failed validation unlinks the output so the step stays dirty."""
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+
+    Shelf.init()
+    shelf = Shelf()
+    shelf.new_table("ns/bad/2024-01-01", [])
+    shelf.save()
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "bad.sql"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text("SELECT 1 AS a UNION ALL SELECT 1")
+    script.with_suffix(".meta.yaml").write_text(
+        "version: 1\nvalidation:\n  unique_columns: [a]\n"
+    )
+    with pytest.raises(Exception, match="validation failed"):
+        execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+    assert not paths.table_data_path("ns/bad/2024-01-01").exists()
+    # still dirty
+    assert prune_completed(Shelf().resolve_latest())
