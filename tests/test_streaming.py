@@ -1,0 +1,79 @@
+"""Structured Streaming batch-parity tests.
+
+Invariant: a streaming transform fed its entire input in one availableNow
+pass produces the same answer as its batch twin (same expression shapes,
+`shelf_spark.queries.events`). Watermarks can't drop anything in a single
+batch, so parity is exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from shelf_spark import streaming as S
+from shelf_spark.data import register_views
+from shelf_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return S.events_stream(spark, EVENTS)
+
+
+def test_tumbling_parity(spark, stream):
+    got = S.run_available_now(S.tumbling_counts(stream), "t_tumbling")
+    want = QUERIES["events_tumbling_window"](spark, SF_DIR)
+    cols = ["w_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_parity(spark, stream):
+    # session_window's end = last_event + gap; the batch twin records the
+    # last event ts itself, so compare (user, start, n, value) only.
+    got = S.run_available_now(S.session_windows(stream), "t_session")
+    want = QUERIES["events_sessionize"](spark, SF_DIR)
+    cols = ["user_id", "session_start", "n_events", "session_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_stream(spark, stream):
+    got = S.run_available_now(S.dedup_stream(stream), "t_dedup", output_mode="append")
+    register_views(spark, SF_DIR)
+    n_distinct = spark.table("events").select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_user_running_totals(spark, stream):
+    got = S.run_available_now(
+        S.user_running_totals(stream), "t_user_totals", output_mode="update"
+    )
+    register_views(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    want = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_parquet_sink_exactly_once(spark, stream, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = S.write_parquet_stream(S.dedup_stream(stream), out, ckpt)
+    q.awaitTermination(60)
+    q.stop()
+    n = spark.read.parquet(out).count()
+    register_views(spark, SF_DIR)
+    assert n == spark.table("events").select("event_id").distinct().count()
