@@ -1,0 +1,47 @@
+"""Physical-layout optimization utilities: bucketing for co-located joins.
+
+At 100 TB, the single biggest avoidable cost is re-shuffling a fact table
+on the same join key for every query. The lakehouse answer is to *store*
+the table hash-bucketed on that key: two tables bucketed on the same key
+with the same bucket count join with **zero exchange** — each task reads
+matching bucket files from both sides (sorted buckets additionally skip
+the sort of a sort-merge join).
+
+The reference has no analogue (single-file tables, DuckDB in-process);
+this is pure Spark-engine capability, exposed so framework table steps
+can opt into it for their hottest join keys.
+
+Bucket-count sizing: target 100-200 MB per bucket file at final scale;
+for a 10 TB fact table that's ~65k buckets. Too few → giant tasks and
+skew; too many → small-file storms. Bucket pruning (Spark 3.x) also
+turns point predicates on the bucket key into single-bucket scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_keys: list[str],
+    num_buckets: int,
+    sort_keys: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally per-bucket-sorted)
+    managed table. Joins/aggregations on ``bucket_keys`` between tables
+    with identical bucketing then plan without an Exchange."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_keys)
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def is_shuffle_free_join(spark: SparkSession, left: str, right: str, on: list[str]) -> bool:
+    """True when joining ``left`` ⋈ ``right`` on ``on`` plans with no
+    Exchange on either input (the bucketing contract held)."""
+    df = spark.table(left).join(spark.table(right), on)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan

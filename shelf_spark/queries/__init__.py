@@ -14,3 +14,4 @@ from . import dedup  # noqa: F401,E402
 from . import vectors  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import streaming_ops  # noqa: F401,E402
+from . import udfs  # noqa: F401,E402
