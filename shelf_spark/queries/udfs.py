@@ -120,3 +120,48 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         ols, "user_id bigint, slope double, intercept double, n bigint"
     )
+
+
+@query(
+    "udtf_ngrams",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ws, UNNEST(range(1, len(ws))) AS i FROM cleaned
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos, ws[i] || ' ' || ws[i+1] AS bigram
+    FROM idx
+    """,
+)
+def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram expansion via a Python UDTF (Spark's table-function
+    tier: one input row → many output rows with arbitrary Python).
+
+    Scale: UDTFs execute per-partition like mapInPandas — no shuffle; the
+    row expansion (~|words| per doc) is the same cost explode() would pay.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            import re
+
+            words = [w for w in re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split(" ") if w]
+            for i in range(len(words) - 1):
+                yield i + 1, f"{words[i]} {words[i + 1]}"
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    spark.table("documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM documents d, LATERAL bigrams_udtf(d.text) b
+        """
+    )

@@ -43,6 +43,22 @@ def test_session_parity(spark, stream):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_sliding_parity(spark, stream):
+    got = S.run_available_now(S.sliding_avg(stream), "t_sliding")
+    register_views(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    want = (
+        spark.table("events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
+    )
+    g = {(r["w_start"], r["n_events"], round(r["avg_value"], 9)) for r in got.collect()}
+    w = {(r["w_start"], r["n_events"], round(r["avg_value"], 9)) for r in want.collect()}
+    assert g == w
+
+
 def test_dedup_stream(spark, stream):
     got = S.run_available_now(S.dedup_stream(stream), "t_dedup", output_mode="append")
     register_views(spark, SF_DIR)
