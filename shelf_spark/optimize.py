@@ -45,3 +45,29 @@ def is_shuffle_free_join(spark: SparkSession, left: str, right: str, on: list[st
     df = spark.table(left).join(spark.table(right), on)
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" not in plan
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot ``on`` key of ``fact``
+    over ``salt`` shuffle partitions by appending a random salt, and
+    replicate every ``dim`` row ``salt`` times to match.
+
+    AQE's skew-join split (on by default here) handles most skew at the
+    *partition* level; explicit salting is the remaining tool when a
+    single key exceeds what one task can hold even after splits (e.g. a
+    null/default key owning 10% of 100 TB). Cost: dim side × salt — use
+    only when dim ≪ fact.
+    """
+    from pyspark.sql import functions as F
+
+    salted_fact = fact.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salts = fact.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+    salted_dim = dim.crossJoin(F.broadcast(salts))
+    out = salted_fact.join(salted_dim, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -229,6 +229,18 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_inline_literals",
+    oracle="""
+    SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'
+    """,
+)
+def scan_inline_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inline literal rows — the reference's own SQL-step test fixture shape
+    # (reference tests/test_tables.py:183-191).
+    return spark.sql("SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'")
+
+
 # ---------------------------------------------------------------------------
 # Join family
 # ---------------------------------------------------------------------------

@@ -37,6 +37,16 @@ def test_bucketed_join_has_no_exchange(spark, bucketed):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_salted_join_matches_plain_join(spark):
+    from shelf_spark.optimize import salted_join
+
+    li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed("l_orderkey", "k")
+    orders = load_table(spark, SF_DIR, "orders").withColumnRenamed("o_orderkey", "k")
+    plain = li.join(orders, "k").count()
+    salted = salted_join(li, orders, "k", salt=8).count()
+    assert salted == plain
+
+
 def test_bucketed_join_correct(spark, bucketed):
     joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
     li = load_table(spark, SF_DIR, "lineitem")
