@@ -35,6 +35,11 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_join",
     "fn_explode_words",
+    # training-data pipeline representatives
+    "dedup_exact",
+    "text_quality_score",
+    "ann_cosine_topk",
+    "udf_pandas_zscore",
 ]
 
 
