@@ -47,11 +47,27 @@ _NS_COLS_CACHE: dict[str, tuple[str, ...]] = {}
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet timestamp[ns] (Spark can't read natively)."""
     if path not in _NS_COLS_CACHE:
-        schema = pq.read_schema(path)
+        probe = path
+        if os.path.isdir(path):  # Spark-written table dir: probe a part file
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not parts:
+                _NS_COLS_CACHE[path] = ()
+                return ()
+            probe = os.path.join(path, parts[0])
+        # Arrow reports both TIMESTAMP(NANOS) (INT64) and Spark's INT96 as
+        # timestamp[ns]; only the INT64 form needs the nanosAsLong workaround
+        # (Spark reads its own INT96 natively).
+        arrow = pq.read_schema(probe)
+        physical = {
+            c.name: c.physical_type
+            for rg_c in [pq.ParquetFile(probe).schema]
+            for c in (rg_c.column(i) for i in range(len(rg_c)))
+        }
         _NS_COLS_CACHE[path] = tuple(
             f.name
-            for f in schema
+            for f in arrow
             if str(f.type).startswith("timestamp[ns")
+            and physical.get(f.name) == "INT64"
         )
     return _NS_COLS_CACHE[path]
 
@@ -66,10 +82,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # lossless here and matching DuckDB's ns→us presentation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    cols = list(df.columns)  # preserve stored column order
     for c in ns_cols:
         # integer `div` — a double division would round at 1e18 magnitude
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df.select(*[f.name for f in pq.read_schema(path)])
+    return df.select(*cols)
 
 
 # Per-session registration cache: schema discovery (spark.read.parquet +

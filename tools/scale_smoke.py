@@ -1,0 +1,109 @@
+"""Scale-up smoke: replicate sf0.1 by N× into /tmp and re-run the bench
+headline, checking that per-query time grows ~linearly (no plan cliff:
+a broadcast flipping to a blowup, a sort spilling pathologically, etc).
+
+Usage: python tools/scale_smoke.py [factor]   (default 10)
+
+Replication multiplies fact tables (lineitem, orders, events, documents,
+embeddings) with key-shifted copies so join fan-outs stay realistic
+(each copy joins within itself, like extra partitions of the same
+logical table). Dimensions stay as-is.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from shelf_spark.data import TABLES, load_table
+from shelf_spark.session import get_spark
+from shelf_spark.queries import QUERIES
+
+SRC = "/root/testdata/sf0.1"
+FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "agg_rollup",
+    "window_running",
+    "events_sessionize",
+    "events_asof_join",
+    "fn_explode_words",
+]
+
+
+def replicate(spark, factor: int, dest: str) -> None:
+    for name in TABLES:
+        out = os.path.join(dest, f"{name}.parquet")
+        df = load_table(spark, SRC, name)
+        if name in FACTS:
+            shift_cols = FACTS[name]
+            copies = []
+            # key-shift each copy so keys stay unique but join selectivity
+            # per logical row is unchanged
+            span = 10_000_000
+            for i in range(factor):
+                c = df
+                for col in shift_cols:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * span))
+                copies.append(c)
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionAll(c)
+            # orders.o_custkey must still hit customer: wrap back into range
+            if name == "orders":
+                n_cust = load_table(spark, SRC, "customer").count()
+                df = df.withColumn(
+                    "o_custkey", (F.col("o_custkey") % F.lit(n_cust)) + 1
+                )
+            if name == "events":
+                # keep user_id cardinality fixed: sessionization load grows
+                # per-user, the realistic shape for more traffic
+                pass
+        df.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dest = f"/tmp/shelf-scale-{factor}x"
+    spark = get_spark("scale-smoke")
+    if not os.path.exists(os.path.join(dest, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        os.makedirs(dest, exist_ok=True)
+        replicate(spark, factor, dest)
+        print(f"replicated {factor}x in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    results = {}
+    for sf_dir, label in ((SRC, "1x"), (dest, f"{factor}x")):
+        timings = {}
+        for name in HEADLINE:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        results[label] = timings
+        print(f"{label}: total {sum(timings.values()):.2f}s", file=sys.stderr)
+
+    ratios = {
+        n: round(results[f"{factor}x"][n] / max(results["1x"][n], 1e-9), 1)
+        for n in HEADLINE
+    }
+    print(json.dumps({"factor": factor, "timings": results, "ratio": ratios}))
+
+
+if __name__ == "__main__":
+    main()
