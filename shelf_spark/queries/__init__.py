@@ -6,6 +6,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 
 # Import order = inventory order in SURVEY.md §2.
 from . import relational  # noqa: F401,E402
+from . import subqueries  # noqa: F401,E402
 from . import functions  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402

@@ -3,7 +3,13 @@ pinned so a refactor can't silently regress them."""
 
 from __future__ import annotations
 
-from shelf_spark.plans import broadcast_join_count, codegen_ids, exchange_count, scans_of
+from shelf_spark.plans import (
+    broadcast_join_count,
+    codegen_ids,
+    exchange_count,
+    physical_plan,
+    scans_of,
+)
 from shelf_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -47,6 +53,32 @@ def test_q1_single_shuffle_and_codegen(spark):
         assert len(codegen_ids(df2)) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q7_dim_self_join_broadcasts(spark):
+    df = QUERIES["q7_volume_shipping"](spark, SF_DIR)
+    # supplier, customer, and nation-twice all broadcast (at this SF orders
+    # does too; at scale it would shuffle-join with lineitem instead).
+    assert broadcast_join_count(df) >= 4
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    df = QUERIES["q16_part_supplier_counts"](spark, SF_DIR)
+    # NOT IN over a non-null key compiles to a broadcast left-anti join —
+    # no fact-table shuffle for the exclusion.
+    plan = physical_plan(df)
+    assert "LeftAnti, BuildRight" in plan
+    # part's brand/size predicates reach its scan
+    part_scan = [s for s in scans_of(df) if "p_brand" in s.read_schema]
+    assert part_scan and "p_size" in part_scan[0].pushed_filters
+
+
+def test_q11_threshold_broadcasts_not_recomputed_per_row(spark):
+    df = QUERIES["q11_important_parts"](spark, SF_DIR)
+    # the global threshold is a 1-row broadcast cross join, not a
+    # correlated rescan of lineitem
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_sessionize_single_user_shuffle(spark):
