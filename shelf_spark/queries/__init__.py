@@ -12,6 +12,7 @@ from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
+from . import sampling  # noqa: F401,E402
 from . import vectors  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import streaming_ops  # noqa: F401,E402

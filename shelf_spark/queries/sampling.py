@@ -1,0 +1,276 @@
+"""Deterministic sampling, dataset mixing, and near-dup clustering.
+
+Training-data pipeline operators beyond the reference surface (BASELINE
+north star). Sampling here is *content-hash Bernoulli*, not
+``TABLESAMPLE``: a row is kept iff a prefix of ``sha256(key)`` falls
+under a threshold. That makes the sample
+
+- deterministic and engine-independent (oracle-checkable — both Spark's
+  ``sha2`` and DuckDB's ``sha256`` emit the same lowercase hex),
+- stable under repartitioning/retries (a row's fate depends only on its
+  key, never on partition layout — ``TABLESAMPLE``/``df.sample`` give
+  different rows per run/plan),
+- a map-only filter at 100 TB: no shuffle, no driver coordination, and
+  the predicate rides on the scan.
+
+The same trick gives weighted dataset interleaving (per-source rates)
+and consistent train/validation splits (disjoint hash ranges).
+
+Near-dup *clustering* turns pairwise similarity (see
+:mod:`shelf_spark.queries.dedup`) into connected components — the step a
+dedup pipeline actually acts on (keep one doc per component). Spark side
+is iterative min-label propagation (each round: one join + one agg,
+converges in graph-diameter rounds — near-dup components are chains of
+duplicates, diameter ≲ a few). The DuckDB oracle is a recursive CTE
+computing the same transitive closure, so this genuinely iterative
+operator still gets a full value-check. At 100 TB scale the same loop
+holds (components are tiny; the join is on doc ids, not text), with the
+large-star/small-star rewrite [Kiveris et al., "Connected Components in
+MapReduce and Beyond"] as the upgrade path if components ever get deep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import JACCARD_THRESHOLD, _shingles, _words
+from .registry import query
+
+#: 4-hex-digit prefix of sha256 compared against these bounds.
+#: P(keep) = int(bound, 16) / 16^4.
+SAMPLE_20PCT = "3333"  # 0x3333/0xffff ≈ 0.20
+SAMPLE_50PCT = "7fff"
+
+
+def _hash_bucket(key) -> F.Column:
+    """First 4 hex chars of sha256(key) — a uniform [0, 0xffff] bucket."""
+    return F.substring(F.sha2(key.cast("string"), 256), 1, 4)
+
+
+@query(
+    "sample_bernoulli_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < '{SAMPLE_20PCT}'
+    ORDER BY doc_id
+    """,
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ~20% deterministic sample; the filter is a scan-side predicate over
+    # a projected hash — map-only, no shuffle, reproducible anywhere.
+    d = spark.table("documents")
+    return (
+        d.filter(_hash_bucket(F.col("doc_id")) < SAMPLE_20PCT)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled
+    FROM documents
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE lang WHEN 'en' THEN '1999' ELSE '7fff' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stratified rates — downsample the over-represented stratum ('en' at
+    # ~10%, everything else at 50%): the standard rebalancing move for
+    # training mixes. Same map-only shape; the rate table would broadcast
+    # if it lived in a config dataset instead of a CASE.
+    d = spark.table("documents")
+    rate = F.when(F.col("lang") == "en", F.lit("1999")).otherwise(F.lit("7fff"))
+    return (
+        d.filter(_hash_bucket(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "sample_train_valid_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < '{SAMPLE_50PCT}'
+                  THEN 'train' ELSE 'valid' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_train_valid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Disjoint hash ranges → leak-free, reproducible train/valid split;
+    # a document can never migrate between splits as data grows.
+    # (avg over integer n_chars: double sum of ints is exact → the single
+    # IEEE division matches DuckDB bitwise.)
+    d = spark.table("documents")
+    split = F.when(
+        _hash_bucket(F.col("doc_id")) < SAMPLE_50PCT, F.lit("train")
+    ).otherwise(F.lit("valid"))
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "interleave_weighted_sources",
+    oracle=f"""
+    SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'ffff'
+                 WHEN source IN ('src3', 'src4', 'src5') THEN '{SAMPLE_50PCT}'
+                 ELSE '{SAMPLE_20PCT}' END
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def interleave_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted dataset mixing: keep 100% of premium sources, 50% of the
+    # mid tier, 20% of the tail — the "data mixture" op of a pretraining
+    # pipeline, as one scan-side predicate. Rows from all sources stay
+    # interleaved in their natural partition order (no per-source
+    # repartition, no union of N scans).
+    d = spark.table("documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit("ffff"))
+        .when(F.col("source").isin("src3", "src4", "src5"), F.lit(SAMPLE_50PCT))
+        .otherwise(F.lit(SAMPLE_20PCT))
+    )
+    return (
+        d.filter(_hash_bucket(F.col("doc_id")) < rate)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+               ELSE [text] END)) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.doc, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT doc AS doc_id, min(reach) AS cluster_id
+    FROM walk
+    GROUP BY doc
+    ORDER BY doc_id
+    """,
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Connected components over the exact-Jaccard near-dup graph (only
+    # docs that have at least one near-dup appear). Iterative min-label
+    # propagation: labels(doc) ← min(labels(doc), labels of neighbors),
+    # repeated until fixpoint, convergence checked driver-side on a
+    # changed-row count. Each round is one shuffle join on integer ids —
+    # the text never moves after the pairs are built.
+    d = spark.table("documents")
+    sh = d.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    pairs = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges.persist()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    # Diameter of near-dup components ≈ duplicate-chain length; cap the
+    # loop generously and stop as soon as a round changes nothing.
+    for _ in range(15):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        updated.persist()
+        n_changed = updated.filter("_changed").count()
+        labels.unpersist()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("doc_id")
