@@ -100,12 +100,19 @@ _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _SESSIONS: dict[int, SparkSession] = {}  # strong refs: prevent id() reuse
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every test table as a temp view; return name → DataFrame."""
+def register_views(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; return name → DataFrame.
+
+    ``force`` re-issues the ``createOrReplaceTempView`` calls even when
+    this (session, sf_dir) pair is already registered — needed after a
+    caller has replaced one of the views.
+    """
     key = id(spark)
     _SESSIONS[key] = spark
     out: dict[str, DataFrame] = {}
-    if _REGISTERED.get(key) == sf_dir:
+    if not force and _REGISTERED.get(key) == sf_dir:
         for name in TABLES:
             out[name] = _DF_CACHE[(key, sf_dir, name)]
         return out

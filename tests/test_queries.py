@@ -51,6 +51,26 @@ def test_query_runs(spark, name):
     assert df.count() >= 0
 
 
+def test_hash_sample_invariant_to_partitioning(spark):
+    """The kept-row set of content-hash sampling must depend only on row
+    content — never on partition layout. (df.sample would fail this.)"""
+    from shelf_spark.data import register_views
+
+    register_views(spark, SF_SMALL)
+    base = QUERIES["sample_bernoulli_hash"](spark, SF_SMALL)
+    ids = sorted(r.doc_id for r in base.select("doc_id").collect())
+    assert ids, "sample should be non-empty"
+
+    d = spark.table("documents").repartition(13, "lang")
+    d.createOrReplaceTempView("documents")
+    try:
+        reshuffled = QUERIES["sample_bernoulli_hash"](spark, SF_SMALL)
+        ids2 = sorted(r.doc_id for r in reshuffled.select("doc_id").collect())
+    finally:
+        register_views(spark, SF_SMALL, force=True)
+    assert ids == ids2
+
+
 def test_scan_pushdown_plan(spark):
     """Filter + projection must reach the parquet scan."""
     df = QUERIES["scan_project_filter"](spark, SF_SMALL)
