@@ -185,3 +185,62 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "window_cume_nth",
+    oracle="""
+    SELECT DISTINCT c_nationkey,
+           CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_k
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cume_dist = rank_with_ties/n — exact integer ratio, one IEEE
+    # division → engine-identical; scaled to an integer for the hash.
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        spark.table("customer")
+        .select(
+            "c_nationkey",
+            F.round(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_k"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT c_nationkey, runner_up FROM (
+      SELECT c_nationkey, c_custkey,
+             nth_value(c_name, 2) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runner_up,
+             row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nth_value over the full-partition frame (second-richest customer per
+    # nation), reduced to one row per partition via row_number — both
+    # window functions share one partitioning, so one shuffle total.
+    frame = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    order = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        spark.table("customer")
+        .select(
+            "c_nationkey",
+            F.nth_value("c_name", 2).over(frame).alias("runner_up"),
+            F.row_number().over(order).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "runner_up")
+    )
