@@ -35,11 +35,16 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_join",
     "fn_explode_words",
+    # subquery / outer-join shapes
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
     # training-data pipeline representatives
     "dedup_exact",
     "text_quality_score",
     "ann_cosine_topk",
     "udf_pandas_zscore",
+    "sample_bernoulli_hash",
+    "interleave_weighted_sources",
 ]
 
 

@@ -158,6 +158,68 @@ def dedup_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
+def enrich_with_static(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+
+    The static side is re-read per micro-batch (so slowly-changing dims
+    pick up updates) and broadcast — stateless for the stream, no
+    watermark needed. This is the streaming twin of the batch
+    fact⋈broadcast(dim) pattern used throughout the relational layer.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_correlate(
+    stream: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: each `first_type` event matched to
+    the same user's `then_type` events within ``within`` afterwards
+    (conversion attribution).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can expire rows once they fall behind
+    ``max(event time) - watermark - within`` — state is O(events in the
+    horizon), the requirement for an unbounded run. Output rows emit only
+    once both sides' watermarks pass the match window (inner join).
+    """
+    a = (
+        stream.filter(F.col("event_type") == first_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("first_event_id"),
+            F.col("user_id").alias("a_user_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+    b = (
+        stream.filter(F.col("event_type") == then_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("then_event_id"),
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("then_ts"),
+            F.col("value").alias("then_value"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("a_user_id").alias("user_id"),
+        "first_event_id",
+        "first_ts",
+        "then_event_id",
+        "then_ts",
+        "then_value",
+    )
+
+
 #: Output schema of :func:`user_running_totals`.
 _USER_TOTALS_SCHEMA = StructType(
     [

@@ -93,3 +93,47 @@ def test_parquet_sink_exactly_once(spark, stream, tmp_path):
     n = spark.read.parquet(out).count()
     register_views(spark, SF_DIR)
     assert n == spark.table("events").select("event_id").distinct().count()
+
+
+def test_stream_static_enrich_parity(spark, stream):
+    from pyspark.sql import functions as F
+
+    register_views(spark, SF_DIR)
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    got = S.run_available_now(
+        S.enrich_with_static(stream, dim, "user_id"), "t_enrich", output_mode="append"
+    )
+    want = spark.table("events").join(F.broadcast(dim), "user_id", "left")
+    cols = ["event_id", "c_mktsegment"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_correlate_parity(spark, stream):
+    from pyspark.sql import functions as F
+
+    got = S.run_available_now(
+        S.stream_stream_correlate(stream), "t_corr", output_mode="append"
+    )
+    register_views(spark, SF_DIR)
+    e = spark.table("events")
+    a = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("first_event_id"),
+        F.col("user_id").alias("a_user_id"),
+        F.col("ts").alias("first_ts"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("then_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").alias("then_ts"),
+    )
+    want = a.join(
+        b,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    cols = ["first_event_id", "then_event_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
