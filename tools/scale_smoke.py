@@ -43,6 +43,11 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_join",
     "fn_explode_words",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "sample_bernoulli_hash",
+    "interleave_weighted_sources",
+    "dedup_near_dup_clusters",
 ]
 
 
