@@ -262,3 +262,32 @@ def fn_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+@query(
+    "fn_map_struct",
+    oracle="""
+    SELECT p_partkey,
+           map(['brand', 'type'], [p_brand, p_type])['type'][1]   AS from_map,
+           struct_pack(sz := p_size, price := p_retailprice).sz   AS from_struct,
+           len(map_keys(map(['brand', 'type'], [p_brand, p_type]))) AS n_keys
+    FROM part
+    WHERE p_size <= 10
+    ORDER BY p_partkey
+    """,
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map construction/extraction and struct field access — per-row JVM
+    # expressions, no shuffle. (DuckDB's map[k] yields a 1-element list,
+    # hence the [1] in the oracle; the *values* compared are scalars.)
+    p = spark.table("part").filter(F.col("p_size") <= 10)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    s = F.struct(F.col("p_size").alias("sz"), F.col("p_retailprice").alias("price"))
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "type").alias("from_map"),
+        s.getField("sz").alias("from_struct"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    ).orderBy("p_partkey")

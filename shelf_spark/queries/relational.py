@@ -789,3 +789,38 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("first_orderdate"),
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*)                 AS n_events,
+           {sql_dsum('value')}      AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The skew-resistant join as a checked operator: events.user_id has a
+    # tiny hot domain (every key is a hot key), the worst case for a hash
+    # join shuffle. salted_join spreads each key over 16 salt buckets and
+    # replicates the dim side to match; the oracle is the plain join, so
+    # the check proves salting is result-invariant. At 100 TB this is the
+    # tool for a single key that exceeds one task even after AQE splits.
+    from ..optimize import salted_join
+
+    events = spark.table("events")
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        events.withColumnRenamed("user_id", "c_custkey"), cust, on="c_custkey"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
