@@ -189,3 +189,40 @@ def docs_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("n_chars")).alias("avg_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+#: GPT-2-style pre-tokenizer classes, minus the trailing-space lookahead
+#: (RE2 in DuckDB has no lookahead; Java regex agrees on this subset):
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs.
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+#: The same pattern as a SQL string literal (apostrophe doubled).
+_BPE_ISH_SQL = _BPE_ISH.replace("'", "''")
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_ISH_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                    AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{_BPE_ISH_SQL}')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6)                        AS bpe_per_word
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish token counting: the GPT-2 pre-tokenizer's character classes
+    # as one regexp_extract_all — a narrow map stage (the real BPE merge
+    # table lookup would be a pandas UDF over these pre-tokens). The
+    # bpe-per-word ratio is the standard "how expensive is this text to
+    # tokenize" signal for mixture planning.
+    d = spark.table("documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), 0)
+    n_bpe = F.size(toks).cast("long")
+    n_ws = F.size(_words()).cast("long")
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
+    )
