@@ -390,3 +390,60 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND date_diff('day', o_orderdate, l1.l_shipdate) > 60
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND date_diff('day', o_orderdate, l3.l_shipdate) > 60
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The q21 shape: EXISTS + correlated NOT EXISTS, both self-joins on
+    # the fact table. Decorrelated into ONE per-order aggregate —
+    # EXISTS(other supplier) ⇔ n_suppliers ≥ 2, NOT EXISTS(other late
+    # supplier) ⇔ exactly one late supplier (which is l1's, since l1 is
+    # late). One extra fact shuffle replaces two correlated rescans; at
+    # 100 TB the per-order stats relation is |orders|-sized, joined back
+    # on the key the agg already partitioned by, so AQE reuses the
+    # exchange.
+    orders = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    li = spark.table("lineitem")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = spark.table("supplier")
+    return (
+        lo.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
