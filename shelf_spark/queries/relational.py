@@ -99,8 +99,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.table("orders").filter(F.col("o_orderdate") < cutoff)
     li = spark.table("lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        # customer is the small side → broadcast so the orders scan never shuffles
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with scale factor, so no explicit broadcast hint here:
+        # AQE's size-based decision broadcasts it at small SF and falls back to
+        # sort-merge at scale (explicit hints are honored unconditionally and
+        # would OOM the executors at 100x).
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -139,10 +142,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = spark.table("nation")
     reg = spark.table("region").filter(F.col("r_name") == "ASIA")
     return (
+        # customer/supplier scale with SF — no broadcast hints (AQE decides);
+        # nation/region are bounded dims (25/5 rows at any SF) — hint them.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -181,8 +186,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
     nat = spark.table("nation")
     return (
+        # customer scales with SF (no hint, AQE decides); nation is a bounded dim.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -264,8 +270,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_lag_buckets",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS late_count,
-           sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS ontime_count
+           CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority

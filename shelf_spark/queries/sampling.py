@@ -266,7 +266,11 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        updated.persist()
+        # Eager localCheckpoint: materializes the round AND truncates lineage,
+        # so the logical plan stays one-round deep instead of doubling every
+        # iteration (analysis/planning time blows up long before big data
+        # does otherwise).
+        updated = updated.localCheckpoint()
         n_changed = updated.filter("_changed").count()
         labels.unpersist()
         labels = updated.drop("_changed")

@@ -176,7 +176,9 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = spark.table("lineitem")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        # bad_supp is a filtered slice of supplier, which grows with SF —
+        # no explicit hint; AQE's size stats broadcast it while it fits.
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -251,7 +253,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big_orders.withColumnRenamed("l_orderkey", "b_orderkey"),
                 li.l_orderkey == F.col("b_orderkey"), "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no explicit hint (AQE size-decides)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -361,8 +364,10 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The same dimension (nation) joins twice under different roles — the
-    # classic q7 self-join-of-a-dim. Both nation sides and supplier/customer
-    # broadcast; the only fact shuffle is lineitem⋈orders.
+    # classic q7 self-join-of-a-dim. Only the bounded nation sides carry an
+    # explicit broadcast hint; supplier/customer grow with SF, so AQE's
+    # size-based decision governs them (auto-broadcast at small SF,
+    # sort-merge at scale).
     li = spark.table("lineitem")
     supp = spark.table("supplier")
     orders = spark.table("orders")
@@ -377,9 +382,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -441,7 +446,8 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.filter(F.col("is_late"))
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        # supplier scales with SF — no explicit hint (AQE size-decides)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -6,9 +6,12 @@ ordering (explicit tie-breakers) so results hash identically to DuckDB.
 
 Scale note: every window here partitions by a key whose cardinality grows
 with the data (custkey, suppkey, segment), so the shuffle is well-spread;
-none uses a global (unpartitioned) window, which would serialize to one
-task at 100 TB. The one global ordering (fn: ntile) rides on a small
-aggregated input.
+none uses a global (unpartitioned) window over a base table, which would
+serialize to one task at 100 TB. The one query with global-ordering
+semantics (fn: window_ntile) computes the global rank distributively —
+range repartition + local rank + broadcast partition offsets — and its
+only unpartitioned windows run over the per-partition counts relation,
+whose size is the partition count, not the data.
 """
 
 from __future__ import annotations
@@ -151,11 +154,50 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.orderBy(F.desc("c_acctbal"), "c_custkey")
-    return spark.table("customer").select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-        (F.round(F.percent_rank().over(w) * 1000)).cast("long").alias("pct_rank_k"),
+    # Global ranking WITHOUT a global window (which would serialize the full
+    # table through one task): range-repartition on the sort key so partition
+    # p holds a contiguous key range, rank locally per partition, then shift
+    # by broadcast per-partition offsets. The only global windows run over the
+    # per-partition counts relation — bounded by the partition count, not the
+    # data. ntile/percent_rank are recomputed from the exact global rank with
+    # the engines' own formulas, so values match the oracle bit-for-bit.
+    # (The ordering key is unique — custkey tiebreak — so rank == row_number.)
+    n_parts = 32
+    base = (
+        spark.table("customer")
+        .select("c_custkey", "c_acctbal")
+        .repartitionByRange(n_parts, F.desc("c_acctbal"), F.asc("c_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = base.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("n_total"),
+    )
+    w_local = W.partitionBy("pid").orderBy(F.desc("c_acctbal"), "c_custkey")
+    rn = F.col("local_rn") + F.col("offset")
+    n = F.col("n_total")
+    # ntile(k): first (n mod k) buckets get ceil(n/k) rows, the rest floor(n/k)
+    k = F.lit(4)
+    big = F.floor(n / k) + 1          # ceil bucket size
+    rem = n % k                       # number of ceil-sized buckets
+    split = big * rem                 # rows covered by ceil-sized buckets
+    bucket = F.when(rn <= split, F.ceil(rn / big)).otherwise(
+        rem + F.ceil((rn - split) / F.floor(n / k))
+    )
+    return (
+        base.withColumn("local_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "c_custkey",
+            bucket.cast("long").alias("bal_quartile"),
+            F.round((rn - 1).cast("double") / (n - 1) * 1000)
+            .cast("long")
+            .alias("pct_rank_k"),
+        )
     )
 
 

@@ -81,6 +81,49 @@ def test_q11_threshold_broadcasts_not_recomputed_per_row(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_no_broadcast_hints_on_unbounded_tables():
+    """Explicit broadcast hints are honored unconditionally (AQE only demotes
+    auto-broadcasts), so a hint on a table that grows with scale factor OOMs
+    at the 100 TB design point. Only bounded dims (region, nation, part) and
+    tiny derived aggregates may carry hints."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path("shelf_spark/queries")
+    banned = re.compile(r"F\.broadcast\((cust|supp|orders|li)[,)\s.]")
+    hits = []
+    for f in qdir.glob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if banned.search(line):
+                hits.append(f"{f}:{i}: {line.strip()}")
+    assert not hits, "broadcast hint on scale-growing table:\n" + "\n".join(hits)
+
+
+def test_ntile_no_global_window_over_base_table(spark):
+    """window_ntile's global rank is distributed (range repartition + local
+    rank + broadcast offsets); the only single-partition window may run over
+    the bounded per-partition counts relation, never the customer scan."""
+    df = QUERIES["window_ntile"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # the full-table scan feeds a range exchange, not a single-partition one
+    assert "rangepartitioning" in plan.lower()
+    # local ranking partitions by pid — no window in the plan without a
+    # partition spec fed by the base scan (WindowExec warns loudly if so;
+    # structurally: every Window node sits above the 32-row counts agg,
+    # which appears as a HashAggregate on pid)
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_cluster_loop_lineage_truncated(spark):
+    """dedup_near_dup_clusters localCheckpoints each round: the returned
+    plan must be a handful of nodes over the checkpointed labels, not a
+    15-round join tower (which would be hundreds of plan lines)."""
+    df = QUERIES["dedup_near_dup_clusters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan.splitlines()) < 10, plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan  # checkpoint scan
+
+
 def test_sessionize_single_user_shuffle(spark):
     df = QUERIES["events_sessionize"](spark, SF_DIR)
     # gaps-and-islands over one hash partition by user_id: window funcs and
