@@ -3,7 +3,7 @@
 Subcommands mirror the reference surface:
 
     shelf init
-    shelf snapshot <path> <dataset> [--force]
+    shelf snapshot <path> <dataset> [--force] [--edit]
     shelf new-table <path> [dep ...]
     shelf run [regex] [--force] [--dry-run]
     shelf list [regex] [--paths]
@@ -75,6 +75,14 @@ def cmd_snapshot(args) -> int:
     if uri not in shelf.steps:
         shelf.add_step(uri)
     shelf.save()
+    if getattr(args, "edit", False):
+        # open the sidecar for provenance curation (⇄ reference
+        # __init__.py:215-216, which hardcodes vim; $EDITOR wins here)
+        import os
+        import subprocess
+
+        editor = os.environ.get("EDITOR", "vim")
+        subprocess.run([editor, str(snap.metadata_path)], check=False)
     print(f"snapshotted {args.path} → {uri}")
     return 0
 
@@ -225,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("path")
     p.add_argument("dataset")
     p.add_argument("--force", action="store_true")
+    p.add_argument("--edit", action="store_true", help="open the sidecar in $EDITOR")
     p.set_defaults(fn=cmd_snapshot)
 
     p = sub.add_parser("new-table")

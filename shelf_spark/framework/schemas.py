@@ -129,6 +129,16 @@ TABLE_CONFIG_SCHEMA: dict[str, Any] = {
             "additionalProperties": False,
         },
         "require_dimension_prefix": {"type": "boolean"},
+        "bucketing": {
+            "type": "object",
+            "properties": {
+                "keys": {"type": "array", "items": {"type": "string"}, "minItems": 1},
+                "num_buckets": {"type": "integer", "minimum": 1},
+                "sort": {"type": "array", "items": {"type": "string"}},
+            },
+            "required": ["keys", "num_buckets"],
+            "additionalProperties": False,
+        },
     },
     "additionalProperties": False,
 }

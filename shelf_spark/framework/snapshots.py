@@ -27,6 +27,19 @@ from .utils import (
 )
 
 
+# Descriptive fields every sidecar should eventually carry (⇄ reference
+# snapshots.py:120-129's to_dict field set, minus the machine-managed ones).
+PROVENANCE_SKELETON = (
+    "name",
+    "description",
+    "source_name",
+    "source_url",
+    "access_notes",
+    "license",
+    "license_url",
+)
+
+
 @dataclass
 class Snapshot:
     uri: StepURI
@@ -115,7 +128,13 @@ class Snapshot:
             if v is not None and k not in doc:
                 doc[k] = v
         validate(doc, "snapshot")
-        save_yaml(doc, self.metadata_path)
+        # Unfilled provenance fields are written as "# key:" comment lines —
+        # a human-facing skeleton prompting later curation, mirroring the
+        # reference sidecar format (reference snapshots.py:131-139 +
+        # utils.py:76-94). Loaders never see them (YAML comments).
+        for k in PROVENANCE_SKELETON:
+            doc.setdefault(k, None)
+        save_yaml(doc, self.metadata_path, include_comments=True)
 
     @classmethod
     def load(cls, uri: StepURI) -> "Snapshot":

@@ -40,7 +40,7 @@ from .exceptions import StepDefinitionError
 from .snapshots import Snapshot
 from .types import StepURI
 from .utils import checksum_file, load_yaml
-from .table_metadata import TableMetadata, generate_input_manifest
+from .table_metadata import TableMetadata, generate_input_manifest, load_config
 
 # ---------------------------------------------------------------------------
 # Paths & script discovery
@@ -181,7 +181,7 @@ def build_table(spark: SparkSession, uri: StepURI, deps: list[StepURI]) -> None:
     started = dt.datetime.now(dt.timezone.utc)
     t0 = time.monotonic()
     if script.suffix == ".sql":
-        _exec_sql_step(spark, script, deps, out)
+        _exec_sql_step(spark, uri, script, deps, out)
     else:
         _exec_python_step(script, deps, out)
     if not out.exists():
@@ -201,25 +201,75 @@ def build_table(spark: SparkSession, uri: StepURI, deps: list[StepURI]) -> None:
 
         shutil.rmtree(out, ignore_errors=True)
         out.unlink(missing_ok=True)
+        spark.sql(f"DROP TABLE IF EXISTS {catalog_table_name(uri)}")
         raise StepDefinitionError(
             f"validation failed for {uri}:\n" + "\n".join(result.errors)
         )
     meta.write_sidecar(uri, deps, df, logical_checksum(df), runtime)
 
 
+def catalog_table_name(uri: StepURI) -> str:
+    """Session-catalog name for a table step's output (bucketed tables must
+    live in the catalog — bucket metadata has no parquet representation)."""
+    return "shelf_" + uri.path.replace("/", "_").replace("-", "_").replace(".", "_")
+
+
+def _dep_view_df(spark: SparkSession, dep: StepURI) -> DataFrame:
+    """Prefer the catalog entry for table deps: when the dep opted into
+    bucketing, reading it by name keeps the bucket layout visible to the
+    planner (a path read would silently discard it and re-shuffle)."""
+    if dep.scheme == "table":
+        cname = catalog_table_name(dep)
+        if spark.catalog.tableExists(cname):
+            return spark.table(cname)
+    return _read_any(spark, dependency_data_path(dep))
+
+
 def _exec_sql_step(
-    spark: SparkSession, script: Path, deps: list[StepURI], out: Path
+    spark: SparkSession, uri: StepURI, script: Path, deps: list[StepURI], out: Path
 ) -> None:
+    # Temp views are session-global, and the DAG executor builds steps
+    # concurrently on one session: a view named only after the dep's
+    # simplified name (dep_data) would be overwritten by a concurrent build
+    # whose dep simplifies identically (a/data vs b/data, or two versions of
+    # one dataset), silently feeding this step the wrong input. A per-build
+    # random suffix makes each registration private; the template only ever
+    # sees `{name}`, so scripts are unaffected. Views are dropped afterwards
+    # so they can't leak into later ad-hoc queries.
+    import uuid
+
     names = simplify_dependency_names(deps)
+    build_id = uuid.uuid4().hex[:12]
     template_vars: dict[str, str] = {}
-    for name, dep in names.items():
-        dep_path = dependency_data_path(dep)
-        view = f"dep_{name}"
-        _read_any(spark, dep_path).createOrReplaceTempView(view)
-        template_vars[name] = view
-    sql = script.read_text().format(**template_vars)
-    df = spark.sql(sql)
-    df.write.mode("overwrite").parquet(str(out))
+    views: list[str] = []
+    try:
+        for name, dep in names.items():
+            view = f"dep_{name}_{build_id}"
+            _dep_view_df(spark, dep).createOrReplaceTempView(view)
+            views.append(view)
+            template_vars[name] = view
+        sql = script.read_text().format(**template_vars)
+        df = spark.sql(sql)
+        bucketing = load_config(uri).get("bucketing")
+        if bucketing:
+            # Bucketed output: hash-partitioned files + catalog metadata, so
+            # downstream joins/aggs on the bucket keys plan with zero
+            # exchanges (see shelf_spark/optimize.py for the sizing notes).
+            # saveAsTable with an explicit path keeps the data external at
+            # the step's normal output location.
+            writer = df.write.mode("overwrite").bucketBy(
+                bucketing["num_buckets"], *bucketing["keys"]
+            )
+            if bucketing.get("sort"):
+                writer = writer.sortBy(*bucketing["sort"])
+            cname = catalog_table_name(uri)
+            spark.sql(f"DROP TABLE IF EXISTS {cname}")
+            writer.format("parquet").option("path", str(out)).saveAsTable(cname)
+        else:
+            df.write.mode("overwrite").parquet(str(out))
+    finally:
+        for view in views:
+            spark.catalog.dropTempView(view)
 
 
 def _exec_python_step(script: Path, deps: list[StepURI], out: Path) -> None:

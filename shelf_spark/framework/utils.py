@@ -58,10 +58,22 @@ def load_yaml(path: Path | str) -> Any:
         return yaml.safe_load(f)
 
 
-def save_yaml(doc: Any, path: Path | str) -> None:
+def save_yaml(doc: Any, path: Path | str, include_comments: bool = False) -> None:
+    """Write a YAML sidecar. With ``include_comments``, keys whose value is
+    None are written as ``# key:`` comment lines — a skeleton that prompts a
+    human to fill provenance in later, matching the reference's sidecar
+    format (reference utils.py:76-94). yaml.safe_load skips the comments, so
+    readers see only the populated fields."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as f:
-        yaml.safe_dump(doc, f, sort_keys=False, allow_unicode=True)
+        if not include_comments:
+            yaml.safe_dump(doc, f, sort_keys=False, allow_unicode=True)
+            return
+        for key, value in doc.items():
+            if value is None:
+                f.write(f"# {key}:\n")
+            else:
+                yaml.safe_dump({key: value}, f, sort_keys=False, allow_unicode=True)
 
 
 # -- .gitignore upkeep -------------------------------------------------------

@@ -233,6 +233,157 @@ def test_build_cycle_python_step(workspace, spark):
     assert rows == {(10, 100), (20, 400)}
 
 
+def test_sidecar_writes_empty_provenance_as_comments(workspace):
+    """Unfilled provenance fields appear as '# key:' comment lines in the
+    sidecar — the human-curation skeleton the reference writes (reference
+    snapshots.py:131-139 + utils.py:76-94) — and YAML loaders skip them."""
+    from shelf_spark.framework.snapshots import Snapshot
+
+    raw = workspace / "input.csv"
+    raw.write_text("x\n1\n")
+    snap = Snapshot.create(raw, "ns/raw/2024-01-01", {"source_url": "http://example.com"})
+    text = snap.metadata_path.read_text()
+    assert "# description:" in text
+    assert "# license:" in text
+    # a provided field is written as real YAML, not a comment
+    assert "source_url: http://example.com" in text
+    assert "# source_url:" not in text
+    loaded = Snapshot.load(StepURI.parse("snapshot://ns/raw/2024-01-01"))
+    assert loaded.provenance.get("source_url") == "http://example.com"
+    assert "description" not in loaded.provenance
+    assert loaded.is_up_to_date()
+
+
+def test_snapshot_edit_flag_opens_editor(workspace, monkeypatch):
+    """--edit opens the written sidecar in $EDITOR (⇄ reference
+    __init__.py:215-216's vim hook)."""
+    from shelf_spark.framework.cli import main as cli
+    from shelf_spark.framework import paths
+
+    assert cli(["init"]) == 0
+    raw = workspace / "e.csv"
+    raw.write_text("x\n1\n")
+    editor = workspace / "fake_editor.sh"
+    log = workspace / "editor_calls.txt"
+    editor.write_text(f'#!/bin/sh\necho "$1" >> {log}\n')
+    editor.chmod(0o755)
+    monkeypatch.setenv("EDITOR", str(editor))
+    assert cli(["snapshot", str(raw), "ns/edited/2024-01-01", "--edit"]) == 0
+    called_with = log.read_text().strip()
+    assert called_with == str(paths.snapshot_metadata_path("ns/edited/2024-01-01"))
+    # without --edit the editor is not invoked
+    log.unlink()
+    raw2 = workspace / "e2.csv"
+    raw2.write_text("x\n2\n")
+    assert cli(["snapshot", str(raw2), "ns/unedited/2024-01-01"]) == 0
+    assert not log.exists()
+
+
+def test_concurrent_sql_steps_colliding_dep_names(workspace, spark):
+    """Two independent SQL steps whose deps simplify to the SAME short name
+    ('data', from a/data and b/data) build concurrently on one session. Temp
+    views are session-global, so without per-build unique view names one
+    build would read the other's dependency. Each output must see only its
+    own input, and no dep_* views may leak past the builds."""
+    from shelf_spark.framework.snapshots import Snapshot
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+
+    Shelf.init()
+    raw_a = workspace / "a.csv"
+    raw_a.write_text("v\n1\n")
+    raw_b = workspace / "b.csv"
+    raw_b.write_text("v\n100\n")
+    Snapshot.create(raw_a, "a/data/2024-01-01")
+    Snapshot.create(raw_b, "b/data/2024-01-01")
+    shelf = Shelf()
+    shelf.add_step(StepURI.parse("snapshot://a/data/2024-01-01"))
+    shelf.add_step(StepURI.parse("snapshot://b/data/2024-01-01"))
+    shelf.new_table("a/out/2024-01-02", ["snapshot://a/data/2024-01-01"])
+    shelf.new_table("b/out/2024-01-02", ["snapshot://b/data/2024-01-01"])
+    shelf.save()
+    for ns in ("a", "b"):
+        script = paths.TABLE_SCRIPTS_DIR / ns / "out.sql"
+        script.parent.mkdir(parents=True, exist_ok=True)
+        script.write_text("SELECT v + 1 AS w FROM {data}")
+
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()), max_workers=4)
+
+    rows_a = spark.read.parquet(
+        str(paths.table_data_path("a/out/2024-01-02").resolve())
+    ).collect()
+    rows_b = spark.read.parquet(
+        str(paths.table_data_path("b/out/2024-01-02").resolve())
+    ).collect()
+    assert [r.w for r in rows_a] == [2]
+    assert [r.w for r in rows_b] == [101]
+    leftover = [t.name for t in spark.catalog.listTables() if t.name.startswith("dep_")]
+    assert leftover == []
+
+
+def test_bucketed_table_steps_join_without_exchange(workspace, spark):
+    """Table configs can opt into bucketing on a hot join key; two steps
+    bucketed identically then join downstream with ZERO exchanges (the
+    co-located-join contract from shelf_spark/optimize.py, exercised
+    through the framework build path end-to-end)."""
+    from shelf_spark.framework.snapshots import Snapshot
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework.tables import catalog_table_name
+    from shelf_spark.framework import paths
+    from shelf_spark.optimize import is_shuffle_free_join
+
+    Shelf.init()
+    raw_f = workspace / "facts.csv"
+    raw_f.write_text("k,v\n" + "".join(f"{i % 10},{i}\n" for i in range(100)))
+    raw_d = workspace / "dims.csv"
+    raw_d.write_text("k,name\n" + "".join(f"{i},name{i}\n" for i in range(10)))
+    Snapshot.create(raw_f, "ns/facts/2024-01-01")
+    Snapshot.create(raw_d, "ns/dims/2024-01-01")
+    shelf = Shelf()
+    shelf.add_step(StepURI.parse("snapshot://ns/facts/2024-01-01"))
+    shelf.add_step(StepURI.parse("snapshot://ns/dims/2024-01-01"))
+    shelf.new_table("ns/fact_b/2024-01-02", ["snapshot://ns/facts/2024-01-01"])
+    shelf.new_table("ns/dim_b/2024-01-02", ["snapshot://ns/dims/2024-01-01"])
+    shelf.new_table(
+        "ns/joined/2024-01-03",
+        ["table://ns/fact_b/2024-01-02", "table://ns/dim_b/2024-01-02"],
+    )
+    shelf.save()
+
+    scripts = paths.TABLE_SCRIPTS_DIR / "ns"
+    scripts.mkdir(parents=True, exist_ok=True)
+    bucket_cfg = "version: 1\nbucketing:\n  keys: [k]\n  num_buckets: 4\n  sort: [k]\n"
+    (scripts / "fact_b.sql").write_text("SELECT k, v FROM {facts}")
+    (scripts / "fact_b.meta.yaml").write_text(bucket_cfg)
+    (scripts / "dim_b.sql").write_text("SELECT k, name FROM {dims}")
+    (scripts / "dim_b.meta.yaml").write_text(
+        "version: 1\ninherit: snapshot://ns/dims/2024-01-01\n" + bucket_cfg.split("\n", 1)[1]
+    )
+    (scripts / "joined.sql").write_text(
+        "SELECT f.k, f.v, d.name FROM {fact_b} f JOIN {dim_b} d ON f.k = d.k"
+    )
+
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+
+    out = paths.table_data_path("ns/joined/2024-01-03")
+    joined = spark.read.parquet(str(out.resolve()))
+    assert joined.count() == 100
+
+    # the bucketing contract: same-keyed join of the two built tables plans
+    # with no Exchange anywhere (broadcast disabled so the question is real)
+    fact_name = catalog_table_name(StepURI.parse("table://ns/fact_b/2024-01-02"))
+    dim_name = catalog_table_name(StepURI.parse("table://ns/dim_b/2024-01-02"))
+    assert spark.catalog.tableExists(fact_name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert is_shuffle_free_join(spark, fact_name, dim_name, ["k"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(f"DROP TABLE IF EXISTS {fact_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {dim_name}")
+
+
 def test_db_query_and_export(workspace, spark, capsys):
     from shelf_spark.framework.query import execute_query, export_tables
     from shelf_spark.framework.steps import execute_dag, prune_completed
