@@ -17,3 +17,4 @@ from . import vectors  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import streaming_ops  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402  (appended last: keeps prior registry order stable)

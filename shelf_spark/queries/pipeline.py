@@ -1,0 +1,407 @@
+"""LLM-training-pipeline operators, second wave (extends text.py/dedup.py).
+
+The passes a 100 TB pretraining-data pipeline runs between raw crawl and
+tokenizer: repetition filtering (Gopher-style), PII / deny-list scanning,
+benchmark decontamination (n-gram overlap), corpus vocabulary statistics,
+token-budget shard packing, and k-means clustering of embeddings.
+
+Scale shapes:
+- repetition / PII / packing are map-only or one-shuffle-on-doc_id stages;
+- decontamination is an inverted-index join on shingles — cost ∝ matches,
+  never |train| × |benchmark|;
+- k-means is the classic broadcast-centroids loop: the corpus never
+  shuffles, each iteration is a map (assign) plus one k×dim-sized
+  aggregate; centroid coordinates are decimal-summed and rounded so the
+  trajectory is bit-identical across engines (and across partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .num import DEC
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def _words() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM toks WHERE len(w) >= 2
+    ),
+    counts AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)         AS top_bigram_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document — the Gopher-rule family: fraction
+    of duplicated word bigrams and the share taken by the single most
+    frequent bigram. High values flag boilerplate / template spam.
+
+    Shape at scale: explode → two hash-aggs, both keyed by doc_id, so one
+    shuffle partitions by document and everything after is local.
+    """
+    d = spark.table("documents")
+    w = _words()
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    counts = bi.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("dup_bigram_frac"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / deny-list scan
+# ---------------------------------------------------------------------------
+
+#: Patterns shared by both engines (RE2 ∩ Java regex subset: no lookarounds).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_LONG_DIGITS_RE = r"[0-9]{6,}"
+#: Deny-list scan: a configurable bad-terms list (here two corpus words so
+#: the counts are non-trivially exercised on the synthetic data).
+_DENYLIST_RE = r"\b(key|hash)\b"
+
+
+@query(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)       AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT)        AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_LONG_DIGITS_RE}')) AS BIGINT) AS n_long_digit_runs,
+           CAST(len(regexp_extract_all(text, '{_DENYLIST_RE}')) AS BIGINT)    AS n_denylist_hits,
+           (len(regexp_extract_all(text, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{_IPV4_RE}'))
+            + len(regexp_extract_all(text, '{_LONG_DIGITS_RE}')) > 0)         AS has_pii
+    FROM documents
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII and deny-list scanning: emails / IPv4 / long digit runs plus a
+    configurable bad-terms list, all as JVM-side regexp_extract_all — a
+    map-only stage that pipelines with the scan.
+
+    NOTE: the synthetic corpus contains no PII, so the email/IP/digit
+    counters legitimately read zero here (the deny-list counter exercises
+    non-zero paths); the operator pins the filter's shape and the exact
+    regex semantics both engines agree on (no lookarounds: RE2 ∩ Java).
+    """
+    d = spark.table("documents")
+
+    def n_matches(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)).cast("long")
+
+    n_pii = n_matches(_EMAIL_RE) + n_matches(_IPV4_RE) + n_matches(_LONG_DIGITS_RE)
+    return d.select(
+        "doc_id",
+        n_matches(_EMAIL_RE).alias("n_emails"),
+        n_matches(_IPV4_RE).alias("n_ipv4"),
+        n_matches(_LONG_DIGITS_RE).alias("n_long_digit_runs"),
+        n_matches(_DENYLIST_RE).alias("n_denylist_hits"),
+        (n_pii > 0).alias("has_pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_N = 5
+_BENCH_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" split
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - {_SHINGLE_N - 1}),
+               i -> array_to_string(list_slice(w, i, i + {_SHINGLE_N - 1}), ' ')))) AS shingle
+      FROM toks WHERE len(w) >= {_SHINGLE_N}
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT train.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM train JOIN bench USING (shingle)
+    GROUP BY train.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {_SHINGLE_N}-gram with the held-out split (the n-gram-overlap check run
+    before pretraining so eval data can't leak into the corpus).
+
+    Scale shape: an inverted-index join on the shingle — benchmark
+    shingles are a bounded set (eval suites are small) and broadcast;
+    the training side never self-joins, so cost ∝ number of matches.
+    """
+    d = spark.table("documents")
+    w = _words()
+    shingles = F.when(
+        F.size(w) >= _SHINGLE_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (_SHINGLE_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(_SHINGLE_N))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("shingle").distinct()
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP_K = 50
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT)               AS tf
+    FROM tok
+    GROUP BY token
+    ORDER BY df DESC, tf DESC, token
+    LIMIT {_VOCAB_TOP_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-{_VOCAB_TOP_K} tokens by document
+    frequency (tokenizer-training / mixture-diagnostic stats).
+
+    Scale shape: explode → partial+final agg on token (map-side combine
+    collapses each partition to its distinct tokens before the shuffle);
+    the final top-k is a TakeOrdered over |vocab| rows, not |corpus|.
+    """
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(_words()).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "token")
+        .limit(_VOCAB_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 2000  # whitespace tokens per shard
+
+
+@query(
+    "pack_token_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard assignment (sequence-packing prep): within
+    each source, documents in doc_id order accumulate into shards of
+    ~{_SHARD_BUDGET} whitespace tokens; a document starts the shard its
+    running prefix-sum falls into.
+
+    Scale shape: one shuffle on source, a running-sum window inside each
+    partition — same cost envelope as any per-key cumulative metric.
+    Skewed sources split fine because the window is ROWS-framed.
+    """
+    d = spark.table("documents")
+    n_tokens = F.size(_words()).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    prefix = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "shard_id", F.floor(prefix / float(_SHARD_BUDGET)).cast("long")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings (fixed-iteration Lloyd's, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 4
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, one window
+    per vector (ties break toward the lower centroid id)."""
+    pairs = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "vec", "cid", _sqdist(F.col("vec"), F.col("cvec")).alias("d2")
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid"))
+    return pairs.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+        "vec_id", "vec", "cid", "d2"
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """Per-cluster per-dimension mean, decimal-summed and rounded to 6 dp
+    so the new centroids are identical regardless of engine or partition
+    order (floating addition isn't associative; decimal is exact)."""
+    return (
+        assigned.select("cid", F.posexplode("vec").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("cval")
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select(
+            "cid", F.transform(F.col("pairs"), lambda s: s.getField("cval")).alias("cvec")
+        )
+    )
+
+
+@query(
+    "vectors_kmeans_assign",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_KMEANS_K}),
+    a1 AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT v.vec_id, v.vec, c0.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(v.vec, c0.cvec),
+                                                  s -> (s[1] - s[2]) * (s[1] - s[2]))),
+                          c0.cid) AS rn
+        FROM v CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    exploded AS (
+      SELECT a1.cid, u.i AS dim, a1.vec[u.i] AS val
+      FROM a1 CROSS JOIN unnest(generate_series(1, len(a1.vec))) AS u(i)
+    ),
+    c1 AS (
+      SELECT cid, list(cval ORDER BY dim) AS cvec FROM (
+        SELECT cid, dim,
+               round(CAST(sum(CAST(val AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS cval
+        FROM exploded GROUP BY cid, dim
+      ) GROUP BY cid
+    )
+    SELECT vec_id, cid AS cluster, round(d2, 6) AS sq_dist FROM (
+      SELECT v.vec_id, c1.cid,
+             list_sum(list_transform(list_zip(v.vec, c1.cvec),
+                                     s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_sum(list_transform(list_zip(v.vec, c1.cvec),
+                                                s -> (s[1] - s[2]) * (s[1] - s[2]))),
+                        c1.cid) AS rn
+      FROM v CROSS JOIN c1
+    ) WHERE rn = 1
+    """,
+)
+def vectors_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd's iterations of k-means (k={_KMEANS_K}), seeded
+    deterministically with the {_KMEANS_K} lowest vec_ids, checked VALUE-
+    EXACT against a DuckDB replica of the same trajectory — possible
+    because each recentering decimal-sums per-dimension (order-invariant)
+    and rounds to 6 dp, and both engines fold distances over arrays in the
+    same element order.
+
+    Scale shape per iteration: centroids are k×dim (broadcast), assignment
+    is a map over the corpus (no shuffle of vectors), recentering is one
+    k×dim-sized aggregate. A production loop would iterate to convergence
+    with localCheckpoint between rounds (see dedup_near_dup_clusters).
+    """
+    v = spark.table("embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    c0 = v.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    a1 = _assign(v, c0)
+    c1 = _recenter(a1)
+    a2 = _assign(v, c1)
+    return a2.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.round("d2", 6).alias("sq_dist"),
+    )
