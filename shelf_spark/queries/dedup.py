@@ -75,6 +75,63 @@ def _shingles(words: Column, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
+    """EXACT set-Jaccard similarity self-join with prefix filtering
+    (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07).
+
+    A naive inverted-index self-join costs Σ per-shingle df² — quadratic
+    in document frequency, the term that blows up first at scale (a 10×
+    corpus makes every common shingle 10× hotter → 100× the candidate
+    pairs). Prefix filtering keeps exactness while pruning: order each
+    document's shingle set by global rarity (df asc, shingle asc); if
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the globally-smallest common
+    shingle must sit within the first |A| - ⌈t·|A|⌉ + 1 shingles of A
+    (everything before it is non-common), and likewise for B. Candidates
+    therefore only come from joining those short rare-shingle prefixes;
+    the full sets meet again only per candidate pair, via array_intersect
+    on the collected shingle arrays.
+
+    Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with J ≥ threshold —
+    bit-identical to the naive join (the DuckDB oracles are unchanged).
+    """
+    sets = d.select("doc_id", _shingles(_words()).alias("sh_set"))
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+        .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    A = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    B = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    n_common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jac = n_common.cast("double") / (
+        F.size("set_a") + F.size("set_b") - n_common
+    )
+    return (
+        cand.join(A, "doc_a")
+        .join(B, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""
@@ -103,29 +160,15 @@ def _shingles(words: Column, k: int = 3) -> Column:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact n-gram Jaccard similarity join via shingle inverted index:
-    # explode distinct 3-shingles, self-join on shingle (the classic
-    # MapReduce similarity join — cost scales with Σ per-shingle df², i.e.
-    # with actual overlap, not with n² documents), count common shingles,
-    # Jaccard = |∩| / (|A|+|B|-|∩|). Distinct word-shingles are selective,
-    # so hot shingles are rare; at skew, salt the shingle key.
+    # Exact n-gram Jaccard similarity join — prefix-filtered (see
+    # jaccard_pairs_exact): only each document's rarest shingles generate
+    # candidates, so cost follows true near-duplicates instead of the
+    # df² blow-up of the naive inverted-index self-join; results are
+    # bit-identical to the naive formulation the oracle encodes.
     d = spark.table("documents")
-    sh = d.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    pairs = jaccard_pairs_exact(d, JACCARD_THRESHOLD)
+    return pairs.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
 
 

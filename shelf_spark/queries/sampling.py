@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import JACCARD_THRESHOLD, _shingles, _words
+from .dedup import JACCARD_THRESHOLD, jaccard_pairs_exact
 from .registry import query
 
 #: 4-hex-digit prefix of sha256 compared against these bounds.
@@ -215,29 +215,10 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changed-row count. Each round is one shuffle join on integer ids —
     # the text never moves after the pairs are built.
     d = spark.table("documents")
-    sh = d.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    pairs = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    # Prefix-filtered exact Jaccard pair generation (see
+    # dedup.jaccard_pairs_exact) — same pairs as the naive inverted-index
+    # join the oracle's CTE encodes, without its per-shingle df² cost.
+    pairs = jaccard_pairs_exact(d, JACCARD_THRESHOLD).select("doc_a", "doc_b")
 
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -48,6 +48,11 @@ HEADLINE = [
     "sample_bernoulli_hash",
     "interleave_weighted_sources",
     "dedup_near_dup_clusters",
+    "text_repetition_stats",
+    "text_decontaminate",
+    "text_vocab_topk",
+    "pack_token_shards",
+    "vectors_kmeans_assign",
 ]
 
 
@@ -65,6 +70,23 @@ def replicate(spark, factor: int, dest: str) -> None:
                 c = df
                 for col in shift_cols:
                     c = c.withColumn(col, F.col(col) + F.lit(i * span))
+                # documents: tag each copy's vocabulary so copies are NOT
+                # verbatim duplicates of each other. Untagged replication
+                # multiplies the true near-dup pair count ~factor² (every
+                # copy duplicates every other), which measures output
+                # growth, not algorithmic scaling — real crawls grow with
+                # a roughly constant dup rate, which this preserves.
+                if name == "documents" and i > 0:
+                    c = c.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda w: F.concat(w, F.lit(f"~{i}")),
+                            ),
+                            " ",
+                        ),
+                    )
                 copies.append(c)
             df = copies[0]
             for c in copies[1:]:
