@@ -18,3 +18,4 @@ from . import multimodal  # noqa: F401,E402
 from . import streaming_ops  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402  (appended last: keeps prior registry order stable)
+from . import analytics  # noqa: F401,E402

@@ -1,0 +1,197 @@
+"""Event-analytics operator shapes: funnel conversion, retention cohorts,
+and wide→long reshaping (unpivot).
+
+These are the product-analytics queries an events warehouse runs daily;
+each is a fixed number of user_id-keyed aggregations, so the scale story
+is the same as sessionization: one hash shuffle on the user key per
+stage, map-side combined, skew split by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# funnel conversion
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT '1_{_FUNNEL[0]}' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT '2_{_FUNNEL[1]}', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_{_FUNNEL[2]}', CAST(count(*) AS BIGINT) FROM s3
+    ) ORDER BY stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that first
+    qualifying click. Each stage is one user_id-keyed aggregate over the
+    events already filtered to that type, joined back on user_id — the
+    event log is scanned per stage but never self-joined row-to-row.
+    """
+    e = spark.table("events")
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        s1.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(f"1_{_FUNNEL[0]}").alias("stage"), "n_users"
+        ),
+        s2.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(f"2_{_FUNNEL[1]}").alias("stage"), "n_users"
+        ),
+        s3.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(f"3_{_FUNNEL[2]}").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS weeks_later,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_week, weeks_later
+    ORDER BY cohort_week, weeks_later
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the week of their first
+    event, counted as active for each later week they appear in. Two
+    user_id-keyed aggregates plus one join — the activity relation is
+    (user, week)-distinct, so its size is users × active-weeks, far below
+    the raw event count. (Both engines truncate weeks to Monday, and the
+    day-difference of two Monday-truncated weeks is an exact multiple of
+    7, so the integer division is lossless.)
+    """
+    e = spark.table("events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    weeks_later = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", weeks_later.alias("weeks_later"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "weeks_later")
+    )
+
+
+# ---------------------------------------------------------------------------
+# wide → long reshape (unpivot / stack)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             CAST(l_quantity AS DOUBLE) AS val
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice',
+             CAST(l_extendedprice AS DOUBLE)
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+      FROM lineitem WHERE l_linenumber = 1
+    )
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of agg_pivot): three measure columns
+    melt into (measure, val) rows via the native unpivot operator — one
+    map-only projection that multiplies rows by the measure count, no
+    shuffle at all.
+    """
+    li = spark.table("lineitem").filter(F.col("l_linenumber") == 1)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "measure",
+            "raw_val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("raw_val", 2).alias("val"),
+        )
+    )
