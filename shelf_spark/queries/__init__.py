@@ -19,3 +19,4 @@ from . import streaming_ops  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402  (appended last: keeps prior registry order stable)
 from . import analytics  # noqa: F401,E402
+from . import relational_ext  # noqa: F401,E402

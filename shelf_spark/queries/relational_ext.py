@@ -1,0 +1,132 @@
+"""TPC-H q8/q9-shaped queries adapted to this testdata (no partsupp table).
+
+q8's share-of-total-by-group and q9's multi-join profit rollup are the
+two classic shapes relational.py/subqueries.py didn't cover: a
+conditional-numerator ratio over one aggregation, and a 4-table
+fact-dimension join aggregated on (nation, year).
+
+Plans: nation/region carry broadcast hints (bounded dims); customer and
+supplier get none — AQE size-decides (see SCALE.md broadcast policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .num import DEC, dsum
+from .registry import query
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_1'
+                                    THEN {_REVENUE} ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE)
+                 / CAST(sum(CAST({_REVENUE} AS DECIMAL(30,8))) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice, l_discount, n2.n_name AS supp_nation
+      FROM customer
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 shape: NATION_1 suppliers' share of revenue within the ASIA
+    customer market, by order year — a conditional-numerator ratio
+    computed in ONE aggregation (two decimal sums per group), not two
+    passes. Reference semantics: TPC-H Q8 with part-type predicate
+    dropped (no partsupp/part filter in this schema's coverage goal).
+    """
+    cust = spark.table("customer")
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    reg = spark.table("region").filter(F.col("r_name") == "ASIA")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    supp = spark.table("supplier")
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nation_rev.cast(DEC)).cast("double")
+                / F.sum(rev.cast(DEC)).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT nation, o_year,
+           round(CAST(sum(CAST({_REVENUE} - 10.0 * l_quantity AS DECIMAL(30,8)))
+                      AS DOUBLE), 2) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice, l_discount, l_quantity
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 shape: profit rollup by supplier nation and order year over the
+    full fact table. TPC-H Q9's ps_supplycost has no twin in this schema,
+    so unit cost is a fixed 10.0/quantity term — the aggregation and join
+    graph (fact ⋈ supplier ⋈ nation ⋈ orders, group by nation × year) is
+    what the shape pins. One fact shuffle for the orders join, one for
+    the final agg; supplier un-hinted (AQE), nation broadcast.
+    """
+    li = spark.table("lineitem")
+    supp = spark.table("supplier")
+    nat = spark.table("nation")
+    orders = spark.table("orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 10.0 * F.col(
+        "l_quantity"
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("p")).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
