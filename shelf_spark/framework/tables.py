@@ -284,6 +284,8 @@ def _read_any(spark: SparkSession, path: Path) -> DataFrame:
     """Read a dependency: parquet tables, or csv/json/text snapshots."""
     path = path.resolve()  # Spark JVM cwd does not follow Python os.chdir
     suffix = path.suffix.lower()
+    if suffix == ".orc":
+        return spark.read.orc(str(path))
     if suffix in {".parquet", ""} or path.is_dir():
         return spark.read.parquet(str(path))
     if suffix == ".csv":

@@ -71,6 +71,8 @@ def read_any(spark: SparkSession, path: str | Path) -> DataFrame:
     """Format-dispatched read for snapshot-style inputs."""
     p = Path(path).resolve()
     suffix = p.suffix.lower()
+    if suffix == ".orc":
+        return spark.read.orc(str(p))
     if suffix in {".parquet", ""} or p.is_dir():
         return spark.read.parquet(str(p))
     if suffix == ".csv":
@@ -78,3 +80,10 @@ def read_any(spark: SparkSession, path: str | Path) -> DataFrame:
     if suffix in {".json", ".jsonl", ".ndjson"}:
         return spark.read.json(str(p))
     return spark.read.text(str(p))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar alternative with the same predicate-pushdown and
+    column-pruning behavior as parquet; useful for Hive-ecosystem interop).
+    """
+    df.write.mode(mode).orc(path)

@@ -50,3 +50,23 @@ def test_binary_dir_ingest(spark, tmp_path):
     rows = {os.path.basename(r["path"]): bytes(r["content"]) for r in df.collect()}
     assert rows == payloads
     assert df.schema["content"].dataType.typeName() == "binary"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source: values round-trip and predicates reach the ORC
+    scan (same pushdown contract as parquet)."""
+    from shelf_spark.sources import read_any, write_orc
+
+    out = str(tmp_path / "orders.orc")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_orc(orders, out)
+
+    back = read_any(spark, out)
+    assert back.count() == orders.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in orders.collect()}
+
+    filtered = back.filter(F.col("o_orderkey") == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
