@@ -78,3 +78,55 @@ def test_scan_pushdown_plan(spark):
     assert "PushedFilters: [" in plan
     # pruned read schema: only the 5 referenced columns, not all 11
     assert "l_comment" not in plan
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """jaccard_pairs_exact (prefix filtering) must produce EXACTLY the
+    naive inverted-index join's pairs — the guarantee that lets the DuckDB
+    oracles stay naive while the Spark side prunes. Checked on randomized
+    corpora with heavy duplication and tiny vocabularies (the worst case
+    for prefix pruning: everything is a hot shingle)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from shelf_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        _shingles,
+        _words,
+        jaccard_pairs_exact,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for doc_id in range(60):
+            if docs and rng.random() < 0.4:
+                base = rng.choice(docs)[1].split()
+                k = max(3, int(len(base) * 0.8))
+                text = " ".join(base[:k] + rng.choices(vocab, k=len(base) - k))
+            else:
+                text = " ".join(rng.choices(vocab, k=rng.randint(5, 30)))
+            docs.append((doc_id, text))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+
+        got = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in jaccard_pairs_exact(d, JACCARD_THRESHOLD).collect()
+        }
+
+        sets = d.select("doc_id", _shingles(_words()).alias("sh"))
+        a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+        b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+        n_common = F.size(F.array_intersect("sa", "sb"))
+        jac = n_common.cast("double") / (F.size("sa") + F.size("sb") - n_common)
+        want = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .collect()
+        }
+        assert got == want, f"seed {seed}: {got ^ want}"
