@@ -120,3 +120,142 @@ def multimodal_filter_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("h"), F.lit(224)).cast("long").alias("out_h"),
         F.round(F.col("w").cast("double") / F.col("h"), 6).alias("aspect"),
     )
+
+
+def _make_media(doc_id: int) -> bytes:
+    """Deterministic REAL media bytes per doc: even ids get a mono 16-bit
+    WAV (stdlib ``wave`` writer), odd ids a 24-bit uncompressed BMP —
+    formats decodable with zero external codec libraries."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    if doc_id % 2 == 0:
+        n = 50 + doc_id % 100
+        samples = np.array(
+            [(doc_id * 31 + i * 17) % 2000 - 1000 for i in range(n)], dtype=np.int16
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+    width, height = doc_id % 31 + 1, doc_id % 17 + 1
+    row_bytes = (width * 3 + 3) // 4 * 4
+    pixels = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = (doc_id + x + y) % 256
+            row += bytes((v, v, v))
+        row += b"\x00" * (row_bytes - len(row))
+        pixels += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(pixels)
+
+
+def _decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decoders: wave-module WAV parse (header + PCM frames), struct
+    BMP parse (DIB header fields). Runs per Arrow batch."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "media_type": [], "sample_rate": [], "n_samples": [],
+            "mean_abs_amplitude": [], "width": [], "height": [], "bpp": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            out["doc_id"].append(doc_id)
+            if payload[:4] == b"RIFF":
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    sr, nf = w.getframerate(), w.getnframes()
+                    data = np.frombuffer(w.readframes(nf), dtype=np.int16)
+                out["media_type"].append("wav")
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(nf)
+                out["mean_abs_amplitude"].append(
+                    round(int(np.abs(data.astype(np.int64)).sum()) / nf, 6)
+                )
+                out["width"].append(None)
+                out["height"].append(None)
+                out["bpp"].append(None)
+            else:
+                w_, h_ = struct.unpack_from("<ii", payload, 18)
+                bpp = struct.unpack_from("<H", payload, 28)[0]
+                out["media_type"].append("bmp")
+                out["sample_rate"].append(None)
+                out["n_samples"].append(None)
+                out["mean_abs_amplitude"].append(None)
+                out["width"].append(w_)
+                out["height"].append(h_)
+                out["bpp"].append(bpp)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_decode_wav_bmp",
+    oracle="""
+    SELECT doc_id, 'wav' AS media_type,
+           CAST(8000 AS BIGINT)               AS sample_rate,
+           CAST(50 + doc_id % 100 AS BIGINT)  AS n_samples,
+           round(CAST(list_sum(list_transform(
+                   generate_series(0, 50 + doc_id % 100 - 1),
+                   i -> abs((doc_id * 31 + i * 17) % 2000 - 1000))) AS DOUBLE)
+                 / (50 + doc_id % 100), 6)    AS mean_abs_amplitude,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS bpp
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'bmp',
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(doc_id % 31 + 1 AS BIGINT),
+           CAST(doc_id % 17 + 1 AS BIGINT),
+           CAST(24 AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def multimodal_decode_wav_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip, no external libraries: each document gets
+    deterministic media bytes (even doc_id → mono 16-bit PCM WAV written
+    by the stdlib ``wave`` module; odd → 24-bit uncompressed BMP), and a
+    second Arrow-batched stage decodes them back with real parsers (wave
+    reader / struct DIB-header parse + PCM sample statistics). The oracle
+    recomputes the expected metadata from the generation arithmetic alone,
+    so a value match proves encoder AND decoder are faithful — this is the
+    upgrade path from the `_decode_stub` tier above: swap `_make_media`
+    for `binaryFile` ingest and these decoders for Pillow/PyAV when the
+    libs exist, with identical Spark plumbing.
+    """
+    d = spark.table("documents").select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_make_media(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    media = d.mapInPandas(encode_batches, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        _decode_media_batches,
+        schema=(
+            "doc_id bigint, media_type string, sample_rate bigint, "
+            "n_samples bigint, mean_abs_amplitude double, "
+            "width bigint, height bigint, bpp bigint"
+        ),
+    )
