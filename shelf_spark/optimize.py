@@ -47,6 +47,54 @@ def is_shuffle_free_join(spark: SparkSession, left: str, right: str, on: list[st
     return "Exchange" not in plan
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) interleaved-bit key over 2+ integer columns —
+    pure JVM bit arithmetic, no UDF.
+
+    Sorting a table by this key before writing gives every parquet file a
+    tight min/max envelope on EVERY participating column (a plain sort
+    only tightens the leading column), so predicates on any of them skip
+    row groups / files via statistics — the write-side analogue of a
+    multi-column index. Each column is rank-normalized by the caller (or
+    already integer-dense); only the low ``bits`` bits participate.
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            src = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftright(src.cast("long"), b).bitwiseAND(F.lit(1))
+            parts.append(F.shiftleft(bit, b * len(cols) + ci))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out in Z-order on ``zorder_cols``: repartition by
+    range on the interleaved key (locality across files), then sort within
+    partitions (locality across row groups)."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_zkey", zorder_key(zorder_cols, bits))
+    (
+        keyed.repartitionByRange(num_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -195,3 +195,138 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw_val", 2).alias("val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 merge (warehouse dimension versioning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_merge_customers",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey, round(c_acctbal + 100, 2) AS new_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, acctbal,
+           DATE '2024-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to,
+           true AS is_current
+    FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    UNION ALL
+    SELECT d.c_custkey, d.acctbal, DATE '2024-01-01', DATE '2024-06-01', false
+    FROM dim d JOIN updates u USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_acctbal, DATE '2024-06-01', CAST(NULL AS DATE), true
+    FROM updates
+    """,
+)
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge, expressed as pure DataFrame
+    ops (no MERGE INTO — that needs a transactional table format; this is
+    the same row-level math Delta's MERGE performs): updated keys close their
+    current row (valid_to set, is_current false) and append a new current
+    row; untouched keys pass through. The update set here is
+    deterministic (custkey % 10) so the oracle can replay it.
+
+    Scale shape: one broadcast-able join of dim × updates (updates ≪ dim
+    in any real feed) plus an anti-join — zero fact-table involvement.
+    """
+    eff = F.lit("2024-06-01").cast("date")
+    start = F.lit("2024-01-01").cast("date")
+    dim = spark.table("customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    updates = (
+        spark.table("customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("new_acctbal")
+        )
+    )
+    untouched = dim.join(updates, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "acctbal",
+        start.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(F.broadcast(updates), "c_custkey").select(
+        "c_custkey",
+        "acctbal",
+        start.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = updates.select(
+        "c_custkey",
+        F.col("new_acctbal").alias("acctbal"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return untouched.unionAll(closed).unionAll(opened)
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user stream:
+    lead() within each user's (ts, event_id)-ordered sequence, pair
+    counts, row-normalized probabilities. One user-keyed shuffle for the
+    window; the pairs relation is |types|² — trivially small — so the
+    normalizing window runs on the aggregate, not the events.
+    """
+    from pyspark.sql.window import Window as W
+
+    e = spark.table("events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type")), 6
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
