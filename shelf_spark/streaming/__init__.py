@@ -107,6 +107,48 @@ def events_stream(
 # ---------------------------------------------------------------------------
 
 
+#: Documents schema (file-stream sources require one pinned up front).
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream source over a documents parquet file/directory —
+    streaming ingest of new crawl shards."""
+    import os
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA).format("parquet")
+    if os.path.isfile(path):
+        d, name = os.path.split(path)
+        path = os.path.join(d, "{%s}" % name)
+    return reader.load(path)
+
+
+def dedup_against_corpus(stream: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Streaming ingest dedup: drop incoming documents whose content
+    fingerprint already exists in the static corpus — the streaming face
+    of the batch dedup ladder (`queries/dedup.py: dedup_exact`).
+
+    Stream-static left-anti join on the SHA-256 digest: the corpus side
+    collapses to its distinct fingerprint set (32 bytes/doc) and is
+    re-read per micro-batch, so a corpus growing underneath the stream is
+    picked up without restarts; the stream side is stateless (no
+    watermark, no state store) because the corpus carries the history.
+    """
+    fps = corpus.select(F.sha2(F.col("text"), 256).alias("fingerprint")).distinct()
+    return (
+        stream.withColumn("fingerprint", F.sha2(F.col("text"), 256))
+        .join(F.broadcast(fps), "fingerprint", "left_anti")
+    )
+
+
 def tumbling_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """10-minute tumbling window counts/sums (twin of batch
     ``events_tumbling_window``). Watermark bounds window state."""

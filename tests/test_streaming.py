@@ -137,3 +137,31 @@ def test_stream_stream_correlate_parity(spark, stream):
     cols = ["first_event_id", "then_event_id"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_dedup_against_corpus_parity(spark):
+    """Streaming corpus dedup == batch left-anti on fingerprints: docs
+    already in the static corpus never pass; fresh docs all do."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, SF_DIR)
+    batch_docs = spark.table("documents")
+    corpus = batch_docs.filter(F.col("doc_id") % 2 == 0).select("text")
+
+    stream = S.documents_stream(spark, f"{SF_DIR}/documents.parquet")
+    got = S.run_available_now(
+        S.dedup_against_corpus(stream, corpus), "t_corpus_dedup", output_mode="append"
+    )
+
+    want = (
+        batch_docs.withColumn("fingerprint", F.sha2(F.col("text"), 256))
+        .join(
+            corpus.select(F.sha2(F.col("text"), 256).alias("fingerprint")).distinct(),
+            "fingerprint",
+            "left_anti",
+        )
+    )
+    assert _rows(got, ["doc_id"]) == _rows(want, ["doc_id"])
+    # sanity: survivors are exactly the docs whose text isn't in the corpus
+    surviving = {r.doc_id for r in got.collect()}
+    assert all(doc_id % 2 == 1 for doc_id in surviving) or surviving
