@@ -330,3 +330,81 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type")), 6
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# histogram binning
+# ---------------------------------------------------------------------------
+
+_BIN_WIDTH = 50_000
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT bin, CAST(bin * {_BIN_WIDTH} AS BIGINT) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT CAST(floor(o_totalprice / {_BIN_WIDTH}) AS BIGINT) AS bin FROM orders)
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bin assignment is a map-side
+    expression, so the whole histogram is one partial+final aggregate on
+    ~|range/width| keys — the cheapest possible distribution profile (the
+    pattern behind every data-profiling dashboard)."""
+    o = spark.table("orders")
+    bin_col = F.floor(F.col("o_totalprice") / _BIN_WIDTH).cast("long")
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select("bin", (F.col("bin") * _BIN_WIDTH).cast("long").alias("bin_lo"), "n")
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: blocked fuzzy name matching
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT s_suppkey, s_name FROM supplier),
+    pairs AS (
+      SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+             CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      FROM names a JOIN names b
+        ON substr(a.s_name, 1, length(a.s_name) - 1)
+           = substr(b.s_name, 1, length(b.s_name) - 1)
+       AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT key_a, key_b, dist FROM pairs WHERE dist <= 3
+    ORDER BY key_a, key_b
+    """,
+)
+def er_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: candidate pairs come
+    from a cheap blocking key (name minus its final character — ~10-name
+    blocks on this data), then edit distance (JVM levenshtein) filters
+    within blocks — the standard two-tier ER shape where pair cost is
+    Σ|block|², never |corpus|², at the usual recall cost (cross-block
+    near-matches are unseen). At real scale the blocking key is the
+    tuning knob (phonetic codes, q-gram buckets); the join/verify shape
+    stays identical."""
+    s = spark.table("supplier").select("s_suppkey", "s_name")
+    block = lambda c: F.expr(f"substring({c}, 1, length({c}) - 1)")  # noqa: E731
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+    return (
+        a.join(
+            b,
+            (block("name_a") == block("name_b")) & (F.col("key_a") < F.col("key_b")),
+        )
+        .select("key_a", "key_b", dist.alias("dist"))
+        .filter(F.col("dist") <= 3)
+        .orderBy("key_a", "key_b")
+    )
