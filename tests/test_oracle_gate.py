@@ -12,6 +12,55 @@ import pytest
 
 
 @pytest.mark.oracle
+def test_oracle_result_types_match_spark(spark):
+    """The driver's value-hash is TYPE-sensitive where our row-value gate
+    is not: DuckDB quietly returns HUGEINT for bare integer sums and
+    DECIMAL for un-cast decimal math, which hash differently from Spark's
+    BIGINT/DOUBLE even when values are equal (round 1's only red row).
+    Audit every oracle's concrete result types against the Spark schema."""
+    import duckdb
+
+    from shelf_spark.data import TABLES, table_path
+    from shelf_spark.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')"
+        )
+    ok = {
+        "BIGINT": {"bigint"},
+        "INTEGER": {"int", "bigint"},
+        "DOUBLE": {"double"},
+        "VARCHAR": {"string"},
+        "BOOLEAN": {"boolean"},
+        "DATE": {"date"},
+        "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+        "TIMESTAMP_NS": {"timestamp", "timestamp_ntz"},
+        "BLOB": {"binary"},
+        "FLOAT": {"float"},
+    }
+    problems = []
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        stypes = {
+            f.name: f.dataType.simpleString()
+            for f in QUERIES[name](spark, sf).schema.fields
+        }
+        for col, dt in dtypes.items():
+            st, base = stypes.get(col), dt.split("(")[0]
+            if st is None:
+                problems.append(f"{name}.{col}: missing on spark side")
+            elif base in ("HUGEINT", "UHUGEINT") or base.startswith("DECIMAL"):
+                problems.append(f"{name}.{col}: DuckDB {dt} vs spark {st} (uncast agg)")
+            elif base in ok and st not in ok[base]:
+                problems.append(f"{name}.{col}: DuckDB {dt} vs spark {st}")
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.oracle
 def test_all_queries_match_oracles():
     from tools.check_correctness import main as gate
     import sys
