@@ -53,6 +53,14 @@ HEADLINE = [
     "text_vocab_topk",
     "pack_token_shards",
     "vectors_kmeans_assign",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "scd2_merge_customers",
+    "agg_histogram",
+    "er_fuzzy_name_match",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
 ]
 
 
