@@ -130,3 +130,14 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
             .collect()
         }
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+def test_sf_dir_switching_reregisters_views(spark):
+    """One session querying two sf dirs alternately must always read the
+    dir it was asked for — view registration is keyed per (session, dir)
+    and re-issued on switch, so stale views can't leak across scales."""
+    small = QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").collect()
+    big = QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.01").collect()
+    again = QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").collect()
+    assert small == again
+    assert small != big  # different scale, different revenue
