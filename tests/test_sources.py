@@ -70,3 +70,19 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     filtered = back.filter(F.col("o_orderkey") == 1)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from shelf_spark.sources import compact_parquet
+
+    out = str(tmp_path / "fragged")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(64).write.parquet(out)
+    n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_before >= 32  # badly fragmented
+
+    want = events.count()
+    compact_parquet(spark, out, target_file_mb=64)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert spark.read.parquet(out).count() == want
