@@ -405,3 +405,53 @@ def vectors_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster"),
         F.round("d2", 6).alias("sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorization (percentile outlier clipping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clean_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           round(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END, 6) AS value_w,
+           (e.value < b.lo OR e.value > b.hi) AS was_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+)
+def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each event's value to its type's
+    exact [p5, p95] band — the standard outlier-taming pass before
+    feature aggregation. Spark's exact `percentile` aggregate and
+    DuckDB's `quantile_cont` share the linear-interpolation formula, so
+    the bounds (and therefore the clipped values) match bitwise.
+
+    Scale shape: one partial+final percentile agg on the group key (the
+    bounds relation is |types| rows → broadcast back), then a map-only
+    clip — the fact table shuffles zero times.
+    """
+    e = spark.table("events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        F.round(clipped, 6).alias("value_w"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
