@@ -433,3 +433,28 @@ def test_validation_gate(workspace, spark):
     assert not paths.table_data_path("ns/bad/2024-01-01").exists()
     # still dirty
     assert prune_completed(Shelf().resolve_latest())
+
+
+def test_db_repl_scripted(workspace, spark, monkeypatch, capsys):
+    """The `shelf db` REPL (no query arg) driven by scripted stdin: runs
+    SQL lines against registered views, reports errors without dying, and
+    exits on blank input (⇄ reference's interactive duckdb shell, N28)."""
+    from shelf_spark.framework.cli import main as cli
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+
+    Shelf.init()
+    shelf = Shelf()
+    shelf.new_table("ns/lit/2024-01-01", [])
+    shelf.save()
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "lit.sql"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text("SELECT 41 AS a UNION ALL SELECT 1")
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+
+    lines = iter(["SELECT sum(a) AS total FROM lit", "not even sql", ""])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    assert cli(["db"]) == 0
+    out, err = capsys.readouterr()
+    assert "42" in out       # query result shown
+    assert "error:" in err   # bad SQL reported, loop continued
