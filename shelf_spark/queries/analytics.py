@@ -408,3 +408,65 @@ def er_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap filling (calendar resampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    calendar AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY day, event_type
+    )
+    SELECT c.day, t.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           (a.n IS NULL) AS is_gap
+    FROM calendar c CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = c.day AND a.event_type = t.event_type
+    ORDER BY c.day, t.event_type
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling (resample-to-daily): build the full day ×
+    event-type grid over the observed span and left-join actual counts,
+    zero-filling missing cells — the dense series every downstream
+    charting/forecasting step expects.
+
+    Scale shape: the grid is |days| × |types| (tiny — it grows with time,
+    not with data) built from one min/max scalar agg; the only fact-sized
+    work is the daily count agg. Grid and counts join broadcast-side.
+    """
+    e = spark.table("events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    calendar = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    actual = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        calendar.crossJoin(types)
+        .join(F.broadcast(actual), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("day", "event_type")
+    )
