@@ -103,6 +103,10 @@ TABLE_SCHEMA: dict[str, Any] = {
                 "spark_version": {"type": "string"},
             },
         },
+        "partition_state": {
+            "type": "object",
+            "additionalProperties": {"type": "string"},
+        },
         **_PROVENANCE_FIELDS,
     },
     "additionalProperties": False,
@@ -137,6 +141,12 @@ TABLE_CONFIG_SCHEMA: dict[str, Any] = {
                 "sort": {"type": "array", "items": {"type": "string"}},
             },
             "required": ["keys", "num_buckets"],
+            "additionalProperties": False,
+        },
+        "incremental": {
+            "type": "object",
+            "properties": {"partition_by": {"type": "string"}},
+            "required": ["partition_by"],
             "additionalProperties": False,
         },
     },

@@ -193,6 +193,7 @@ class TableMetadata:
         df: DataFrame,
         checksum: str,
         runtime: dict[str, Any],
+        partition_state: dict[str, str] | None = None,
     ) -> None:
         doc: dict[str, Any] = {
             "uri": str(uri),
@@ -202,6 +203,8 @@ class TableMetadata:
             "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
             "execution": runtime,
         }
+        if partition_state is not None:
+            doc["partition_state"] = dict(sorted(partition_state.items()))
         for k in INHERITED_FIELDS:
             if k in self.provenance:
                 doc[k] = self.provenance[k]

@@ -181,9 +181,10 @@ def build_table(spark: SparkSession, uri: StepURI, deps: list[StepURI]) -> None:
     started = dt.datetime.now(dt.timezone.utc)
     t0 = time.monotonic()
     if script.suffix == ".sql":
-        _exec_sql_step(spark, uri, script, deps, out)
+        partition_state = _exec_sql_step(spark, uri, script, deps, out)
     else:
         _exec_python_step(script, deps, out)
+        partition_state = None
     if not out.exists():
         raise StepDefinitionError(f"step produced no output at {out}")
 
@@ -205,7 +206,9 @@ def build_table(spark: SparkSession, uri: StepURI, deps: list[StepURI]) -> None:
         raise StepDefinitionError(
             f"validation failed for {uri}:\n" + "\n".join(result.errors)
         )
-    meta.write_sidecar(uri, deps, df, logical_checksum(df), runtime)
+    meta.write_sidecar(
+        uri, deps, df, logical_checksum(df), runtime, partition_state=partition_state
+    )
 
 
 def catalog_table_name(uri: StepURI) -> str:
@@ -225,9 +228,28 @@ def _dep_view_df(spark: SparkSession, dep: StepURI) -> DataFrame:
     return _read_any(spark, dependency_data_path(dep))
 
 
+def _partition_fingerprints(df: DataFrame, part_col: str) -> dict[str, str]:
+    """Order-insensitive content fingerprint per partition value: the same
+    row-hash-sum construction as :func:`logical_checksum`, grouped by the
+    partition column — one distributed aggregate over the dep, no driver
+    materialization beyond |partitions| rows."""
+    cols = df.columns
+    row_hash = F.conv(
+        F.substring(F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256), 1, 15),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    rows = (
+        df.groupBy(F.col(part_col).cast("string").alias("_p"))
+        .agg(F.sum(row_hash).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    return {r["_p"]: f"{r['s']}|{r['n']}" for r in rows}
+
+
 def _exec_sql_step(
     spark: SparkSession, uri: StepURI, script: Path, deps: list[StepURI], out: Path
-) -> None:
+) -> dict[str, str] | None:
     # Temp views are session-global, and the DAG executor builds steps
     # concurrently on one session: a view named only after the dep's
     # simplified name (dep_data) would be overwritten by a concurrent build
@@ -238,19 +260,69 @@ def _exec_sql_step(
     # so they can't leak into later ad-hoc queries.
     import uuid
 
+    cfg = load_config(uri)
+    bucketing = cfg.get("bucketing")
+    incremental = cfg.get("incremental")
+    if bucketing and incremental:
+        raise StepDefinitionError(
+            f"{uri}: bucketing and incremental are mutually exclusive"
+        )
+
     names = simplify_dependency_names(deps)
     build_id = uuid.uuid4().hex[:12]
     template_vars: dict[str, str] = {}
     views: list[str] = []
+    partition_state: dict[str, str] | None = None
     try:
-        for name, dep in names.items():
+        dep_dfs = {name: _dep_view_df(spark, dep) for name, dep in names.items()}
+
+        changed: list[str] | None = None  # None → full build
+        if incremental:
+            # Partition-wise incremental rebuild (the dbt-style contract:
+            # when deps are filtered to a set of partitions, the SELECT must
+            # produce exactly those partitions' output rows). The engine
+            # fingerprints every dep partition, diffs against the sidecar's
+            # recorded state, narrows the dep views to changed partitions,
+            # and dynamic-partition-overwrites only those directories. A
+            # 100 TB table with one new day rebuilds one day.
+            part_col = incremental["partition_by"]
+            partition_state = {}
+            for ddf in dep_dfs.values():
+                if part_col in ddf.columns:
+                    for k, v in _partition_fingerprints(ddf, part_col).items():
+                        partition_state[k] = (
+                            partition_state[k] + "+" + v
+                            if k in partition_state
+                            else v
+                        )
+            prior: dict[str, str] = {}
+            meta_path = paths.table_metadata_path(uri.path)
+            if out.exists() and meta_path.exists():
+                prior = (load_yaml(meta_path) or {}).get("partition_state", {})
+            if prior:
+                changed = sorted(
+                    k for k, v in partition_state.items() if prior.get(k) != v
+                )
+                removed = sorted(k for k in prior if k not in partition_state)
+                import shutil
+
+                for k in removed:  # partitions gone from every dep
+                    shutil.rmtree(out / f"{part_col}={k}", ignore_errors=True)
+                if not changed:
+                    return partition_state  # nothing to rebuild
+                for name, ddf in dep_dfs.items():
+                    if part_col in ddf.columns:
+                        dep_dfs[name] = ddf.filter(
+                            F.col(part_col).cast("string").isin(changed)
+                        )
+
+        for name in names:
             view = f"dep_{name}_{build_id}"
-            _dep_view_df(spark, dep).createOrReplaceTempView(view)
+            dep_dfs[name].createOrReplaceTempView(view)
             views.append(view)
             template_vars[name] = view
         sql = script.read_text().format(**template_vars)
         df = spark.sql(sql)
-        bucketing = load_config(uri).get("bucketing")
         if bucketing:
             # Bucketed output: hash-partitioned files + catalog metadata, so
             # downstream joins/aggs on the bucket keys plan with zero
@@ -265,8 +337,23 @@ def _exec_sql_step(
             cname = catalog_table_name(uri)
             spark.sql(f"DROP TABLE IF EXISTS {cname}")
             writer.format("parquet").option("path", str(out)).saveAsTable(cname)
+        elif incremental:
+            part_col = incremental["partition_by"]
+            if part_col not in df.columns:
+                raise StepDefinitionError(
+                    f"{uri}: incremental step output lacks partition column {part_col}"
+                )
+            # per-write option — no session-wide conf mutation, so concurrent
+            # non-incremental builds are unaffected
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(part_col)
+                .parquet(str(out))
+            )
         else:
             df.write.mode("overwrite").parquet(str(out))
+        return partition_state
     finally:
         for view in views:
             spark.catalog.dropTempView(view)

@@ -458,3 +458,66 @@ def test_db_repl_scripted(workspace, spark, monkeypatch, capsys):
     out, err = capsys.readouterr()
     assert "42" in out       # query result shown
     assert "error:" in err   # bad SQL reported, loop continued
+
+
+def test_incremental_partition_rebuild(workspace, spark):
+    """Partition-wise incremental build: after a dep gains one new day and
+    changes another, ONLY those two output partitions are rewritten —
+    untouched partitions keep their exact files (the 100 TB requirement:
+    a table with one new day rebuilds one day, not the table)."""
+    from shelf_spark.framework.snapshots import Snapshot
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+    from shelf_spark.framework.utils import load_yaml
+
+    Shelf.init()
+    raw = workspace / "days.csv"
+    raw.write_text("day,v\n1,10\n1,20\n2,5\n")
+    Snapshot.create(raw, "ns/days/2024-01-01")
+    shelf = Shelf()
+    shelf.add_step(StepURI.parse("snapshot://ns/days/2024-01-01"))
+    shelf.new_table("ns/daily/2024-01-02", ["snapshot://ns/days/latest"])
+    shelf.save()
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "daily.sql"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text("SELECT day, CAST(sum(v) AS BIGINT) AS total FROM {days} GROUP BY day")
+    script.with_suffix(".meta.yaml").write_text(
+        "version: 1\nincremental:\n  partition_by: day\n"
+    )
+
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+    out = paths.table_data_path("ns/daily/2024-01-02")
+    rows = {(r.day, r.total) for r in spark.read.parquet(str(out.resolve())).collect()}
+    assert rows == {(1, 30), (2, 5)}
+    sidecar = load_yaml(paths.table_metadata_path("ns/daily/2024-01-02"))
+    assert set(sidecar["partition_state"]) == {"1", "2"}
+
+    def part_files(day):
+        d = out / f"day={day}"
+        return {f.name: f.stat().st_mtime_ns for f in d.iterdir() if f.suffix == ".parquet"}
+
+    day1_before = part_files(1)
+
+    # new snapshot version: day 1 unchanged, day 2 modified, day 3 new
+    raw2 = workspace / "days2.csv"
+    raw2.write_text("day,v\n1,10\n1,20\n2,7\n3,100\n")
+    import time as _t
+    _t.sleep(0.05)  # ensure mtime resolution can't mask a rewrite
+    Snapshot.create(raw2, "ns/days/2024-02-01")
+    shelf = Shelf()
+    shelf.add_step(StepURI.parse("snapshot://ns/days/2024-02-01"))
+    shelf.save()
+
+    dag = prune_completed(Shelf().resolve_latest())
+    assert StepURI.parse("table://ns/daily/2024-01-02") in dag
+    execute_dag(spark, dag)
+
+    rows = {(r.day, r.total) for r in spark.read.parquet(str(out.resolve())).collect()}
+    assert rows == {(1, 30), (2, 7), (3, 100)}
+    # day 1 files are byte-identical and untouched on disk
+    assert part_files(1) == day1_before
+    sidecar = load_yaml(paths.table_metadata_path("ns/daily/2024-01-02"))
+    assert set(sidecar["partition_state"]) == {"1", "2", "3"}
+
+    # everything fresh again
+    assert prune_completed(Shelf().resolve_latest()) == {}
