@@ -20,3 +20,4 @@ from . import udfs  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402  (appended last: keeps prior registry order stable)
 from . import analytics  # noqa: F401,E402
 from . import relational_ext  # noqa: F401,E402
+from . import stats  # noqa: F401,E402

@@ -1,0 +1,387 @@
+"""Statistical & SQL-surface aggregates the round-1 inventory didn't cover.
+
+Correlation / regression components, deterministic mode, bitwise
+aggregates, ordered string_agg, lateral top-n join, one-pass column
+profiling, and two time-series passes (z-score anomaly flags, windowed
+EWMA) — all oracle-checked vs DuckDB.
+
+Reference parity: shelf delegates this whole surface to DuckDB SQL steps
+(reference src/shelf/tables.py:155-181 runs arbitrary SQL); these are the
+aggregate families a shelf user would reach for that round 1's fn_*/agg_*
+tiers didn't yet pin down.
+
+Cross-engine determinism strategy (see num.py): every moment (Σx, Σy,
+Σxy, Σx², Σy²) is accumulated in DECIMAL — exact, order-independent —
+and only the final closed-form expression runs in IEEE doubles, with the
+identical op shape on both engines. corr/covar/slope then agree bitwise
+before the defensive rounding.
+
+Scale notes (100 TB):
+- corr/regr/profile are single partial+final hash aggregations — map-side
+  combine, one shuffle of O(groups) rows.
+- mode is groupBy-count + per-group argmax (window over the *aggregated*
+  counts table, not the base table).
+- z-score joins a users-sized stats table back to the fact — AQE
+  broadcasts it when small; at 100 TB it hash-joins on the same key the
+  agg just shuffled on.
+- EWMA's frame fold touches ≤8 rows per output row inside one
+  sort-within-partition pass — no extra shuffle beyond the window's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .num import _round_ieee, _sql_round_ieee
+from .registry import query
+
+#: Exact decimal carriers for the moment sums: quantities are integral,
+#: prices are 2-decimal, so products are ≤4-decimal — DECIMAL(38,4) holds
+#: q*p and p*p exactly with room for the SF-scaled magnitudes.
+_DEC2 = "decimal(18,2)"
+
+
+def _moments(df: DataFrame, x, y) -> DataFrame:
+    """One-pass exact moment sums for (x, y): n, Σx, Σy, Σxy, Σx², Σy².
+
+    x integral, y 2-decimal: all five sums are exact in decimal, hence
+    order-independent across partitions — the distributed-safe way to
+    feed corr/covar/regression closed forms.
+    """
+    xd = x.cast(_DEC2)
+    yd = y.cast(_DEC2)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {corr} AS corr_qty_price,
+           {covar} AS covar_pop,
+           {slope} AS regr_slope,
+           {icept} AS regr_intercept
+    FROM m
+    """.format(
+        corr=_sql_round_ieee(
+            "((n * sxy) - (sx * sy))"
+            " / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)))",
+            6,
+        ),
+        covar=_sql_round_ieee("((n * sxy) - (sx * sy)) / (n * n)", 4),
+        slope=_sql_round_ieee("((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))", 6),
+        icept=_sql_round_ieee(
+            "(sy / n) - ((((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * (sx / n))",
+            4,
+        ),
+    ),
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS regression of price on quantity, from
+    exact decimal moment sums (NOT the engines' native corr()/regr_*,
+    whose float accumulation order is engine- and partition-dependent).
+    Single aggregation pass; closed forms in fixed-shape IEEE ops.
+    """
+    li = spark.table("lineitem")
+    m = _moments(li, F.col("l_quantity"), F.col("l_extendedprice"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n2 = (n * sxy) - (sx * sy)  # n² · covar_pop
+    slope = cov_n2 / ((n * sxx) - (sx * sx))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        _round_ieee(
+            cov_n2 / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))), 6
+        ).alias("corr_qty_price"),
+        _round_ieee(cov_n2 / (n * n), 4).alias("covar_pop"),
+        _round_ieee(slope, 6).alias("regr_slope"),
+        _round_ieee((sy / n) - (slope * (sx / n)), 4).alias("regr_intercept"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    ), ranked AS (
+      SELECT c_mktsegment, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment, o_orderpriority AS modal_priority, cnt AS n_orders
+    FROM ranked WHERE rn = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a DETERMINISTIC tie-break
+    (min value) — native mode() leaves ties unspecified in both engines.
+    Shape: groupBy-count (one shuffle over the fact), then argmax via a
+    window over the tiny aggregated counts table only.
+    """
+    counts = (
+        spark.table("orders")
+        .join(spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("cnt"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(bit_and(c_custkey) AS BIGINT) AS key_and,
+           CAST(bit_or(c_custkey)  AS BIGINT) AS key_or,
+           CAST(bit_xor(c_custkey) AS BIGINT) AS key_xor
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — integer-exact, hence trivially
+    order-independent; one partial+final hash agg."""
+    return (
+        spark.table("customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.bit_and("c_custkey").alias("key_and"),
+            F.bit_or("c_custkey").alias("key_or"),
+            F.bit_xor("c_custkey").alias("key_xor"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg). collect_list's arrival order
+    is partition-dependent, so sort INSIDE the array before joining —
+    the distributed-safe equivalent of ORDER BY inside string_agg."""
+    sup = spark.table("supplier")
+    nat = spark.table("nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) top_c
+    ORDER BY n_name, acctbal DESC, c_name
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 customers per nation), expressed
+    with Spark SQL's LATERAL syntax. Catalyst decorrelates it to a
+    ranked-window + join — the same plan you'd hand-write — so the
+    per-key LIMIT never executes as a nested loop.
+    """
+    return spark.sql(
+        """
+        SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) top_c
+        ORDER BY n_name, acctbal DESC, c_name
+        """
+    )
+
+
+@query(
+    "dq_profile",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
+           CAST(count(c_name) AS BIGINT)               AS n_name_nonnull,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           round(min(c_acctbal), 2)                    AS min_bal,
+           round(max(c_acctbal), 2)                    AS max_bal,
+           {avg_bal} AS avg_bal
+    FROM customer
+    """.format(
+        avg_bal=_sql_round_ieee(
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / count(c_acctbal)",
+            4,
+        )
+    ),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of a table: row/null/distinct counts
+    plus min/max/avg of the numeric column — the pre-ingest audit a
+    pipeline runs before accepting a new snapshot (reference validates
+    via jsonschema, src/shelf/table_metadata.py; this is the data-side
+    twin). Single aggregation, one row out."""
+    c = spark.table("customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_name").alias("n_name_nonnull"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        _round_ieee(
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double")
+            / F.count("c_acctbal"),
+            4,
+        ).alias("avg_bal"),
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events
+      GROUP BY user_id
+      HAVING count(*) >= 10
+    )
+    SELECT event_id, e.user_id, round(value, 2) AS value, {z} AS zscore
+    FROM events e JOIN stats USING (user_id)
+    WHERE abs({zraw}) > 2.5
+    ORDER BY event_id
+    """.format(
+        z=_sql_round_ieee(
+            "(value - (s1 / n)) / sqrt((s2 / n) - ((s1 / n) * (s1 / n)))", 4
+        ),
+        zraw="(value - (s1 / n)) / sqrt((s2 / n) - ((s1 / n) * (s1 / n)))",
+    ),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags: exact decimal moment sums per user
+    (one shuffle), joined back to the fact on the SAME key — Catalyst
+    reuses the hash partitioning, and AQE broadcasts the users-sized
+    stats table when it's small. μ and σ come from exact sums, so the
+    z expression is identical IEEE arithmetic on both engines."""
+    e = spark.table("events")
+    stats = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("s1"),
+            F.sum(F.col("value").cast(_DEC2) * F.col("value").cast(_DEC2))
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt((F.col("s2") / F.col("n")) - (mean * mean))
+    return (
+        e.join(stats, "user_id")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            _round_ieee(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    SELECT event_id, user_id,
+           {ewma} AS ewma_value
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame
+      FROM events
+    )
+    ORDER BY event_id
+    """.format(
+        ewma=_sql_round_ieee(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), frame),"
+            " (acc, x) -> (acc * 0.5) + x)",
+            6,
+        )
+    ),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed EWMA (half-life decay 0.5) over each user's last 8 events:
+    collect the ordered frame, left-fold acc*0.5 + x. The 0.5 multiply is
+    a pure exponent shift (exact), the fold order is pinned by the window
+    ORDER BY on both engines, so results agree bitwise before rounding.
+    Frame-bounded (≤8 rows) — cost is O(1) per row inside the window's
+    single sort-within-partition pass; no driver state, no extra shuffle.
+    """
+    e = spark.table("events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    frame = F.collect_list("value").over(w)
+    fold = F.aggregate(frame, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x)
+    return e.select(
+        "event_id", "user_id", _round_ieee(fold, 6).alias("ewma_value")
+    ).orderBy("event_id")
