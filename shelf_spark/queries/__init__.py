@@ -21,3 +21,4 @@ from . import pipeline  # noqa: F401,E402  (appended last: keeps prior registry 
 from . import analytics  # noqa: F401,E402
 from . import relational_ext  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
+from . import retrieval  # noqa: F401,E402

@@ -1,0 +1,237 @@
+"""Retrieval / indexing operators over `documents`: TF-IDF, BM25, and
+sliding-window chunking — the text-to-training-example passes between raw
+corpus and model input (BASELINE north-star §2.4 companions to text.py).
+
+Reference parity: shelf has no text layer (it delegates all compute to
+DuckDB/Polars steps, reference src/shelf/tables.py:142-181); these are
+the operators a shelf user curating an LLM corpus would write as steps.
+
+Cross-engine determinism: tf/df/N are integers; idf = ln of a single
+division of exact ints (identical IEEE ops); per-term scores are rounded
+onto a decimal grid BEFORE any cross-term summation, and the cross-term
+sum then runs in DECIMAL — exact, order-independent.
+
+Scale notes (100 TB):
+- The token explode is a narrow map stage that pipelines with the scan —
+  no shuffle until the (doc_id, word) count.
+- The df (document-frequency) table is vocabulary-sized — orders of
+  magnitude smaller than the corpus — so the score join broadcasts it;
+  the corpus-side tf table never reshuffles for the join.
+- N and avgdl are single scalars: computed once, crossJoin-broadcast.
+- Chunking is pure per-row array arithmetic (sequence → slice →
+  posexplode): map-only, zero shuffles, output partitioning inherited.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .num import _round_ieee, _sql_round_ieee
+from .registry import query
+
+#: Fixed-point carrier for summing per-term scores exactly.
+_DEC6 = "decimal(18,6)"
+
+#: BM25 hyperparameters (standard Robertson defaults).
+_K1, _B = 1.2, 0.75
+
+#: Fixed query terms for the BM25 ranking demo (mid-frequency vocabulary
+#: of the synthetic corpus — see text.py's corpus note).
+_QUERY_TERMS = ("window", "broadcast", "slow")
+
+
+def _tokens(spark: SparkSession) -> DataFrame:
+    """(doc_id, word) pairs — narrow explode, pipelines with the scan."""
+    d = spark.table("documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, word,
+             {score} AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, word
+    """.format(
+        score=_sql_round_ieee(
+            "CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))", 6
+        )
+    ),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. tf shuffles on (doc_id, word)
+    with map-side combine; df is vocabulary-sized and broadcast into the
+    score join (the corpus side keeps its partitioning); N is a 1-row
+    crossJoin broadcast. Ranking runs per-doc on the already-small
+    tf rows. idf = ln(N/df) on exact ints → identical doubles."""
+    tok = _tokens(spark)
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = spark.table("documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            _round_ieee(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "word")
+    )
+
+
+def _bm25_term_score() -> Column:
+    """BM25 per-(doc, term) partial: idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+
+    All inputs are exact (ints or int-ratio doubles), the expression shape
+    is fixed → identical IEEE result on both engines; rounded to a
+    6-decimal grid so the cross-term DECIMAL sum is exact.
+    """
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    return _round_ieee(
+        idf * (tf * (_K1 + 1.0)) / (tf + _K1 * (1.0 - _B + _B * (dl / avgdl))), 6
+    )
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+    ), corpus AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM tok
+      WHERE word IN {_QUERY_TERMS!r}
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM tok
+      WHERE word IN {_QUERY_TERMS!r}
+      GROUP BY word
+    ), term_scores AS (
+      SELECT doc_id,
+             {{score}} AS s
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM term_scores
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """.format(
+        score=_sql_round_ieee(
+            "(ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)"
+            " / (CAST(df AS DOUBLE) + 0.5) + 1.0))"
+            f" * (CAST(tf AS DOUBLE) * {_K1 + 1.0})"
+            f" / (CAST(tf AS DOUBLE) + {_K1} * ((1.0 - {_B})"
+            f" + {_B} * (CAST(dl AS DOUBLE)"
+            " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))",
+            6,
+        )
+    ),
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed 3-term query. The term filter
+    lands BEFORE the tf aggregation (the corpus-side work is proportional
+    to query-term postings, not corpus size); df and the corpus scalars
+    broadcast; per-term partials round onto a 6-decimal grid, then the
+    per-doc sum runs exactly in DECIMAL — order-independent."""
+    d = spark.table("documents")
+    tok = _tokens(spark).filter(F.col("word").isin(*_QUERY_TERMS))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scores = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", _bm25_term_score().alias("s"))
+    )
+    return (
+        scores.groupBy("doc_id")
+        .agg(F.sum(F.col("s").cast(_DEC6)).cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "text_chunk_sliding",
+    oracle="""
+    SELECT doc_id, k AS chunk_start,
+           array_to_string(list_slice(words, k + 1, k + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(words, k + 1, k + 32)) AS BIGINT)  AS n_chunk_tokens
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) > 0
+    ), LATERAL (SELECT unnest(generate_series(0, n - 1, 24)) AS k) starts
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, stride 24) —
+    the split-long-documents-into-context-sized-examples pass of an LLM
+    data pipeline. Pure per-row array arithmetic (sequence → slice →
+    explode), map-only: zero shuffles, pipelines with the parquet scan,
+    and chunk count scales with token count, not document count."""
+    d = spark.table("documents")
+    words = F.split("text", " ")
+    base = d.select(
+        "doc_id", words.alias("words"), F.size(words).alias("n")
+    ).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))
+    return (
+        base.select("doc_id", "words", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.array_join(
+                F.slice(F.col("words"), F.col("chunk_start") + 1, 32), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("words"), F.col("chunk_start") + 1, 32))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
