@@ -1,0 +1,208 @@
+"""Graph operators over the order→part co-occurrence structure:
+market-basket pair mining (support + lift) and PageRank on the resulting
+item graph — the association/centrality passes a recommendation or
+curriculum pipeline derives from transaction logs.
+
+Reference parity: shelf delegates all compute to SQL steps (reference
+src/shelf/tables.py:155-181); these are the step queries its user would
+write, here with full DuckDB oracles (PageRank's 3 iterations UNROLLED as
+chained CTEs — same trick as sampling.py's recursive-CTE cluster oracle).
+
+Cross-engine determinism: supports/degrees are integers; lift is one
+fixed-shape division of exact ints; PageRank quantizes every per-edge
+contribution onto an 8-decimal grid (pure-IEEE round), sums those
+exactly in DECIMAL, and re-quantizes each iteration's rank — so ranks
+agree bitwise across engines at every iteration.
+
+Scale notes (100 TB):
+- The basket self-join explodes ≤B² rows per order (B = basket size,
+  bounded small) — linear in orders overall, shuffled on the natural
+  l_orderkey key.
+- The item graph is parts-sized (≪ facts); PageRank's per-iteration
+  join+agg shuffles edges on src/dst only. 3 fixed iterations keep plan
+  depth bounded; an open-ended variant would localCheckpoint per round
+  like dedup_near_dup_clusters (sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .num import _round_ieee, _sql_round_ieee
+from .registry import query
+
+#: PageRank constants.
+_DAMP = 0.85
+_ITERS = 3
+#: Exact carrier for per-edge contributions (8-decimal grid).
+_DEC8 = "decimal(20,8)"
+
+
+def _baskets(spark: SparkSession) -> DataFrame:
+    """Distinct (order, part) pairs — a part can recur across linenumbers."""
+    return spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+
+
+_SQL_BASKETS = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+_SQL_PAIRS = """
+      SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@query(
+    "mba_item_pairs",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    pair_cnt AS (
+      SELECT p1, p2, count(*) AS support FROM pairs GROUP BY p1, p2
+    ),
+    item_cnt AS (
+      SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY l_partkey
+    ),
+    total AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+    )
+    SELECT p1, p2, support,
+           {{lift}} AS lift
+    FROM pair_cnt
+    JOIN item_cnt i1 ON p1 = i1.l_partkey
+    JOIN item_cnt i2 ON p2 = i2.l_partkey
+    CROSS JOIN total
+    ORDER BY support DESC, p1, p2
+    LIMIT 20
+    """.format(
+        lift=_sql_round_ieee(
+            "(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE))"
+            " / (CAST(i1.cnt AS DOUBLE) * CAST(i2.cnt AS DOUBLE))",
+            6,
+        )
+    ),
+)
+def mba_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs: top-20 co-occurring part pairs by
+    support, with lift = P(p1,p2)/(P(p1)·P(p2)). The self-join shuffles
+    baskets once on l_orderkey; per-item counts are parts-sized and
+    broadcast into the lift join; the total-orders scalar crossJoins."""
+    b = _baskets(spark)
+    a2, b2 = b.alias("a"), b.alias("b")
+    pairs = a2.join(
+        b2,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    pair_cnt = pairs.groupBy("p1", "p2").agg(F.count("*").alias("support"))
+    item_cnt = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    total = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    lift = _round_ieee(
+        (F.col("support").cast("double") * F.col("n_orders").cast("double"))
+        / (F.col("i1.cnt").cast("double") * F.col("i2.cnt").cast("double")),
+        6,
+    )
+    return (
+        pair_cnt.join(
+            F.broadcast(item_cnt.alias("i1")), F.col("p1") == F.col("i1.l_partkey")
+        )
+        .join(F.broadcast(item_cnt.alias("i2")), F.col("p2") == F.col("i2.l_partkey"))
+        .crossJoin(F.broadcast(total))
+        .select("p1", "p2", "support", lift.alias("lift"))
+        .orderBy(F.desc("support"), "p1", "p2")
+        .limit(20)
+    )
+
+
+def _sql_pr_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE body."""
+    contrib = _sql_round_ieee(f"{prev}.r / CAST(deg.outdeg AS DOUBLE)", 8)
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             {_sql_round_ieee(
+                 "(0.15 / CAST(nn.n AS DOUBLE)) + (0.85 * CAST(sum_c AS DOUBLE))", 8
+             )} AS r
+      FROM (
+        SELECT e.dst, sum(CAST({contrib} AS DECIMAL(20,8))) AS sum_c
+        FROM edges e
+        JOIN {prev} ON e.src = {prev}.node
+        JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+      ) AS e CROSS JOIN nn
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    edges AS (
+      SELECT DISTINCT p1 AS src, p2 AS dst FROM pairs
+      UNION
+      SELECT DISTINCT p2 AS src, p1 AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+      SELECT src AS node, {_sql_round_ieee("1.0 / CAST(nn.n AS DOUBLE)", 8)} AS r
+      FROM deg CROSS JOIN nn
+    ),
+    {_sql_pr_iter("r0", "r1")},
+    {_sql_pr_iter("r1", "r2")},
+    {_sql_pr_iter("r2", "r3")}
+    SELECT node, r AS pagerank FROM r3
+    ORDER BY pagerank DESC, node
+    LIMIT 20
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) on the undirected part
+    co-occurrence graph, checked value-exact against an unrolled-CTE
+    DuckDB oracle. Every per-edge contribution is quantized onto an
+    8-decimal grid (pure-IEEE round → identical doubles), summed exactly
+    in DECIMAL, and the new rank re-quantized — iteration-stable bitwise
+    agreement. The undirected graph guarantees every node receives mass,
+    so the inner join loses no nodes."""
+    b = _baskets(spark)
+    a2, b2 = b.alias("a"), b.alias("b")
+    pairs = a2.join(
+        b2,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    fwd = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).distinct()
+    rev = pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")).distinct()
+    edges = fwd.union(rev).distinct().persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nn = deg.agg(F.count("*").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        _round_ieee(F.lit(1.0) / F.col("n").cast("double"), 8).alias("r"),
+    )
+    for _ in range(_ITERS):
+        contrib = _round_ieee(F.col("r") / F.col("outdeg").cast("double"), 8)
+        sums = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(contrib.cast(_DEC8)).alias("sum_c"))
+        )
+        ranks = sums.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            _round_ieee(
+                (F.lit(0.15) / F.col("n").cast("double"))
+                + (F.lit(_DAMP) * F.col("sum_c").cast("double")),
+                8,
+            ).alias("r"),
+        )
+    return (
+        ranks.select("node", F.col("r").alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+        .limit(20)
+    )
