@@ -23,3 +23,4 @@ from . import relational_ext  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
+from . import tpch_gap  # noqa: F401,E402
