@@ -24,3 +24,4 @@ from . import stats  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import tpch_gap  # noqa: F401,E402
+from . import quantize  # noqa: F401,E402
