@@ -85,8 +85,8 @@ _SQL_PAIRS = """
 def mba_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association pairs: top-20 co-occurring part pairs by
     support, with lift = P(p1,p2)/(P(p1)·P(p2)). The self-join shuffles
-    baskets once on l_orderkey; per-item counts are parts-sized and
-    broadcast into the lift join; the total-orders scalar crossJoins."""
+    baskets once on l_orderkey; per-item counts are parts-sized (AQE
+    broadcasts them while small); the total-orders scalar crossJoins."""
     b = _baskets(spark)
     a2, b2 = b.alias("a"), b.alias("b")
     pairs = a2.join(
@@ -104,11 +104,11 @@ def mba_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("i1.cnt").cast("double") * F.col("i2.cnt").cast("double")),
         6,
     )
+    # item_cnt is parts-sized — grows with SF, so no broadcast HINT
+    # (AQE's size-based decision broadcasts it while it fits).
     return (
-        pair_cnt.join(
-            F.broadcast(item_cnt.alias("i1")), F.col("p1") == F.col("i1.l_partkey")
-        )
-        .join(F.broadcast(item_cnt.alias("i2")), F.col("p2") == F.col("i2.l_partkey"))
+        pair_cnt.join(item_cnt.alias("i1"), F.col("p1") == F.col("i1.l_partkey"))
+        .join(item_cnt.alias("i2"), F.col("p2") == F.col("i2.l_partkey"))
         .crossJoin(F.broadcast(total))
         .select("p1", "p2", "support", lift.alias("lift"))
         .orderBy(F.desc("support"), "p1", "p2")
@@ -178,7 +178,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fwd = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).distinct()
     rev = pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")).distinct()
-    edges = fwd.union(rev).distinct().persist()
+    # localCheckpoint (not just persist): edges feed 3 iterations + deg,
+    # and checkpointing collapses the basket-self-join subplan to a
+    # materialized scan — the per-iteration plan tower stays a handful
+    # of nodes instead of re-deriving the join each round.
+    edges = fwd.union(rev).distinct().localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nn = deg.agg(F.count("*").alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(

@@ -79,16 +79,18 @@ def _tokens(spark: SparkSession) -> DataFrame:
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. tf shuffles on (doc_id, word)
-    with map-side combine; df is vocabulary-sized and broadcast into the
-    score join (the corpus side keeps its partitioning); N is a 1-row
-    crossJoin broadcast. Ranking runs per-doc on the already-small
-    tf rows. idf = ln(N/df) on exact ints → identical doubles."""
+    with map-side combine; df is vocabulary-sized (AQE broadcasts it
+    while it fits — no unconditional hint, the typo tail is unbounded);
+    N is a 1-row crossJoin broadcast. Ranking runs per-doc on the
+    already-small tf rows. idf = ln(N/df) on exact ints → identical."""
     tok = _tokens(spark)
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = spark.table("documents").agg(F.count("*").alias("n_docs"))
+    # df is vocabulary-sized — sublinear in corpus size but unbounded
+    # (typo tail), so no broadcast HINT; AQE size-decides.
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

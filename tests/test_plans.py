@@ -129,3 +129,79 @@ def test_sessionize_single_user_shuffle(spark):
     # gaps-and-islands over one hash partition by user_id: window funcs and
     # final agg reuse that partitioning — exactly one shuffle.
     assert exchange_count(df) == 1
+
+
+def test_tfidf_corpus_scan_pruned_and_rank_after_agg(spark):
+    """TF-IDF reads only (doc_id, text) from the corpus; the ranking
+    window runs over the aggregated tf relation, not the token stream."""
+    df = QUERIES["text_tfidf_topk"](spark, SF_DIR)
+    for s in scans_of(df):
+        assert "lang" not in s.read_schema and "source" not in s.read_schema
+    # N is a 1-row broadcast cross join
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_bm25_term_filter_before_aggregation(spark):
+    """The 3-term query filter lands under the tf aggregation, so the
+    shuffled token volume is proportional to query-term postings, not
+    the corpus. (It sits post-explode, so it cannot reach the parquet
+    scan — the plan check is that no unfiltered token agg exists.)"""
+    df = QUERIES["text_bm25_rank"](spark, SF_DIR)
+    plan = physical_plan(df)
+    # every Generate (explode) feeding an aggregate is topped by the
+    # term filter; structurally: the IN-list filter appears in the plan
+    assert plan.count("word#") > 0
+    assert "Filter" in plan and "broadcast" in plan.lower()
+
+
+def test_chunking_is_map_only(spark):
+    """Sliding-window chunking must not shuffle the corpus: sequence →
+    slice → explode pipelines with the scan; the only exchange is the
+    final presentation sort."""
+    df = QUERIES["text_chunk_sliding"](spark, SF_DIR)
+    assert exchange_count(df) <= 1  # rangepartitioning for ORDER BY only
+
+
+def test_ewma_single_window_shuffle(spark):
+    """Frame-bounded EWMA: one hash exchange for the user window, one
+    range exchange for the final sort — the fold itself is free."""
+    df = QUERIES["ts_ewma"](spark, SF_DIR)
+    assert exchange_count(df) <= 2
+
+
+def test_zscore_join_reuses_agg_key(spark):
+    """The per-user stats join back to events is keyed on user_id — at
+    this SF the stats side broadcasts (AQE/size), at scale it hash-joins
+    on the key the agg already shuffled on; either way no second
+    full-fact shuffle beyond the agg + final sort."""
+    df = QUERIES["ts_anomaly_zscore"](spark, SF_DIR)
+    assert exchange_count(df) <= 3
+
+
+def test_pagerank_plan_depth_bounded(spark):
+    """3 unrolled iterations: plan must stay a fixed-size tower (no
+    exponential lineage); edge reuse keeps the basket self-join from
+    re-planning per iteration."""
+    df = QUERIES["graph_pagerank"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert len(plan.splitlines()) < 400
+    # the 1-row node-count joins broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quantize_corpus_side_never_shuffles(spark):
+    """Int8 quantization: the corpus-side affine map is a broadcast
+    cross join — the embeddings table itself reshuffles only for the
+    presentation sort; the per-dim stats agg shuffles d-sized rows."""
+    df = QUERIES["vectors_quantize_int8"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q2_decorrelated_to_single_cost_aggregation(spark):
+    """q2's correlated min must plan as ONE (part, supplier) aggregation
+    reused by the window min — two lineitem scans would mean the
+    correlated subquery re-executed."""
+    df = QUERIES["q2_min_cost_supplier"](spark, SF_DIR)
+    li_scans = [s for s in scans_of(df) if "l_partkey" in s.read_schema]
+    assert len(li_scans) == 1
