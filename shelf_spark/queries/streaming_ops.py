@@ -52,3 +52,71 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         S.user_running_totals(stream), "q_stream_user_totals", output_mode="update"
     )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH slid AS (
+      SELECT e.*,
+             (date_trunc('hour', ts)
+               + CAST(floor(extract(minute FROM ts) / 5) * 5 AS INTEGER) * INTERVAL 1 MINUTE)
+               - (k.k * INTERVAL 5 MINUTE) AS w_start
+      FROM events e
+      CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT w_start, count(*) AS n_events, {SQL_DSUM_VALUE} AS total_value
+    FROM slid
+    GROUP BY w_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through a real readStream plan (availableNow pass):
+    each event expands into its two overlapping 10/5-minute windows
+    map-side, then one (window) groupBy with exact-decimal sums — the
+    streaming state twin of batch ``events_sliding_window``."""
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    return S.run_available_now(
+        S.sliding_totals(stream), "q_stream_sliding", output_mode="complete"
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events,
+           {SQL_DSUM_VALUE} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (``F.session_window`` merge-state,
+    no self-join) fed the full input in one availableNow pass — value-
+    exact against the gaps-and-islands SQL oracle, with the session_window
+    convention session_end = last event + gap. State at scale is O(open
+    sessions) bounded by the watermark, not O(history)."""
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    return S.run_available_now(
+        S.session_windows(stream), "q_stream_session", output_mode="complete"
+    )

@@ -172,6 +172,17 @@ def sliding_avg(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
+def sliding_totals(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """10-minute windows sliding every 5, count + exact-decimal value sum
+    (the deterministic twin of ``sliding_avg`` for the oracle gate)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
+    )
+
+
 def session_windows(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
