@@ -45,6 +45,13 @@ HEADLINE = [
     "udf_pandas_zscore",
     "sample_bernoulli_hash",
     "interleave_weighted_sources",
+    # round-2 tier: stats / retrieval / basket / quantization
+    "agg_corr_regr",
+    "ts_ewma",
+    "text_tfidf_topk",
+    "text_chunk_sliding",
+    "mba_item_pairs",
+    "vectors_quantize_int8",
 ]
 
 

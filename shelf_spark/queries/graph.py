@@ -44,6 +44,32 @@ def _baskets(spark: SparkSession) -> DataFrame:
     return spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
 
 
+def _basket_pairs(spark: SparkSession) -> DataFrame:
+    """(l_orderkey, p1, p2) co-occurrence pairs with p1 < p2, generated
+    map-side: ONE shuffle (groupBy order → sorted part set), then the
+    ≤B²/2 combinations per basket explode from the array without a
+    second shuffle — vs the naive self-join's extra join exchange.
+    B (basket size) is bounded small, so the explosion is linear overall.
+    """
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    combos = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    return baskets.select("l_orderkey", F.explode(combos).alias("pr")).select(
+        "l_orderkey", "pr.p1", "pr.p2"
+    )
+
+
 _SQL_BASKETS = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
 _SQL_PAIRS = """
       SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
@@ -84,18 +110,12 @@ _SQL_PAIRS = """
 )
 def mba_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association pairs: top-20 co-occurring part pairs by
-    support, with lift = P(p1,p2)/(P(p1)·P(p2)). The self-join shuffles
-    baskets once on l_orderkey; per-item counts are parts-sized (AQE
-    broadcasts them while small); the total-orders scalar crossJoins."""
+    support, with lift = P(p1,p2)/(P(p1)·P(p2)). Pair generation is the
+    single-shuffle array-combination shape (see _basket_pairs); per-item
+    counts are parts-sized (AQE broadcasts them while small); the
+    total-orders scalar crossJoins."""
+    pairs = _basket_pairs(spark)
     b = _baskets(spark)
-    a2, b2 = b.alias("a"), b.alias("b")
-    pairs = a2.join(
-        b2,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-    )
     pair_cnt = pairs.groupBy("p1", "p2").agg(F.count("*").alias("support"))
     item_cnt = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     total = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
@@ -167,23 +187,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DECIMAL, and the new rank re-quantized — iteration-stable bitwise
     agreement. The undirected graph guarantees every node receives mass,
     so the inner join loses no nodes."""
-    b = _baskets(spark)
-    a2, b2 = b.alias("a"), b.alias("b")
-    pairs = a2.join(
-        b2,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    pairs = _basket_pairs(spark).select("p1", "p2")
+    # One distinct on the canonical (p1<p2) pairs; the reversed copy is
+    # disjoint by construction, so the union needs no second dedup.
+    und = pairs.distinct()
+    # localCheckpoint (not just persist): the edge list feeds the degree
+    # table, the node count, the initial ranks, AND every iteration —
+    # without materialization each consumer re-derives the whole basket
+    # pipeline, and the per-iteration plan grows into a tower. After the
+    # checkpoint everything downstream reads a materialized scan.
+    edges = (
+        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .union(und.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .localCheckpoint()
     )
-    fwd = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).distinct()
-    rev = pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")).distinct()
-    # localCheckpoint (not just persist): edges feed 3 iterations + deg,
-    # and checkpointing collapses the basket-self-join subplan to a
-    # materialized scan — the per-iteration plan tower stays a handful
-    # of nodes instead of re-deriving the join each round.
-    edges = fwd.union(rev).distinct().localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "src")
     nn = deg.agg(F.count("*").alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),
@@ -192,8 +211,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_ITERS):
         contrib = _round_ieee(F.col("r") / F.col("outdeg").cast("double"), 8)
         sums = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(contrib.cast(_DEC8)).alias("sum_c"))
         )
