@@ -1,0 +1,209 @@
+"""Incremental-rollup and per-group governance operators: partial-
+aggregate merge (the algebra behind incremental table builds), first-seen
+cumulative growth curves, JVM-side grouped regression, and deterministic
+per-group sampling caps.
+
+Reference parity: shelf rebuilds derived tables from scratch when inputs
+change (reference src/shelf/tables.py:62-99); the framework layer here
+already rebuilds per-partition (fw/tables.py incremental builds), and
+`incr_merge_partials` pins the algebraic property that makes that safe
+for aggregates: decimal partial sums merge associatively, so
+sum-of-shard-sums ≡ direct sum, bit-for-bit.
+
+Scale notes (100 TB):
+- Partial-merge is the map-side-combine story made explicit: each
+  ingest batch reduces to O(groups) rows; the merge re-aggregates
+  partials only — the historical fact data is never rescanned.
+- The growth curve's global cumulative window runs over the aggregated
+  per-day relation (bounded by calendar days), never the event stream.
+- Grouped regression is one partial+final hash agg (five decimal moment
+  sums per key) — contrast `udf_grouped_regression` (udfs.py), which
+  computes the same fit in an Arrow-batched pandas UDF; this variant
+  keeps the whole fit JVM-side for the 10-100× hot-path advantage.
+- Per-group caps rank by a content hash inside each group — one shuffle
+  on the group key, deterministic under retries/AQE like all sampling
+  in sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .num import DEC, _round_ieee, _sql_round_ieee
+from .registry import query
+
+_DEC2 = "decimal(18,2)"
+
+
+@query(
+    "incr_merge_partials",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY ship_month, l_returnflag
+    """,
+)
+def incr_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: two ingest batches (odd/even order
+    keys — any partition of the input) each reduce to per-(month, flag)
+    partials; the merge re-aggregates ONLY the partials. Checked against
+    the direct one-pass oracle — decimal sums make the two routes
+    bitwise-identical, which is the property that lets a 100 TB pipeline
+    fold a day's increment into a rollup without rescanning history."""
+    li = spark.table("lineitem")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+            "l_returnflag",
+        ).agg(
+            F.count("*").alias("p_n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("p_qty"),
+        )
+
+    batch1 = partial(li.filter(F.col("l_orderkey") % 2 == 0))
+    batch2 = partial(li.filter(F.col("l_orderkey") % 2 == 1))
+    return (
+        batch1.unionByName(batch2)
+        .groupBy("ship_month", "l_returnflag")
+        .agg(
+            F.sum("p_n").alias("n_items"),
+            F.round(F.sum("p_qty"), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy("ship_month", "l_returnflag")
+    )
+
+
+@query(
+    "events_new_users_daily",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    ORDER BY day
+    """,
+)
+def events_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: first-seen day per user (one shuffle on
+    user_id), daily new-user counts, and the cumulative total. The only
+    unpartitioned window runs over the per-day relation — bounded by
+    calendar days, never the event stream (windows.py scale rule)."""
+    e = spark.table("events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+@query(
+    "agg_grouped_regr_jvm",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2))
+                      * CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM events
+      GROUP BY user_id
+      HAVING count(*) >= 20
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           {slope} AS trend_per_day
+    FROM m
+    WHERE ((n * sxx) - (sx * sx)) > 0
+    ORDER BY user_id
+    """.format(
+        slope=_sql_round_ieee("((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))", 6)
+    ),
+)
+def agg_grouped_regr_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-vs-time trend (OLS slope per group) computed
+    entirely JVM-side from five exact decimal moment sums — the zero-
+    Python twin of `udf_grouped_regression` (udfs.py). x is integer days
+    from a fixed epoch, so all moments are exact and the closed form is
+    engine-deterministic. One partial+final hash agg; no UDF, no Arrow
+    transfer, whole-stage codegen end to end."""
+    e = spark.table("events")
+    x = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).cast(_DEC2)
+    y = F.col("value").cast(_DEC2)
+    m = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    det = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    slope = ((F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))) / det
+    return (
+        m.filter(det > 0)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            _round_ieee(slope, 6).alias("trend_per_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sample_cap_per_group",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    ORDER BY source, doc_id
+    """,
+)
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap (≤50 each): rank by content
+    hash inside each group and keep the first k — the reproducible
+    cap-the-overrepresented-source pass of dataset mixing. Like all
+    sampling here (sampling.py), the selection is a pure function of the
+    data: invariant under retries, partitioning, and AQE re-plans. One
+    shuffle on the group key; top-k per group via rank filter."""
+    d = spark.table("documents")
+    w = W.partitionBy("source").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
