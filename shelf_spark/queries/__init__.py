@@ -26,3 +26,4 @@ from . import graph  # noqa: F401,E402
 from . import tpch_gap  # noqa: F401,E402
 from . import quantize  # noqa: F401,E402
 from . import rollups  # noqa: F401,E402
+from . import ranges  # noqa: F401,E402

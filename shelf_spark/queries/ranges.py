@@ -1,0 +1,159 @@
+"""Interval-join and language-model scoring operators.
+
+`join_range_bucketed` is the canonical Spark answer to the range-join
+problem: a point-in-interval join expressed as BETWEEN alone plans as a
+nested-loop/cartesian (O(n·m) — the scale killer); bucketing the time
+axis turns it into an equi-join on the bucket key plus a cheap refine
+predicate. `text_lm_score` is the perplexity-filtering stage of an LLM
+data pipeline with the LM reduced to a corpus unigram model so the whole
+thing stays oracle-checkable.
+
+Reference parity: shelf delegates both to SQL steps (reference
+src/shelf/tables.py:155-181) — the bucketed rewrite is exactly what a
+user would need once the naive BETWEEN step stopped scaling.
+
+Scale notes (100 TB):
+- Bucketed interval join: intervals explode into their covered buckets
+  (≤⌈len/bucket⌉+1 rows each — bounded for bounded intervals); the join
+  is then hash-partitioned on the bucket key like any equi-join, and the
+  BETWEEN refine runs post-match. No cartesian anywhere (plan-pinned).
+- A point matches in exactly one bucket (its own), so no post-join
+  dedup is needed — the bucket-cover explode is on the interval side
+  only.
+- Unigram LM scoring: the vocab→logprob table is vocabulary-sized (AQE
+  broadcasts while small); per-token logs are quantized to a 6-decimal
+  grid then summed exactly in DECIMAL per doc — order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .num import _round_ieee, _sql_round_ieee
+from .registry import query
+
+#: Bucket width for the interval join: one week of seconds.
+_BUCKET_S = 7 * 86400
+
+#: Promo windows: every 97th order opens a 7-day window from its date.
+_SQL_INTERVALS = """
+      SELECT o_orderkey AS promo_id,
+             o_orderdate AS w_start,
+             o_orderdate + INTERVAL 7 DAY AS w_end
+      FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+    WITH intervals AS ({_SQL_INTERVALS})
+    SELECT promo_id,
+           CAST(count(*) AS BIGINT) AS n_shipped,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS BIGINT) AS total_qty
+    FROM intervals
+    JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
+    GROUP BY promo_id
+    ORDER BY promo_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (lineitems shipped inside each promo
+    window) via time-bucketing: intervals explode into their covered
+    week buckets, points join their single bucket equi-wise, BETWEEN
+    refines. Planwise this is a hash join on the bucket key — the naive
+    BETWEEN-only formulation is a nested-loop over every (interval,
+    point) pair and dies at scale. Quantities are integral → exact."""
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    intervals = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("w_end"),
+    )
+    # interval side: one row per covered bucket (7-day windows span ≤2)
+    b_start = F.floor(F.col("w_start").cast("timestamp").cast("long") / _BUCKET_S)
+    b_end = F.floor(F.col("w_end").cast("timestamp").cast("long") / _BUCKET_S)
+    ivb = intervals.select(
+        "*", F.explode(F.sequence(b_start, b_end)).alias("bucket")
+    )
+    # point side: exactly one bucket — no dedup needed after the join
+    pts = li.select(
+        "l_quantity",
+        F.col("l_shipdate").alias("p_ts"),
+        F.floor(F.col("l_shipdate").cast("timestamp").cast("long") / _BUCKET_S).alias("bucket"),
+    )
+    return (
+        pts.join(ivb, "bucket")
+        .filter((F.col("p_ts") >= F.col("w_start")) & (F.col("p_ts") < F.col("w_end")))
+        .groupBy("promo_id")
+        .agg(
+            F.count("*").alias("n_shipped"),
+            F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+            .cast("long")
+            .alias("total_qty"),
+        )
+        .orderBy("promo_id")
+    )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), vocab AS (
+      SELECT word, count(*) AS cnt FROM tok GROUP BY word
+    ), total AS (
+      SELECT sum(cnt) AS n_total FROM vocab
+    ), scored AS (
+      SELECT doc_id,
+             {lp} AS lp
+      FROM tok JOIN vocab USING (word) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {mean} AS mean_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """.format(
+        lp=_sql_round_ieee("ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))", 6),
+        mean=_sql_round_ieee(
+            "CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6
+        ),
+    ),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the oracle-checkable skeleton of
+    perplexity filtering): corpus token frequencies → per-token log
+    probabilities → mean log-prob per document. The vocab table is the
+    only join input (AQE-sized); per-token logs land on a 6-decimal grid
+    before the exact DECIMAL per-doc sum, so the mean is one IEEE
+    division of identical values. A real neural LM would replace the
+    vocab join with an Arrow-batched pandas UDF (udfs.py tier) — the
+    pipeline shape is identical."""
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    lp = _round_ieee(
+        F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 6
+    )
+    scored = tok.join(vocab, "word").crossJoin(F.broadcast(total)).select(
+        "doc_id", lp.alias("lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            _round_ieee(
+                F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -205,3 +205,13 @@ def test_q2_decorrelated_to_single_cost_aggregation(spark):
     df = QUERIES["q2_min_cost_supplier"](spark, SF_DIR)
     li_scans = [s for s in scans_of(df) if "l_partkey" in s.read_schema]
     assert len(li_scans) == 1
+
+
+def test_range_join_is_equi_not_cartesian(spark):
+    """The bucketed interval join must plan as a hash join on the bucket
+    key — BETWEEN-only range joins plan as nested-loop/cartesian and
+    die at scale."""
+    df = QUERIES["join_range_bucketed"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — either is fine

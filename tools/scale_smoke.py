@@ -61,6 +61,22 @@ HEADLINE = [
     "er_fuzzy_name_match",
     "q8_market_share",
     "q9_profit_by_nation_year",
+    # round-2 tier
+    "agg_corr_regr",
+    "agg_grouped_regr_jvm",
+    "ts_anomaly_zscore",
+    "ts_ewma",
+    "text_tfidf_topk",
+    "text_bm25_rank",
+    "text_chunk_sliding",
+    "mba_item_pairs",
+    "graph_pagerank",
+    "vectors_quantize_int8",
+    "q2_min_cost_supplier",
+    "q20_excess_inventory",
+    "incr_merge_partials",
+    "events_new_users_daily",
+    "sample_cap_per_group",
 ]
 
 
