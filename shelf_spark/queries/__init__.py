@@ -27,3 +27,4 @@ from . import tpch_gap  # noqa: F401,E402
 from . import quantize  # noqa: F401,E402
 from . import rollups  # noqa: F401,E402
 from . import ranges  # noqa: F401,E402
+from . import report  # noqa: F401,E402
