@@ -28,3 +28,4 @@ from . import quantize  # noqa: F401,E402
 from . import rollups  # noqa: F401,E402
 from . import ranges  # noqa: F401,E402
 from . import report  # noqa: F401,E402
+from . import mining  # noqa: F401,E402
