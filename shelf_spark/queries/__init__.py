@@ -29,3 +29,4 @@ from . import rollups  # noqa: F401,E402
 from . import ranges  # noqa: F401,E402
 from . import report  # noqa: F401,E402
 from . import mining  # noqa: F401,E402
+from . import sqlsurface  # noqa: F401,E402
