@@ -82,3 +82,48 @@ def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_tokens",
         "max_tokens",
     ).orderBy("source")
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM activity
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM activity GROUP BY day
+    ), contrib AS (
+      SELECT user_id, day + k.k * INTERVAL 1 DAY AS end_day
+      FROM activity, (SELECT unnest(generate_series(0, 6)) AS k) k
+    ), wau AS (
+      SELECT CAST(end_day AS DATE) AS day, count(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY end_day
+    )
+    SELECT d.day, dau.dau, wau.wau
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY d.day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU (exact sliding COUNT DISTINCT): each
+    (user, active-day) row contributes to the 7 window-end days it falls
+    in — a bounded ×7 explode — then one distinct-count per end day.
+    This is how exact rolling actives scale: the explode factor is the
+    window length (constant), the shuffle key is the day, and no state
+    ever holds more than a window of user ids. Real days only (windows
+    ending past the data are joined away)."""
+    e = spark.table("events")
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    days = activity.select("day").distinct()
+    dau = activity.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = activity.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day"
+    ).select("user_id", F.date_add("day", F.col("k")).alias("day"))
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        days.join(dau, "day").join(wau, "day").select("day", "dau", "wau").orderBy("day")
+    )

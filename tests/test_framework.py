@@ -521,3 +521,45 @@ def test_incremental_partition_rebuild(workspace, spark):
 
     # everything fresh again
     assert prune_completed(Shelf().resolve_latest()) == {}
+
+
+def test_sql_step_consumes_round2_dialect(workspace, spark):
+    """A SQL build step may use any of the dialect surface the query tier
+    pins (LATERAL subqueries, ordered listagg via array_sort) — the
+    framework passes it to spark.sql untouched, like the reference hands
+    its steps to DuckDB (reference src/shelf/tables.py:164-167)."""
+    from shelf_spark.framework import paths
+    from shelf_spark.framework.snapshots import Snapshot
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+
+    Shelf.init()
+    raw = workspace / "vals.csv"
+    raw.write_text(
+        "grp,name,score\n"
+        + "\n".join(f"{i % 2},n{i},{i * 10}" for i in range(10))
+        + "\n"
+    )
+    Snapshot.create(raw, "ns/vals/2024-01-01")
+    shelf = Shelf()
+    shelf.new_table("ns/top/2024-01-02", ["snapshot://ns/vals/2024-01-01"])
+    shelf.save()
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "top.sql"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text(
+        """
+        SELECT g.grp, c.name, c.score,
+               array_join(array_sort(collect_list(c.name)
+                 OVER (PARTITION BY g.grp)), ',') AS all_names
+        FROM (SELECT DISTINCT grp FROM {vals}) g,
+        LATERAL (
+          SELECT name, score FROM {vals} v WHERE v.grp = g.grp
+          ORDER BY score DESC, name LIMIT 2
+        ) c
+        """
+    )
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+    out = paths.table_data_path("ns/top/2024-01-02")
+    df = spark.read.parquet(str(out.resolve()))
+    rows = {(r.grp, r.name) for r in df.collect()}
+    assert rows == {(0, "n8"), (0, "n6"), (1, "n9"), (1, "n7")}
+    assert {r.all_names for r in df.collect()} == {"n6,n8", "n7,n9"}
