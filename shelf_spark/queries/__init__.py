@@ -30,3 +30,4 @@ from . import ranges  # noqa: F401,E402
 from . import report  # noqa: F401,E402
 from . import mining  # noqa: F401,E402
 from . import sqlsurface  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402

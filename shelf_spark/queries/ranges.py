@@ -157,3 +157,130 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SQL_SESSIONS = """
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_SQL_SESSIONS},
+    ov AS (
+      SELECT a.user_id, a.session_id, count(*) AS n
+      FROM sessions a JOIN sessions b
+        ON a.s_start <= b.s_end AND b.s_start <= a.s_end
+       AND NOT (a.user_id = b.user_id AND a.session_id = b.session_id)
+      GROUP BY a.user_id, a.session_id
+    )
+    SELECT s.user_id, s.session_id,
+           CAST(coalesce(ov.n, 0) AS BIGINT) AS n_concurrent
+    FROM sessions s LEFT JOIN ov USING (user_id, session_id)
+    ORDER BY s.user_id, s.session_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap self-join: for every user session, how
+    many OTHER sessions (any user) were concurrent with it. The oracle is
+    the naive theta self-join (a.start <= b.end AND b.start <= a.end) —
+    quadratic, nested-loop, the scale killer. The Spark plan is the
+    binned rewrite for the interval–interval case: each session explodes
+    into its covered hour buckets (bounded by session length / bucket),
+    candidate pairs meet through a hash equi-join on the bucket key, the
+    exact overlap predicate refines, and a distinct collapses the
+    multi-bucket multiplicity before counting. Work is proportional to
+    Σ per-bucket concurrency², the interval analogue of the shingle
+    inverted-index join in dedup_ngram_jaccard — not |sessions|².
+    Sessionization itself is the standard gaps-and-islands single
+    shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .localCheckpoint()  # feeds both join sides + the final left join
+    )
+    bucket = lambda c: F.floor(F.col(c).cast("long") / 3600)  # noqa: E731
+    binned = sessions.select(
+        "*", F.explode(F.sequence(bucket("s_start"), bucket("s_end"))).alias("bucket")
+    )
+    a = binned.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_id").alias("a_sid"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+        "bucket",
+    )
+    b = binned.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_id").alias("b_sid"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & ~(
+                (F.col("a_user") == F.col("b_user"))
+                & (F.col("a_sid") == F.col("b_sid"))
+            )
+        )
+        # same pair can meet in every shared bucket — collapse before counting
+        .select("a_user", "a_sid", "b_user", "b_sid")
+        .distinct()
+    )
+    counts = pairs.groupBy(
+        F.col("a_user").alias("user_id"), F.col("a_sid").alias("session_id")
+    ).agg(F.count("*").alias("n"))
+    return (
+        sessions.join(counts, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_concurrent"),
+        )
+        .orderBy("user_id", "session_id")
+    )

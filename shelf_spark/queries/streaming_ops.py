@@ -120,3 +120,39 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         S.session_windows(stream), "q_stream_session", output_mode="complete"
     )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup surfaced as first-seen (user, type,
+    day) keys — the exactly-once activity feed. State is the key set
+    within the watermark horizon, which must cover the key's validity
+    window (a day-grained key needs ~25h in steady state; here the whole
+    synthetic span so the single availableNow pass drops nothing and the
+    output is value-exact against SELECT DISTINCT). Append-mode
+    `dropDuplicatesWithinWatermark` is the real production operator:
+    bounded state, late duplicates beyond the horizon age out."""
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "ts",
+    )
+    deduped = (
+        keyed.withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    return S.run_available_now(deduped, "q_stream_dedup", output_mode="append")

@@ -215,3 +215,39 @@ def test_range_join_is_equi_not_cartesian(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # broadcast or shuffled — either is fine
+
+
+def test_triangle_count_joins_are_equi(spark):
+    """Degree-oriented triangle enumeration must plan every join as a
+    hash equi-join — the naive adjacency self-join's hub explosion is
+    the thing the orientation exists to prevent."""
+    df = QUERIES["graph_triangle_count"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_interval_overlap_is_binned_not_cartesian(spark):
+    """The interval×interval overlap join must meet through the hour-
+    bucket equi-join; its oracle's theta self-join shape (nested loop)
+    must never appear in the Spark plan."""
+    df = QUERIES["join_interval_overlap"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_heavy_hitters_candidate_pass_is_map_only(spark):
+    """Pass 1 (Misra–Gries summaries) must add no exchange before the
+    Python stage: the sketch runs where the data lives."""
+    from shelf_spark.data import register_views
+    from shelf_spark.queries.sketches import _mg_candidates
+
+    register_views(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    toks = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cands = toks.mapInPandas(_mg_candidates, "token string")
+    assert exchange_count(cands) == 0

@@ -141,3 +141,72 @@ def test_sf_dir_switching_reregisters_views(spark):
     again = QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").collect()
     assert small == again
     assert small != big  # different scale, different revenue
+
+
+def test_hll_rollup_estimates_close_to_exact(spark):
+    """Driver checks rows-only (HLL estimates are engine-specific); pin
+    here that every sketch estimate is within 5% of the exact distinct
+    count, and that the merged ALL sketch matches a direct global one."""
+    from pyspark.sql import functions as F
+
+    from shelf_spark.queries import QUERIES
+
+    out = {
+        r.grain: r.est_users
+        for r in QUERIES["rollup_hll_mergeable"](spark, SF_SMALL).collect()
+    }
+    e = spark.table("events").select(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("grain"),
+        "user_id",
+    )
+    exact = {
+        r.grain: r.n
+        for r in e.groupBy("grain").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    assert set(out) == set(exact)
+    for grain, est in out.items():
+        assert abs(est - exact[grain]) <= max(1, 0.05 * exact[grain]), grain
+
+
+def test_heavy_hitters_invariant_to_partitioning(spark):
+    """The Misra–Gries candidate pass must not change the (exact) output
+    under adversarial repartitioning — the no-false-negative guarantee
+    is per-partition, so shuffle the tokens into many small partitions
+    and compare against the brute-force groupBy."""
+    from pyspark.sql import functions as F
+
+    from shelf_spark.data import register_views
+    from shelf_spark.queries import QUERIES
+    from shelf_spark.queries.sketches import _HH_K, _mg_candidates
+
+    base = {
+        (r.token, r.cnt)
+        for r in QUERIES["agg_heavy_hitters"](spark, SF_SMALL).collect()
+    }
+    register_views(spark, SF_SMALL)
+    toks = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .repartition(16)  # hash-scatter: every partition sees every token
+    )
+    cands = toks.mapInPandas(_mg_candidates, "token string").distinct()
+    counted = (
+        toks.join(F.broadcast(cands), "token", "leftsemi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = toks.count()
+    scattered = {
+        (r.token, r.cnt) for r in counted.where(F.col("cnt") * _HH_K > total).collect()
+    }
+    brute = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * _HH_K > total)
+    )
+    expected = {(r.token, r.cnt) for r in brute.collect()}
+    assert base == expected
+    assert scattered == expected
