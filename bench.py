@@ -5,9 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed once to warm (absorbs whole-stage-codegen JIT
 compilation, ~0.5s per novel plan shape — a fixed driver-side cost that is
-noise at production scale) and then timed on a steady-state run via an
-action that forces full materialization without driver-side collect of the
-payload (df.write.format("noop") is the standard trick).
+noise at production scale) and then timed as the MEDIAN of three
+steady-state runs (a single run is fragile: one GC pause or a neighbor
+process polluted the r02 numbers by +23%). Materialization is forced via
+df.write.format("noop") — full execution, no driver-side collect of the
+payload.
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -66,9 +69,14 @@ def main() -> None:
     for name in names:  # warm: JVM startup + per-plan codegen compile
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     print(
         json.dumps(

@@ -125,7 +125,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.unboundedPreceding, W.currentRow
     )
     prev_ts = F.lag("ts").over(w_order)
-    gap = F.col("ts").cast("double") - prev_ts.cast("double")
+    # ts may arrive as TIMESTAMP_NTZ (driver-generated parquet): NTZ has no
+    # direct numeric cast, so hop through TIMESTAMP first — the session tz
+    # is pinned to UTC (session.py), making the hop value-identical.
+    gap = (
+        F.col("ts").cast("timestamp").cast("double")
+        - prev_ts.cast("timestamp").cast("double")
+    )
     flagged = e.withColumn(
         "is_new",
         F.when(prev_ts.isNull() | (gap > 30 * 60), 1).otherwise(0),

@@ -223,7 +223,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                # NTZ-safe: unix_timestamp accepts both TIMESTAMP and
+                # TIMESTAMP_NTZ (session tz pinned UTC → identical values)
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
                 > 30 * 60
             ),
             1,
@@ -240,7 +242,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
         .localCheckpoint()  # feeds both join sides + the final left join
     )
-    bucket = lambda c: F.floor(F.col(c).cast("long") / 3600)  # noqa: E731
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
     binned = sessions.select(
         "*", F.explode(F.sequence(bucket("s_start"), bucket("s_end"))).alias("bucket")
     )

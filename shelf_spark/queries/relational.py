@@ -308,8 +308,9 @@ def q12_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fact ⋈ broadcast(dim) + conditional decimal aggregation; one scalar
-    # output, one exchange.
+    # Fact ⋈ part + conditional decimal aggregation; one scalar output.
+    # part grows with SF (200k×SF rows) so it carries NO broadcast hint —
+    # AQE size-decides (broadcasts at small SF, shuffles when it must).
     li = spark.table("lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
@@ -318,7 +319,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)

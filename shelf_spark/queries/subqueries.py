@@ -179,7 +179,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bad_supp is a filtered slice of supplier, which grows with SF —
         # no explicit hint; AQE's size stats broadcast it while it fits.
         li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part (even filtered to ~15%) grows with SF → no hint, AQE decides
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -209,8 +210,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        # Neither side is hinted: part grows with SF, and thresholds is a
+        # part-cardinality aggregate over all of lineitem — broadcasting it
+        # would OOM at scale. Both joins share l_partkey, so the shuffle on
+        # that key is reused across them (one exchange of lineitem).
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -277,11 +282,17 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Disjunction of conjunctive predicates spanning both join sides. The
-    # per-side implied predicates (p_size <= 15, l_quantity <= 30 overall)
-    # can't be cleanly pushed by hand without changing semantics, so the
-    # disjunction rides on the join output; part is broadcast either way.
-    li = spark.table("lineitem")
-    part = spark.table("part")
+    # per-side *implied* predicates CAN be pushed without changing
+    # semantics: every disjunct requires p_brand ∈ {12,23,34} ∧ p_size ≤ 15
+    # and l_quantity ∈ [1,30], so both scans are pre-filtered before the
+    # join and the exact disjunction re-checked on the join output. part is
+    # un-hinted (grows with SF) — the brand filter makes it small enough
+    # for AQE to auto-broadcast at moderate SF.
+    li = spark.table("lineitem").filter(F.col("l_quantity").between(1, 30))
+    part = spark.table("part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").between(1, 15)
+    )
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -291,7 +302,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")

@@ -162,7 +162,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data. ntile/percent_rank are recomputed from the exact global rank with
     # the engines' own formulas, so values match the oracle bit-for-bit.
     # (The ordering key is unique — custkey tiebreak — so rank == row_number.)
-    n_parts = 32
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
     base = (
         spark.table("customer")
         .select("c_custkey", "c_acctbal")

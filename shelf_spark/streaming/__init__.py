@@ -48,6 +48,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -84,13 +85,34 @@ def events_stream(
     """File-stream source over an events parquet file/directory.
 
     ``path`` may be a single parquet file (testdata) or a directory into
-    which new files land (production ingest).
+    which new files land (production ingest). File-stream sources require
+    a pinned schema, so probe the parquet footer for how ``ts`` is stored:
+    int64 TIMESTAMP(NANOS) (unreadable natively → legacy long + div 1000)
+    or a regular µs timestamp (possibly NTZ → cast to session-tz'd
+    TIMESTAMP; the session tz is pinned UTC so the cast is value-identity).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet")
+    import os
+
+    from ..data import _nanos_timestamp_cols
+
+    ns_ts = "ts" in _nanos_timestamp_cols(path)
+    if ns_ts:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _EVENTS_RAW_SCHEMA
+    else:
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampNTZType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    import os
 
     if os.path.isfile(path):
         # the file-stream source requires a directory or glob; a literal
@@ -98,8 +120,10 @@ def events_stream(
         d, name = os.path.split(path)
         path = os.path.join(d, "{%s}" % name)
     raw = reader.load(path)
-    # integer `div`: double division would round at 1e18 magnitudes
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ns_ts:
+        # integer `div`: double division would round at 1e18 magnitudes
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

@@ -84,13 +84,18 @@ def test_q11_threshold_broadcasts_not_recomputed_per_row(spark):
 def test_no_broadcast_hints_on_unbounded_tables():
     """Explicit broadcast hints are honored unconditionally (AQE only demotes
     auto-broadcasts), so a hint on a table that grows with scale factor OOMs
-    at the 100 TB design point. Only bounded dims (region, nation, part) and
-    tiny derived aggregates may carry hints."""
+    at the 100 TB design point. Only genuinely bounded relations — region
+    (5 rows), nation (25 rows), per-event-type / per-partition aggregates,
+    scalar totals — may carry hints. part is NOT bounded: it's 200k×SF rows
+    (~2B at the 100 TB design point), and per-partkey aggregates like q17's
+    thresholds inherit that cardinality."""
     import pathlib
     import re
 
     qdir = pathlib.Path("shelf_spark/queries")
-    banned = re.compile(r"F\.broadcast\((cust|supp|orders|li)[,)\s.]")
+    banned = re.compile(
+        r"F\.broadcast\((cust|supp|orders|li|part|thresholds)[,)\s.]"
+    )
     hits = []
     for f in qdir.glob("*.py"):
         for i, line in enumerate(f.read_text().splitlines(), 1):

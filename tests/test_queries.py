@@ -169,6 +169,34 @@ def test_hll_rollup_estimates_close_to_exact(spark):
         assert abs(est - exact[grain]) <= max(1, 0.05 * exact[grain]), grain
 
 
+def test_approx_distinct_estimates_close_to_exact(spark):
+    """agg_approx_distinct is rows-only at the driver (Spark HLL++ vs DuckDB
+    HLL differ by design); pin locally that each per-returnflag estimate is
+    within 5% of the exact distinct count and the approx median within 5%
+    of the exact median."""
+    from pyspark.sql import functions as F
+
+    out = {
+        r.l_returnflag: (r.approx_parts, r.approx_median_price)
+        for r in QUERIES["agg_approx_distinct"](spark, SF_SMALL).collect()
+    }
+    li = spark.table("lineitem")
+    exact = {
+        r.l_returnflag: (r.n, r.med)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for flag, (est_n, est_med) in out.items():
+        n, med = exact[flag]
+        assert abs(est_n - n) <= max(1, 0.05 * n), (flag, est_n, n)
+        assert abs(est_med - med) <= 0.05 * med, (flag, est_med, med)
+
+
 def test_heavy_hitters_invariant_to_partitioning(spark):
     """The Misra–Gries candidate pass must not change the (exact) output
     under adversarial repartitioning — the no-false-negative guarantee
