@@ -55,6 +55,15 @@ HEADLINE = [
     "text_chunk_sliding",
     "mba_item_pairs",
     "vectors_quantize_int8",
+    # round-5 tier: every remaining operator family gets a representative —
+    # streaming, multimodal, LSH/SimHash dedup, graph, retention, profiling
+    "stream_session_windows",
+    "multimodal_decode_wav_bmp",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "graph_pagerank",
+    "events_retention_cohorts",
+    "dq_profile",
 ]
 
 
@@ -86,6 +95,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Methodology marker: r01–r03 were single-run timings; r04+
+                # are median-of-3 after a warm pass. Cross-round totals are
+                # comparable only within the same methodology, and r05 adds
+                # 7 queries — compare per-query, not totals, across rounds.
+                "methodology": "median-of-3-after-warm",
+                "n_queries": len(timings),
             }
         )
     )

@@ -21,11 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import davg, dsum, sql_davg, sql_dsum
+from .num import davg_i, dsum_i, sql_davg_i, sql_dsum_i
 from .registry import query
 
-SQL_DSUM_VALUE = sql_dsum("value")
-SQL_DAVG_VALUE = sql_davg("value")
+SQL_DSUM_VALUE = sql_dsum_i("value", 2)
+SQL_DAVG_VALUE = sql_davg_i("value", 2)
 
 # DuckDB-side 10-minute tumbling bucket, epoch-aligned like F.window.
 _BUCKET_10M = (
@@ -51,7 +51,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("events")
     return (
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum_i(F.col("value"), 2).alias("total_value"))
         .select(
             F.col("w.start").alias("w_start"),
             "event_type",
@@ -84,7 +84,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), davg(F.col("value")).alias("avg_value"))
+        .agg(F.count("*").alias("n_events"), davg_i(F.col("value"), 2).alias("avg_value"))
         .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
     )
 
@@ -141,7 +141,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        dsum(F.col("value")).alias("session_value"),
+        dsum_i(F.col("value"), 2).alias("session_value"),
     )
 
 
@@ -234,7 +234,7 @@ def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
-        dsum(F.col("value")).alias("total_value"),
+        dsum_i(F.col("value"), 2).alias("total_value"),
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
         F.round(

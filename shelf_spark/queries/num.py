@@ -24,6 +24,58 @@ from pyspark.sql import functions as F
 DEC = "decimal(30,8)"
 
 
+def dsum_i(col: Column, din: int = 2) -> Column:
+    """Exact sum of a fixed-point double column via an integer grid.
+
+    ``floor(x·10^din + 0.5)`` lands on the exact scaled integer (the true
+    value lies on the 10^-din grid and the double is within ulps of it, so
+    the +0.5 offset cannot cross a boundary), as a LONG — pure IEEE ops,
+    identical on both engines. The integers accumulate in DECIMAL(18,0)
+    (unscaled-long representation; the sum buffer auto-widens to
+    DECIMAL(28,0) ≈ 1e28 headroom — at 100 TB a single group of 6e11 rows
+    of 1e5-sized money values scaled by 1e6 sums to ~6e24, still exact).
+    The final cast→double is correctly rounded on both engines and the
+    trailing division is one IEEE op on identical inputs.
+
+    ~40% cheaper per column than :func:`dsum`: it avoids the per-row
+    double→decimal cast (BigDecimal.valueOf → Double.toString in the JVM),
+    which dominates the decimal tier's cost. Same determinism guarantee.
+    """
+    scale = float(10**din)
+    s = F.sum(F.floor(col * scale + F.lit(0.5)).cast("decimal(18,0)"))
+    return s.cast("double") / scale
+
+
+def davg_i(col: Column, din: int = 2, nd: int = 6) -> Column:
+    """Deterministic average on the integer grid (see :func:`dsum_i`).
+
+    Shares the inner ``sum(decimal(18,0))`` aggregate with :func:`dsum_i`
+    at the same ``din`` — Catalyst dedupes identical aggregate expressions,
+    so ``dsum_i(c) + davg_i(c)`` costs one accumulator, not two.
+    """
+    scale = float(10**din)
+    s = F.sum(F.floor(col * scale + F.lit(0.5)).cast("decimal(18,0)"))
+    return _round_ieee(s.cast("double") / scale / F.count(col), nd)
+
+
+def sql_dsum_i(expr: str, din: int = 2) -> str:
+    """DuckDB twin of :func:`dsum_i` (same IEEE ops, DECIMAL accumulation)."""
+    scale = float(10**din)
+    return (
+        f"(CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS DECIMAL(18,0)))"
+        f" AS DOUBLE) / {scale})"
+    )
+
+
+def sql_davg_i(expr: str, din: int = 2, nd: int = 6) -> str:
+    scale = float(10**din)
+    return _sql_round_ieee(
+        f"CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS DECIMAL(18,0)))"
+        f" AS DOUBLE) / {scale} / count({expr})",
+        nd,
+    )
+
+
 def dsum(col: Column, nd: int = 2) -> Column:
     """Exact (order-independent) sum of a ≤8-decimal double column.
 
@@ -40,6 +92,36 @@ def dsum(col: Column, nd: int = 2) -> Column:
 def dsum_win(col: Column, window, nd: int = 2) -> Column:
     """Windowed exact sum (DuckDB's segment-tree window aggs reorder too)."""
     return F.round(F.sum(col.cast(DEC)).over(window), nd).cast("double")
+
+
+def dsum_win_i(col: Column, window, din: int = 2) -> Column:
+    """Windowed integer-grid exact sum (see :func:`dsum_i`)."""
+    scale = float(10**din)
+    s = F.sum(F.floor(col * scale + F.lit(0.5)).cast("decimal(18,0)")).over(window)
+    return s.cast("double") / scale
+
+
+def davg_win_i(col: Column, window, din: int = 2, nd: int = 6) -> Column:
+    scale = float(10**din)
+    s = F.sum(F.floor(col * scale + F.lit(0.5)).cast("decimal(18,0)")).over(window)
+    return _round_ieee(s.cast("double") / scale / F.count(col).over(window), nd)
+
+
+def sql_dsum_over_i(expr: str, over: str, din: int = 2) -> str:
+    scale = float(10**din)
+    return (
+        f"(CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS DECIMAL(18,0)))"
+        f" OVER {over} AS DOUBLE) / {scale})"
+    )
+
+
+def sql_davg_over_i(expr: str, over: str, din: int = 2, nd: int = 6) -> str:
+    scale = float(10**din)
+    return _sql_round_ieee(
+        f"CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS DECIMAL(18,0)))"
+        f" OVER {over} AS DOUBLE) / {scale} / count({expr}) OVER {over}",
+        nd,
+    )
 
 
 def _round_ieee(x: Column, nd: int) -> Column:

@@ -51,7 +51,7 @@ _SQL_INTERVALS = """
     WITH intervals AS ({_SQL_INTERVALS})
     SELECT promo_id,
            CAST(count(*) AS BIGINT) AS n_shipped,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS BIGINT) AS total_qty
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS DECIMAL(18,0))) AS BIGINT) AS total_qty
     FROM intervals
     JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
     GROUP BY promo_id
@@ -90,7 +90,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("promo_id")
         .agg(
             F.count("*").alias("n_shipped"),
-            F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("decimal(18,0)"))
             .cast("long")
             .alias("total_qty"),
         )

@@ -27,7 +27,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import DEC, davg, dsum, sql_davg, sql_dsum
+from .num import (
+    DEC,
+    davg,
+    davg_i,
+    dsum,
+    dsum_i,
+    sql_davg,
+    sql_davg_i,
+    sql_dsum,
+    sql_dsum_i,
+)
 from .registry import query
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -42,13 +52,13 @@ _REVENUE = "l_extendedprice * (1 - l_discount)"
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')}                                        AS sum_qty,
-           {sql_dsum('l_extendedprice')}                                   AS sum_base_price,
-           {sql_dsum(_REVENUE)}                                            AS sum_disc_price,
-           {sql_dsum(f'{_REVENUE} * (1 + l_tax)')}                         AS sum_charge,
-           {sql_davg('l_quantity')}                                        AS avg_qty,
-           {sql_davg('l_extendedprice')}                                   AS avg_price,
-           {sql_davg('l_discount')}                                        AS avg_disc,
+           {sql_dsum_i('l_quantity', 2)}                                   AS sum_qty,
+           {sql_dsum_i('l_extendedprice', 2)}                              AS sum_base_price,
+           {sql_dsum_i(_REVENUE, 4)}                                       AS sum_disc_price,
+           {sql_dsum_i(f'{_REVENUE} * (1 + l_tax)', 6)}                    AS sum_charge,
+           {sql_davg_i('l_quantity', 2)}                                   AS avg_qty,
+           {sql_davg_i('l_extendedprice', 2)}                              AS avg_price,
+           {sql_davg_i('l_discount', 2)}                                   AS avg_disc,
            count(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -57,19 +67,26 @@ _REVENUE = "l_extendedprice * (1 - l_discount)"
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Money sums use the integer-grid decimal tier (num.dsum_i): inputs are
+    # fixed-point (prices/rates 2dp, so the 2- and 3-factor products are
+    # exact at 4/6dp); pre-rounding to the scaled integer with pure IEEE
+    # ops avoids the per-row double→decimal cast that dominated the
+    # decimal(30,8) tier (~70% of q1 wall — see SCALE.md drift analysis),
+    # while keeping order-independent exact accumulation. dsum_i/davg_i at
+    # the same scale share one Catalyst-deduped accumulator.
     li = spark.table("lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            dsum_i(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum_i(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum_i(disc_price, 4).alias("sum_disc_price"),
+            dsum_i(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            davg_i(F.col("l_quantity"), 2).alias("avg_qty"),
+            davg_i(F.col("l_extendedprice"), 2).alias("avg_price"),
+            davg_i(F.col("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -80,7 +97,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           {sql_dsum(_REVENUE)} AS revenue,
+           {sql_dsum_i(_REVENUE, 4)} AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -106,7 +123,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -117,7 +134,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           {sql_dsum(_REVENUE)} AS revenue
+           {sql_dsum_i(_REVENUE, 4)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -153,7 +170,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -162,7 +179,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           {sql_dsum(_REVENUE)} AS revenue,
+           {sql_dsum_i(_REVENUE, 4)} AS revenue,
            round(c_acctbal, 2) AS acctbal,
            n_name
     FROM customer
@@ -191,7 +208,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -207,7 +224,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT {sql_dsum(_REVENUE)} AS promo_revenue
+    SELECT {sql_dsum_i(_REVENUE, 4)} AS promo_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -226,7 +243,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("promo_revenue"))
+        .agg(dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("promo_revenue"))
     )
 
 
@@ -298,9 +315,8 @@ def q12_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_share",
     oracle=f"""
     SELECT round(
-             100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                                        THEN {_REVENUE} ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE)
-                   / CAST(sum(CAST({_REVENUE} AS DECIMAL(30,8))) AS DOUBLE), 6)
+             100.0 * {sql_dsum_i(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE} ELSE 0 END", 4)}
+                   / {sql_dsum_i(_REVENUE, 4)}, 6)
            AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -308,7 +324,7 @@ def q12_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fact ⋈ part + conditional decimal aggregation; one scalar output.
+    # Fact ⋈ part + conditional integer-grid aggregation; one scalar output.
     # part grows with SF (200k×SF rows) so it carries NO broadcast hint —
     # AQE size-decides (broadcasts at small SF, shuffles when it must).
     li = spark.table("lineitem").filter(
@@ -316,15 +332,13 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
     )
     part = spark.table("part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                F.lit(100.0)
-                * F.sum(promo_rev).cast("double")
-                / F.sum(rev).cast("double"),
+                F.lit(100.0) * dsum_i(promo_rev, 4) / dsum_i(rev, 4),
                 6,
             ).alias("promo_share_pct")
         )
@@ -384,7 +398,7 @@ def scan_inline_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_custkey,
            count(o_orderkey)                                    AS n_orders,
-           coalesce({sql_dsum('o_totalprice')}, 0.0)            AS total_spent
+           coalesce({sql_dsum_i('o_totalprice', 2)}, 0.0)            AS total_spent
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
@@ -398,7 +412,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+            F.coalesce(dsum_i(F.col("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
         )
     )
 
@@ -482,7 +496,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n_name,
            count(*) AS n_pairs,
-           {sql_davg('c_acctbal - s_acctbal')} AS avg_gap
+           {sql_davg_i('c_acctbal - s_acctbal', 2)} AS avg_gap
     FROM supplier
     JOIN customer ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
     JOIN nation   ON n_nationkey = s_nationkey
@@ -503,7 +517,7 @@ def join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_pairs"),
-            davg(cust.c_acctbal - supp.s_acctbal).alias("avg_gap"),
+            davg_i(cust.c_acctbal - supp.s_acctbal, 2).alias("avg_gap"),
         )
         .orderBy("n_name")
     )
@@ -533,8 +547,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT count(*)                                   AS n_rows,
            CAST(count(DISTINCT l_suppkey) AS BIGINT)  AS n_supp,
-           {sql_dsum('l_quantity')}                   AS sum_qty,
-           {sql_davg('l_extendedprice')}              AS avg_price,
+           {sql_dsum_i('l_quantity', 2)}                   AS sum_qty,
+           {sql_davg_i('l_extendedprice', 2)}              AS avg_price,
            round(min(l_extendedprice), 2)             AS min_price,
            round(max(l_extendedprice), 2)             AS max_price,
            round(stddev_samp(l_discount), 4)          AS sd_disc,
@@ -547,8 +561,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_suppkey").alias("n_supp"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-        davg(F.col("l_extendedprice")).alias("avg_price"),
+        dsum_i(F.col("l_quantity"), 2).alias("sum_qty"),
+        davg_i(F.col("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
@@ -560,7 +574,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum_i('l_quantity', 2)} AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -570,7 +584,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(dsum_i(F.col("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
     )
 
 
@@ -579,7 +593,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           {sql_dsum('o_totalprice')} AS total
+           {sql_dsum_i('o_totalprice', 2)} AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -588,14 +602,14 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n"), dsum_i(F.col("o_totalprice"), 2).alias("total"))
     )
 
 
 @query(
     "agg_grouping_sets",
     oracle=f"""
-    SELECT l_returnflag, l_linestatus, {sql_dsum('l_extendedprice')} AS total
+    SELECT l_returnflag, l_linestatus, {sql_dsum_i('l_extendedprice', 2)} AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -603,7 +617,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
-        SELECT l_returnflag, l_linestatus, {sql_dsum('l_extendedprice')} AS total
+        SELECT l_returnflag, l_linestatus, {sql_dsum_i('l_extendedprice', 2)} AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -614,8 +628,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle=f"""
     SELECT l_returnflag,
-           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
-           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+           {sql_dsum_i("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS qty_f,
+           {sql_dsum_i("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS qty_o
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -625,7 +639,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(dsum(F.col("l_quantity")))
+        .agg(dsum_i(F.col("l_quantity"), 2))
     )
     return piv.select(
         "l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o")
@@ -803,7 +817,7 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment,
            count(*)                 AS n_events,
-           {sql_dsum('value')}      AS total_value
+           {sql_dsum_i('value', 2)}      AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -827,7 +841,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            dsum(F.col("value")).alias("total_value"),
+            dsum_i(F.col("value"), 2).alias("total_value"),
         )
         .orderBy("c_mktsegment")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .num import DEC, dsum
+from .num import DEC, dsum, dsum_i, sql_dsum_i
 from .registry import query
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -24,9 +24,8 @@ _REVENUE = "l_extendedprice * (1 - l_discount)"
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_1'
-                                    THEN {_REVENUE} ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE)
-                 / CAST(sum(CAST({_REVENUE} AS DECIMAL(30,8))) AS DOUBLE), 6) AS mkt_share
+           round({sql_dsum_i(f"CASE WHEN supp_nation = 'NATION_1' THEN {_REVENUE} ELSE 0 END", 4)}
+                 / {sql_dsum_i(_REVENUE, 4)}, 6) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice, l_discount, n2.n_name AS supp_nation
@@ -74,8 +73,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(nation_rev.cast(DEC)).cast("double")
-                / F.sum(rev.cast(DEC)).cast("double"),
+                dsum_i(nation_rev, 4) / dsum_i(rev, 4),
                 6,
             ).alias("mkt_share")
         )
@@ -87,8 +85,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_by_nation_year",
     oracle=f"""
     SELECT nation, o_year,
-           round(CAST(sum(CAST({_REVENUE} - 10.0 * l_quantity AS DECIMAL(30,8)))
-                      AS DOUBLE), 2) AS profit
+           {sql_dsum_i(f'{_REVENUE} - 10.0 * l_quantity', 4)} AS profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -127,6 +124,6 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             profit.alias("p"),
         )
         .groupBy("nation", "o_year")
-        .agg(dsum(F.col("p")).alias("profit"))
+        .agg(dsum_i(F.col("p"), 4).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )

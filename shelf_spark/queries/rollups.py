@@ -43,7 +43,7 @@ _DEC2 = "decimal(18,2)"
     SELECT date_trunc('month', l_shipdate) AS ship_month,
            l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_qty
+           CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS total_qty
     FROM lineitem
     GROUP BY 1, 2
     ORDER BY ship_month, l_returnflag
@@ -64,7 +64,9 @@ def incr_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
         ).agg(
             F.count("*").alias("p_n"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("p_qty"),
+            F.sum(
+                F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
+            ).alias("p_qty"),
         )
 
     batch1 = partial(li.filter(F.col("l_orderkey") % 2 == 0))
@@ -74,7 +76,7 @@ def incr_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ship_month", "l_returnflag")
         .agg(
             F.sum("p_n").alias("n_items"),
-            F.round(F.sum("p_qty"), 2).cast("double").alias("total_qty"),
+            (F.sum("p_qty").cast("double") / 100.0).alias("total_qty"),
         )
         .orderBy("ship_month", "l_returnflag")
     )

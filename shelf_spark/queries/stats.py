@@ -46,19 +46,24 @@ _DEC2 = "decimal(18,2)"
 def _moments(df: DataFrame, x, y) -> DataFrame:
     """One-pass exact moment sums for (x, y): n, Σx, Σy, Σxy, Σx², Σy².
 
-    x integral, y 2-decimal: all five sums are exact in decimal, hence
-    order-independent across partitions — the distributed-safe way to
-    feed corr/covar/regression closed forms.
+    x integral, y 2-decimal: ``floor(v·100 + 0.5)`` lands on the exact
+    scaled LONG (pure IEEE ops, engine-identical), products of the scaled
+    longs stay within int64 (≤1.1e14 per row for 1e5-sized money), and the
+    products accumulate exactly in DECIMAL(18,0)→(28,0). Scaling back by
+    1e2/1e4 after the cast→double is one IEEE division on identical
+    inputs — the distributed-safe way to feed corr/covar/regression
+    closed forms, ~3× cheaper per row than decimal-domain multiplication.
     """
-    xd = x.cast(_DEC2)
-    yd = y.cast(_DEC2)
+    xi = F.floor(x * 100.0 + F.lit(0.5))
+    yi = F.floor(y * 100.0 + F.lit(0.5))
+    d0 = "decimal(18,0)"
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xd).alias("sx"),
-        F.sum(yd).alias("sy"),
-        F.sum(xd * yd).alias("sxy"),
-        F.sum(xd * xd).alias("sxx"),
-        F.sum(yd * yd).alias("syy"),
+        (F.sum(xi.cast(d0)).cast("double") / 1.0e2).alias("sx"),
+        (F.sum(yi.cast(d0)).cast("double") / 1.0e2).alias("sy"),
+        (F.sum((xi * yi).cast(d0)).cast("double") / 1.0e4).alias("sxy"),
+        (F.sum((xi * xi).cast(d0)).cast("double") / 1.0e4).alias("sxx"),
+        (F.sum((yi * yi).cast(d0)).cast("double") / 1.0e4).alias("syy"),
     )
 
 
@@ -67,12 +72,14 @@ def _moments(df: DataFrame, x, y) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-      FROM lineitem
+             CAST(sum(CAST(xi AS DECIMAL(18,0))) AS DOUBLE) / 1e2 AS sx,
+             CAST(sum(CAST(yi AS DECIMAL(18,0))) AS DOUBLE) / 1e2 AS sy,
+             CAST(sum(CAST(xi * yi AS DECIMAL(18,0))) AS DOUBLE) / 1e4 AS sxy,
+             CAST(sum(CAST(xi * xi AS DECIMAL(18,0))) AS DOUBLE) / 1e4 AS sxx,
+             CAST(sum(CAST(yi * yi AS DECIMAL(18,0))) AS DOUBLE) / 1e4 AS syy
+      FROM (SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS xi,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yi
+            FROM lineitem)
     )
     SELECT CAST(n AS BIGINT) AS n,
            {corr} AS corr_qty_price,
@@ -103,9 +110,9 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem")
     m = _moments(li, F.col("l_quantity"), F.col("l_extendedprice"))
     n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy = F.col("sxy")
+    sxx, syy = F.col("sxx"), F.col("syy")
     cov_n2 = (n * sxy) - (sx * sy)  # n² · covar_pop
     slope = cov_n2 / ((n * sxx) - (sx * sx))
     return m.select(
@@ -263,7 +270,8 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """.format(
         avg_bal=_sql_round_ieee(
-            "CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / count(c_acctbal)",
+            "CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS DECIMAL(18,0)))"
+            " AS DOUBLE) / 100.0 / count(c_acctbal)",
             4,
         )
     ),
@@ -283,7 +291,10 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         _round_ieee(
-            F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double")
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
+            ).cast("double")
+            / 100.0
             / F.count("c_acctbal"),
             4,
         ).alias("avg_bal"),
@@ -296,9 +307,10 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
       SELECT user_id,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
-      FROM events
+             CAST(sum(CAST(vi AS DECIMAL(18,0))) AS DOUBLE) / 1e2 AS s1,
+             CAST(sum(CAST(vi * vi AS DECIMAL(18,0))) AS DOUBLE) / 1e4 AS s2
+      FROM (SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi
+            FROM events)
       GROUP BY user_id
       HAVING count(*) >= 10
     )
@@ -324,10 +336,21 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("s1"),
-            F.sum(F.col("value").cast(_DEC2) * F.col("value").cast(_DEC2))
-            .cast("double")
-            .alias("s2"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
+                ).cast("double")
+                / 1.0e2
+            ).alias("s1"),
+            (
+                F.sum(
+                    (
+                        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                        * F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                    ).cast("decimal(18,0)")
+                ).cast("double")
+                / 1.0e4
+            ).alias("s2"),
         )
         .filter(F.col("n") >= 10)
     )

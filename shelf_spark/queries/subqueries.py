@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .num import DEC, dsum, sql_dsum
+from .num import DEC, dsum, dsum_i, sql_dsum, sql_dsum_i
 from .registry import query
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -73,11 +73,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q11_important_parts",
     oracle=f"""
-    SELECT l_partkey, {sql_dsum('l_extendedprice * l_quantity')} AS part_value
+    SELECT l_partkey, {sql_dsum_i('l_extendedprice * l_quantity', 2)} AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8))) AS DOUBLE)
-           > (SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+    HAVING CAST(sum(CAST(floor((l_extendedprice * l_quantity) * 100.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0
+           > (SELECT CAST(sum(CAST(floor((l_extendedprice * l_quantity) * 100.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0
                      / count(DISTINCT l_partkey) * 1.5
               FROM lineitem)
     ORDER BY part_value DESC, l_partkey
@@ -91,13 +91,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal (exact, order-independent) so the comparison is
     # engine-identical; the 1-row threshold broadcasts.
     li = spark.table("lineitem")
-    value = (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)
+    value = F.floor(
+        (F.col("l_extendedprice") * F.col("l_quantity")) * 100.0 + F.lit(0.5)
+    ).cast("decimal(18,0)")
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(value).cast("double").alias("value_dbl")
+        (F.sum(value).cast("double") / 100.0).alias("value_dbl")
     )
     total = li.agg(
         (
-            F.sum(value).cast("double") / F.countDistinct("l_partkey") * F.lit(1.5)
+            F.sum(value).cast("double") / 100.0
+            / F.countDistinct("l_partkey") * F.lit(1.5)
         ).alias("threshold")
     )
     return (
@@ -116,7 +119,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     oracle=f"""
     WITH revenue AS (
-      SELECT l_suppkey AS supplier_no, {sql_dsum(_REVENUE)} AS total_revenue
+      SELECT l_suppkey AS supplier_no, {sql_dsum_i(_REVENUE, 4)} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -137,7 +140,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
             "total_revenue"
         )
     )
@@ -189,8 +192,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_quantity_revenue",
-    oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0, 2)
+    oracle=f"""
+    SELECT round({sql_dsum_i('l_extendedprice', 2)} / 7.0, 2)
            AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
@@ -218,9 +221,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 2
-            ).alias("avg_yearly")
+            F.round(dsum_i(F.col("l_extendedprice"), 2) / 7.0, 2).alias("avg_yearly")
         )
     )
 
@@ -270,7 +271,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle=f"""
-    SELECT {sql_dsum(_REVENUE)} AS revenue
+    SELECT {sql_dsum_i(_REVENUE, 4)} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -305,7 +306,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
         )
     )
 
@@ -313,7 +314,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_idle_wealthy_customers",
     oracle=f"""
-    SELECT c_mktsegment, count(*) AS numcust, {sql_dsum('c_acctbal')} AS totacctbal
+    SELECT c_mktsegment, count(*) AS numcust, {sql_dsum_i('c_acctbal', 2)} AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
                               / count(*)
@@ -346,7 +347,7 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            dsum(F.col("c_acctbal")).alias("totacctbal"),
+            dsum_i(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -355,7 +356,7 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     oracle=f"""
-    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume')} AS revenue
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum_i('volume', 4)} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -402,7 +403,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )

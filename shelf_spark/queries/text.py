@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .num import davg, sql_davg
+from .num import davg_i, sql_davg_i
 from .registry import query
 
 #: Stopword set for the ratio features (vocabulary-appropriate: the
@@ -176,7 +176,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source, lang,
            count(*) AS n_docs,
-           {sql_davg('n_chars')} AS avg_chars,
+           {sql_davg_i('n_chars', 0)} AS avg_chars,
            CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source, lang
@@ -186,7 +186,7 @@ def docs_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     return d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
-        davg(F.col("n_chars")).alias("avg_chars"),
+        davg_i(F.col("n_chars"), 0).alias("avg_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import davg_win, dsum_win, sql_davg_over, sql_dsum_over
+from .num import davg_win_i, dsum_win_i, sql_davg_over_i, sql_dsum_over_i
 from .registry import query
 
 
@@ -87,8 +87,8 @@ _W_MOV = (
     "window_running",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           {sql_dsum_over('o_totalprice', _W_RUN)} AS running_total,
-           {sql_davg_over('o_totalprice', _W_MOV)} AS moving_avg3,
+           {sql_dsum_over_i('o_totalprice', _W_RUN, 2)} AS running_total,
+           {sql_davg_over_i('o_totalprice', _W_MOV, 2)} AS moving_avg3,
            CAST(count(*) OVER {_W_RUN} AS BIGINT)  AS nth_order
     FROM orders
     """,
@@ -103,8 +103,8 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("orders").select(
         "o_custkey",
         "o_orderkey",
-        dsum_win(F.col("o_totalprice"), w_run).alias("running_total"),
-        davg_win(F.col("o_totalprice"), w_mov).alias("moving_avg3"),
+        dsum_win_i(F.col("o_totalprice"), w_run, 2).alias("running_total"),
+        davg_win_i(F.col("o_totalprice"), w_mov, 2).alias("moving_avg3"),
         F.count("*").over(w_run).cast("long").alias("nth_order"),
     )
 
@@ -119,7 +119,7 @@ _W_RANGE = (
     "window_range_frame",
     oracle=f"""
     SELECT o_custkey, o_orderkey, epoch_s,
-           {sql_dsum_over('o_totalprice', _W_RANGE)} AS trailing_90d_total
+           {sql_dsum_over_i('o_totalprice', _W_RANGE, 2)} AS trailing_90d_total
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
@@ -139,7 +139,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "epoch_s",
-        dsum_win(F.col("o_totalprice"), w).alias("trailing_90d_total"),
+        dsum_win_i(F.col("o_totalprice"), w, 2).alias("trailing_90d_total"),
     )
 
 
