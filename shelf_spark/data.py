@@ -44,6 +44,31 @@ def table_path(sf_dir: str, name: str) -> str:
 _NS_COLS_CACHE: dict[str, tuple[str, ...]] = {}
 
 
+def _utc_adjusted_timestamp_cols(path: str) -> tuple[str, ...]:
+    """µs/ms timestamp columns flagged isAdjustedToUTC in the footer.
+
+    Arrow surfaces the flag as a ``tz=`` annotation on the timestamp type.
+    These must be pinned as TimestampType (session-tz'd) in a file-stream
+    schema — pinning NTZ over a UTC-adjusted column trips Spark's
+    vectorized-reader conversion check. Uncached (cheap footer read;
+    streaming ingest dirs change over time).
+    """
+    probe = path
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return ()
+        probe = os.path.join(path, parts[0])
+    arrow = pq.read_schema(probe)
+    return tuple(
+        f.name
+        for f in arrow
+        if str(f.type).startswith("timestamp[")
+        and not str(f.type).startswith("timestamp[ns")
+        and getattr(f.type, "tz", None) is not None
+    )
+
+
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet timestamp[ns] (Spark can't read natively)."""
     if path not in _NS_COLS_CACHE:
@@ -51,7 +76,8 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         if os.path.isdir(path):  # Spark-written table dir: probe a part file
             parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
             if not parts:
-                _NS_COLS_CACHE[path] = ()
+                # Empty ingest dir: do NOT cache — files that land later
+                # (possibly int64-nanos) must be re-probed on next call.
                 return ()
             probe = os.path.join(path, parts[0])
         # Arrow reports both TIMESTAMP(NANOS) (INT64) and Spark's INT96 as

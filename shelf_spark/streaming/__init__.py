@@ -52,7 +52,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..queries.num import dsum
+from ..queries.num import dsum_i
 
 #: Events schema as stored (ts as raw int64 nanos under the legacy conf).
 _EVENTS_RAW_SCHEMA = StructType(
@@ -93,17 +93,23 @@ def events_stream(
     """
     import os
 
-    from ..data import _nanos_timestamp_cols
+    from ..data import _nanos_timestamp_cols, _utc_adjusted_timestamp_cols
 
     ns_ts = "ts" in _nanos_timestamp_cols(path)
     if ns_ts:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = _EVENTS_RAW_SCHEMA
     else:
+        # µs timestamp: the footer's isAdjustedToUTC flag decides which
+        # Spark type the pinned schema needs — NTZ over a UTC-adjusted
+        # column (or vice versa) trips the vectorized reader's conversion
+        # check rather than reading value-identically.
+        ltz_ts = "ts" in _utc_adjusted_timestamp_cols(path)
+        ts_type = TimestampType() if ltz_ts else TimestampNTZType()
         schema = StructType(
             [
                 StructField("event_id", LongType()),
-                StructField("ts", TimestampNTZType()),
+                StructField("ts", ts_type),
                 StructField("user_id", LongType()),
                 StructField("event_type", StringType()),
                 StructField("value", DoubleType()),
@@ -179,7 +185,7 @@ def tumbling_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFra
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum_i(F.col("value"), 2).alias("total_value"))
         .select(
             F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value"
         )
@@ -202,7 +208,7 @@ def sliding_totals(stream: DataFrame, watermark: str = "30 minutes") -> DataFram
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum_i(F.col("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
     )
 
@@ -216,7 +222,7 @@ def session_windows(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("session_value"))
+        .agg(F.count("*").alias("n_events"), dsum_i(F.col("value"), 2).alias("session_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),

@@ -165,3 +165,63 @@ def test_dedup_against_corpus_parity(spark):
     # sanity: survivors are exactly the docs whose text isn't in the corpus
     surviving = {r.doc_id for r in got.collect()}
     assert all(doc_id % 2 == 1 for doc_id in surviving) or surviving
+
+
+# ---------------------------------------------------------------------------
+# Timestamp-encoding matrix: the footer probe must pin the right schema for
+# every way an events parquet can store `ts` — int64 TIMESTAMP(NANOS)
+# (the driver testdata), µs NTZ (isAdjustedToUTC=false), and µs LTZ
+# (isAdjustedToUTC=true) — and produce identical query output for each.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("encoding", ["ns_int64", "us_ntz", "us_ltz"])
+def test_ts_encoding_matrix(spark, tmp_path, encoding):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(EVENTS)
+    ts = src.column("ts").cast(pa.timestamp("ns"))
+    if encoding == "ns_int64":
+        out = src.set_column(src.schema.get_field_index("ts"), "ts", ts)
+    elif encoding == "us_ntz":
+        out = src.set_column(
+            src.schema.get_field_index("ts"), "ts", ts.cast(pa.timestamp("us"))
+        )
+    else:  # us_ltz: isAdjustedToUTC=true in the footer
+        out = src.set_column(
+            src.schema.get_field_index("ts"),
+            "ts",
+            ts.cast(pa.timestamp("us", tz="UTC")),
+        )
+    d = tmp_path / encoding
+    d.mkdir()
+    pq.write_table(out, d / "events.parquet")
+
+    stream = S.events_stream(spark, str(d / "events.parquet"))
+    got = S.run_available_now(S.tumbling_counts(stream), f"t_enc_{encoding}")
+    rows = _rows(got, ["w_start", "n_events", "total_value"])
+    # identical to the canonical testdata-backed stream
+    want = S.run_available_now(
+        S.tumbling_counts(S.events_stream(spark, EVENTS)), f"t_enc_ref_{encoding}"
+    )
+    assert rows == _rows(want, ["w_start", "n_events", "total_value"])
+
+
+def test_empty_dir_probe_not_cached(spark, tmp_path):
+    """An empty ingest dir must not pin its (absent) schema forever: files
+    that land later — here int64-nanos — must be re-probed and read."""
+    from shelf_spark.data import _nanos_timestamp_cols
+
+    d = tmp_path / "ingest"
+    d.mkdir()
+    assert _nanos_timestamp_cols(str(d)) == ()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(EVENTS)
+    idx = src.schema.get_field_index("ts")
+    ns = src.set_column(idx, "ts", src.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(ns, d / "part-0001.parquet")
+    assert "ts" in _nanos_timestamp_cols(str(d))

@@ -77,6 +77,12 @@ HEADLINE = [
     "incr_merge_partials",
     "events_new_users_daily",
     "sample_cap_per_group",
+    # round-5: re-verify the queries whose plans changed in r4 (hint
+    # removal, q19 implied-predicate pushdown, q17 shuffle reuse)
+    "q14_promo_share",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
 ]
 
 
