@@ -385,6 +385,10 @@ def test_bucketed_table_steps_join_without_exchange(workspace, spark):
 
 
 def test_db_query_and_export(workspace, spark, capsys):
+    """End-to-end export parity with the reference's test_export_duckdb
+    (reference tests/test_shelf.py:361-400): build two tables, export to a
+    real DuckDB file, read it back, and assert exact CONTENTS under both
+    the fully-qualified default naming and ``--short`` aliases."""
     from shelf_spark.framework.query import execute_query, export_tables
     from shelf_spark.framework.steps import execute_dag, prune_completed
     from shelf_spark.framework import paths
@@ -392,10 +396,13 @@ def test_db_query_and_export(workspace, spark, capsys):
     Shelf.init()
     shelf = Shelf()
     shelf.new_table("ns/lit/2024-01-01", [])
+    shelf.new_table("ns/pairs/2024-01-02", [])
     shelf.save()
     script = paths.TABLE_SCRIPTS_DIR / "ns" / "lit.sql"
     script.parent.mkdir(parents=True, exist_ok=True)
     script.write_text("SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'")
+    script2 = paths.TABLE_SCRIPTS_DIR / "ns" / "pairs.sql"
+    script2.write_text("SELECT 'k1' AS dim_key, 'v1' AS value")
     execute_dag(spark, prune_completed(Shelf().resolve_latest()))
 
     # single-token sugar + short alias
@@ -406,11 +413,32 @@ def test_db_query_and_export(workspace, spark, capsys):
 
     import duckdb
 
+    # default naming: fully-qualified namespace_table_version
+    db_full = workspace / "out_full.duckdb"
+    names = export_tables(spark, Shelf(), db_full)
+    assert sorted(names) == ["ns_lit_20240101", "ns_pairs_20240102"]
+    con = duckdb.connect(str(db_full))
+    assert con.execute(
+        "SELECT a, b FROM ns_lit_20240101 ORDER BY a"
+    ).fetchall() == [(1, "x"), (2, "y")]
+    assert con.execute(
+        "SELECT dim_key, value FROM ns_pairs_20240102"
+    ).fetchall() == [("k1", "v1")]
+    con.close()
+
+    # --short aliases
     db = workspace / "out.duckdb"
     names = export_tables(spark, Shelf(), db, short_names=True)
-    assert names == ["lit"]
+    assert sorted(names) == ["lit", "pairs"]
     con = duckdb.connect(str(db))
-    assert con.execute("SELECT count(*) FROM lit").fetchone()[0] == 2
+    assert con.execute("SELECT a, b FROM lit ORDER BY a").fetchall() == [
+        (1, "x"),
+        (2, "y"),
+    ]
+    assert con.execute("SELECT dim_key, value FROM pairs").fetchall() == [
+        ("k1", "v1")
+    ]
+    con.close()
 
 
 def test_validation_gate(workspace, spark):

@@ -1,13 +1,18 @@
-"""Opt-in S3/MinIO integration tests for the content-addressed store.
+"""S3 integration tests for the content-addressed store.
 
 The reference's own test suite runs end-to-end through a real object
 store (reference tests/test_shelf.py:22-42, MinIO). These mirror that
-loop but stay hermetic by default: they run only when the reference's S3
-env contract is present (S3_ENDPOINT_URL + credentials), e.g. against a
-local MinIO:
+loop. Backend selection:
+
+- When the reference's S3 env contract is present (S3_ENDPOINT_URL +
+  credentials), they run against that endpoint, e.g. a local MinIO:
 
     S3_ENDPOINT_URL=http://localhost:9000 S3_ACCESS_KEY=minioadmin \
     S3_SECRET_KEY=minioadmin S3_BUCKET_NAME=shelf-test pytest tests/test_s3_store.py
+
+- Otherwise they fall back to moto's in-process S3 mock (same boto3
+  client API surface), so the S3 code path has CI evidence without any
+  external service.
 """
 
 from __future__ import annotations
@@ -19,31 +24,38 @@ from pathlib import Path
 import pytest
 
 _REQUIRED = ("S3_ENDPOINT_URL", "S3_ACCESS_KEY", "S3_SECRET_KEY", "S3_BUCKET_NAME")
-
-pytestmark = pytest.mark.skipif(
-    not all(v in os.environ for v in _REQUIRED),
-    reason="S3 env contract not set (S3_ENDPOINT_URL/S3_ACCESS_KEY/"
-    "S3_SECRET_KEY/S3_BUCKET_NAME) — opt-in MinIO integration",
-)
+_REAL_S3 = all(v in os.environ for v in _REQUIRED)
 
 
 @pytest.fixture()
-def s3_store():
+def s3_store(monkeypatch):
     boto3 = pytest.importorskip("boto3")
     from shelf_spark.framework.store import S3Store
 
-    client = boto3.client(
-        "s3",
-        aws_access_key_id=os.environ["S3_ACCESS_KEY"],
-        aws_secret_access_key=os.environ["S3_SECRET_KEY"],
-        endpoint_url=os.environ["S3_ENDPOINT_URL"],
-    )
-    bucket = os.environ["S3_BUCKET_NAME"]
-    try:
-        client.head_bucket(Bucket=bucket)
-    except Exception:
-        client.create_bucket(Bucket=bucket)
-    return S3Store()
+    if _REAL_S3:
+        client = boto3.client(
+            "s3",
+            aws_access_key_id=os.environ["S3_ACCESS_KEY"],
+            aws_secret_access_key=os.environ["S3_SECRET_KEY"],
+            endpoint_url=os.environ["S3_ENDPOINT_URL"],
+        )
+        bucket = os.environ["S3_BUCKET_NAME"]
+        try:
+            client.head_bucket(Bucket=bucket)
+        except Exception:
+            client.create_bucket(Bucket=bucket)
+        yield S3Store()
+        return
+
+    moto = pytest.importorskip("moto")
+    with moto.mock_aws():
+        bucket = f"shelf-test-{uuid.uuid4().hex[:8]}"
+        monkeypatch.setenv("S3_ACCESS_KEY", "testing")
+        monkeypatch.setenv("S3_SECRET_KEY", "testing")
+        monkeypatch.setenv("S3_BUCKET_NAME", bucket)
+        monkeypatch.delenv("S3_ENDPOINT_URL", raising=False)
+        boto3.client("s3", region_name="us-east-1").create_bucket(Bucket=bucket)
+        yield S3Store()
 
 
 def test_s3_upload_download_roundtrip(s3_store, tmp_path):
