@@ -94,7 +94,16 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with J ≥ threshold —
     bit-identical to the naive join (the DuckDB oracles are unchanged).
     """
-    sets = d.select("doc_id", _shingles(_words()).alias("sh_set"))
+    # The shingle arrays feed FOUR branches (explode→df, the ranked
+    # prefix, and both sides of the verify join); without pinning, each
+    # branch re-runs the O(words·k) shingle construction — the single
+    # hottest expression in the query. localCheckpoint materializes it
+    # once and truncates lineage (at cluster scale this is the standard
+    # "materialize the tokenization once" step; executor-local storage,
+    # cleaned by the ContextCleaner when unreferenced).
+    sets = d.select("doc_id", _shingles(_words()).alias("sh_set")).localCheckpoint(
+        eager=False
+    )
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
@@ -107,13 +116,18 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "n_sh")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-compatibility (Bayardo §3.1): J(A,B) ≥ t forces
+            # t·|A| ≤ |B| ≤ |A|/t — prunes candidates BEFORE the
+            # distinct+verify, exactness unchanged.
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -184,7 +198,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic by design; the driver records a rows-only check.)
     """
     d = spark.table("documents")
-    docs = d.select("doc_id", _shingles(_words()).alias("shingles"))
+    # Shingle arrays feed the signature pipeline AND both sides of the
+    # verify join — pin them once (same rationale as jaccard_pairs_exact).
+    docs = d.select("doc_id", _shingles(_words()).alias("shingles")).localCheckpoint(
+        eager=False
+    )
 
     def minhash(seed: int) -> Column:
         return F.array_min(
@@ -193,13 +211,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = docs.select(
         "doc_id",
-        "shingles",
         F.array(*[minhash(i) for i in range(N_HASHES)]).alias("sig"),
     )
-    # one row per band: (band_id, hash of the band's signature slice)
+    # one row per band: (band_id, hash of the band's signature slice).
+    # Only (doc_id, band, bucket) enters the self-join — the shingle
+    # arrays stay out of the shuffle and are joined back per candidate.
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -219,7 +237,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -232,15 +250,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
+    A = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    B = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(A, "doc_a").join(B, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
-    return cand.filter(jac >= JACCARD_THRESHOLD).select(
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 

@@ -238,16 +238,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pr_iter(prev: str, out: str) -> str:
-    """One unrolled PageRank iteration as a DuckDB CTE body."""
-    contrib = _sql_round_ieee(f"{prev}.r / CAST(deg.outdeg AS DOUBLE)", 8)
+    """One unrolled PageRank iteration as a DuckDB CTE body.
+
+    Per-edge contributions are quantized straight onto the scaled-integer
+    8dp grid (``floor(x·1e8 + 0.5)`` — the same IEEE ops as
+    ``_round_ieee`` before its division) and summed exactly in
+    DECIMAL(18,0); the single scale-back division happens once per node
+    after the final cast. Skips the per-edge double→DECIMAL(20,8) cast.
+    """
+    contrib_i = f"floor(({prev}.r / CAST(deg.outdeg AS DOUBLE)) * 100000000.0 + 0.5)"
     return f"""
     {out} AS (
       SELECT e.dst AS node,
              {_sql_round_ieee(
-                 "(0.15 / CAST(nn.n AS DOUBLE)) + (0.85 * CAST(sum_c AS DOUBLE))", 8
+                 "(0.15 / CAST(nn.n AS DOUBLE))"
+                 " + (0.85 * (CAST(sum_ci AS DOUBLE) / 100000000.0))", 8
              )} AS r
       FROM (
-        SELECT e.dst, sum(CAST({contrib} AS DECIMAL(20,8))) AS sum_c
+        SELECT e.dst, sum(CAST({contrib_i} AS DECIMAL(18,0))) AS sum_ci
         FROM edges e
         JOIN {prev} ON e.src = {prev}.node
         JOIN deg ON e.src = deg.src
@@ -303,24 +311,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "src")
+    # Pinned once: every iteration re-reads (edge, outdeg) — without this
+    # each of the 3 iterations re-runs the degree agg + join.
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     nn = deg.agg(F.count("*").alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),
         _round_ieee(F.lit(1.0) / F.col("n").cast("double"), 8).alias("r"),
     )
     for _ in range(_ITERS):
-        contrib = _round_ieee(F.col("r") / F.col("outdeg").cast("double"), 8)
+        # Scaled-integer contribution (see _sql_pr_iter): floor onto the
+        # 8dp grid as a LONG, exact DECIMAL(18,0) accumulation, one
+        # scale-back division per node — no per-edge double→decimal cast.
+        contrib_i = F.floor(
+            (F.col("r") / F.col("outdeg").cast("double")) * 1.0e8 + F.lit(0.5)
+        ).cast("decimal(18,0)")
         sums = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .groupBy("dst")
-            .agg(F.sum(contrib.cast(_DEC8)).alias("sum_c"))
+            .agg(F.sum(contrib_i).alias("sum_ci"))
         )
         ranks = sums.crossJoin(F.broadcast(nn)).select(
             F.col("dst").alias("node"),
             _round_ieee(
                 (F.lit(0.15) / F.col("n").cast("double"))
-                + (F.lit(_DAMP) * F.col("sum_c").cast("double")),
+                + (F.lit(_DAMP) * (F.col("sum_ci").cast("double") / 1.0e8)),
                 8,
             ).alias("r"),
         )
