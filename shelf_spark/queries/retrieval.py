@@ -84,8 +84,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N is a 1-row crossJoin broadcast. Ranking runs per-doc on the
     already-small tf rows. idf = ln(N/df) on exact ints → identical."""
     tok = _tokens(spark)
-    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # ONE token shuffle: tf has exactly one row per distinct (doc, word),
+    # so df = count of tf rows per word — deriving it from the pinned tf
+    # replaces a second full-token-stream shuffle (countDistinct over all
+    # tokens) with a shuffle of the already-deduplicated tf rows.
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=False
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = spark.table("documents").agg(F.count("*").alias("n_docs"))
     # df is vocabulary-sized — sublinear in corpus size but unbounded
     # (typo tail), so no broadcast HINT; AQE size-decides.
