@@ -104,15 +104,16 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     sets = d.select("doc_id", _shingles(_words()).alias("sh_set")).localCheckpoint(
         eager=False
     )
-    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    # n_sh rides along from size(sh_set) (arrays are already distinct) —
+    # a count(*) window here would cost a second WindowExec pass with a
+    # different ordering.
+    sh = sets.select(
+        "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("shingle")
+    )
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(df_counts, "shingle")
-        .withColumn(
-            "pos",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
-        )
-        .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+    ranked = sh.join(df_counts, "shingle").withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
