@@ -37,14 +37,14 @@ from .registry import query
       FROM dims
     )
     SELECT vec_id, label,
-           list_transform(
+           array_to_string(list_transform(
              list_zip(embedding, mns, mxs),
              t -> CAST(CASE WHEN CAST(t[3] AS DOUBLE) > CAST(t[2] AS DOUBLE)
                   THEN floor((CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))
                              / (CAST(t[3] AS DOUBLE) - CAST(t[2] AS DOUBLE))
                              * 255.0 + 0.5) - 128
                   ELSE 0 END AS BIGINT)
-           ) AS codes
+           ), ',') AS codes
     FROM embeddings CROSS JOIN scales
     ORDER BY vec_id
     """,
@@ -53,7 +53,13 @@ def vectors_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column: two passes —
     corpus-wide per-dimension min/max (exploded agg with map-side
     combine), then a broadcast affine map. Codes are exact-integer
-    deterministic (floor(·+0.5) is pure IEEE; see num.py)."""
+    deterministic (floor(·+0.5) is pure IEEE; see num.py).
+
+    Output contract: ``codes`` is a comma-joined string, not a raw
+    array — the correctness harness canonicalizes via pandas
+    ``sort_values``, which cannot factorize numpy arrays (r05 driver
+    err). Integer-to-string rendering is format-identical across
+    Spark and DuckDB, so value hashes still compare exactly."""
     e = spark.table("embeddings")
     dims = (
         e.select(F.posexplode("embedding").alias("idx", "x"))
@@ -82,7 +88,12 @@ def vectors_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.transform("embedding", code).alias("codes"),
+            F.array_join(
+                F.transform(
+                    "embedding", lambda x, i: code(x, i).cast("string")
+                ),
+                ",",
+            ).alias("codes"),
         )
         .orderBy("vec_id")
     )

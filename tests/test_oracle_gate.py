@@ -61,6 +61,29 @@ def test_oracle_result_types_match_spark(spark):
 
 
 @pytest.mark.oracle
+def test_no_nested_columns_in_oracle_checked_outputs(spark):
+    """The driver canonicalizes results via ``pandas.sort_values``, which
+    cannot factorize numpy arrays: any array/map/struct column in an
+    oracle-checked query's output errors the driver row even when values
+    are exact (r05: ``vectors_quantize_int8`` was the lone offender —
+    ``TypeError: unhashable type: 'numpy.ndarray'``). Reduce nested values
+    to scalars (to_json / array_join / explode) before output."""
+    from shelf_spark.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name in ORACLES:
+        for f in QUERIES[name](spark, sf).schema.fields:
+            kind = f.dataType.typeName()
+            if kind in ("array", "map", "struct"):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "oracle-checked outputs must be flat (driver sort_values "
+        "cannot canonicalize nested cells):\n" + "\n".join(offenders)
+    )
+
+
+@pytest.mark.oracle
 def test_all_queries_match_oracles():
     from tools.check_correctness import main as gate
     import sys
