@@ -30,61 +30,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_gate.py), so rotation steers which subset gets
 # *independent driver* evidence without dropping verification anywhere:
 #   r01–r03 window: relational(31) + subqueries(10) + functions(9)  → green
-#   r04 window: q1 anchor + 49 never-driver-checked operators
-#     (windows, events, text, dedup, sampling, vectors, multimodal,
-#      streaming, udfs, retrieval, graph) → 50/50 green.
-#   r05 window (below): the 44 operators still without a driver row
-#     (pipeline/analytics/stats/tpch_gap/quantize/rollups/ranges/report/
-#     mining/sqlsurface/sketches tail) + q14/q16/q17/q19 (plans changed in
-#     r04 *after* rotating out: hint removal + q19 pushdown — re-verify
-#     independently) + the q1/q3 anchors (wall-time drift under watch).
-#     Green here → cumulative driver evidence covers all 143 registered
-#     queries (137 value-exact + 6 justified rows-only).
-_DRIVER_WINDOW_R05 = [
-    "q1_pricing_summary",   # flagship anchor: keeps entry() & bench overlap
-    "q3_shipping_priority",  # drift watch (plan unchanged; re-anchor timing)
-    # TPC-H queries whose plans changed in r04 after rotating out of the
-    # driver window (broadcast-hint removal, q19 implied-predicate pushdown)
+#   r04 window: q1 anchor + 49 never-driver-checked operators → 50/50 green
+#   r05 window: the 44 never-checked tail + q14/q16/q17/q19 (r04 plan
+#     changes) + q1/q3 anchors → 49 green / 1 err (the int8-quantize
+#     array-output canonicalizer incompatibility, reshaped this round).
+#     Cumulative: all 143 registered queries have a driver row.
+#   r06 window (below): every query whose aggregate expressions or plan
+#     changed in r5/r6 AFTER its last driver row — the integer-grid
+#     migration (num.py dsum_i/davg_i rewrote the money aggregates of the
+#     TPC-H bodies, rollup/cube/grouping-sets/pivot, running windows,
+#     sessionize values), the r5 similarity-join rewrites (Jaccard prefix
+#     filter feeding ngram-jaccard + near-dup clusters, TF-IDF df
+#     derivation), and this round's changes (int8 quantize output reshape,
+#     pagerank constant-factor work, cluster/TF-IDF scale fixes) — plus the
+#     q1/q3 anchors and the r05-window TPC-H re-checks as belt-and-braces.
+_DRIVER_WINDOW_R06 = [
+    "q1_pricing_summary",    # flagship anchor (integer-grid tier, r5)
+    "q3_shipping_priority",  # anchor (integer-grid revenue, r5)
+    "vectors_quantize_int8",  # r6 output reshape — the one r05 err
+    "graph_pagerank",        # r6 constant-factor work
+    # TPC-H bodies rewritten onto the integer grid in r5 after their last
+    # driver row (r01–r03)
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q10_returned_items", "q11_important_parts",
+    "q12_ship_lag_buckets", "q13_customer_distribution",
+    "q15_top_supplier", "q18_large_volume_customers",
+    "q22_idle_wealthy_customers",
+    # grouping/rollup family + stats agg moved to the grid in r5
+    "agg_stats", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_pivot",
+    # window/event running sums moved to the grid in r5
+    "window_running", "window_range_frame", "events_tumbling_window",
+    "events_sliding_window", "events_sessionize", "events_rate_per_user",
+    # similarity-join / retrieval rewrites (r5) + r6 scale fixes
+    "dedup_ngram_jaccard", "dedup_near_dup_clusters", "text_tfidf_topk",
+    "text_bm25_rank",
+    # single-expression grid touches in r5 (cheap to re-prove)
+    "scan_inline_literals", "join_left_outer", "join_anti",
+    "join_nonequi", "join_cross", "dedup_keep_first", "join_salted_skew",
+    "text_fingerprint", "docs_stats_by_source",
+    # r05-window TPC-H re-checks (changed in r5, re-proved r05 — keep fresh)
     "q14_promo_share", "q16_part_supplier_counts",
     "q17_small_quantity_revenue", "q19_discounted_revenue",
-    # never-driver-checked remainder (44), grouped by module
-    # dedup / vectors (rows-only by design: LSH/SimHash/IVF probabilistic)
-    "dedup_minhash_lsh", "dedup_simhash", "ann_ivf_topk",
-    "ann_hard_negatives", "vectors_quantize_int8",
-    # streaming stateful (rows-only by design: update-mode state)
-    "stream_user_running_totals",
-    # text / pipeline
-    "text_pii_scan", "text_decontaminate", "text_vocab_topk",
-    "pack_token_shards", "text_lm_score", "docs_dataset_card",
-    # analytics / events
-    "clean_winsorize", "events_funnel", "events_retention_cohorts",
-    "scd2_merge_customers", "events_transition_matrix",
-    "events_daily_gapfill", "events_new_users_daily",
-    "events_rolling_active_users", "er_fuzzy_name_match",
-    "reshape_unpivot", "incr_merge_partials",
-    # stats / aggregates
-    "agg_corr_regr", "agg_mode_deterministic", "agg_bitwise",
-    "agg_string_agg", "agg_histogram", "agg_boolean",
-    "agg_grouped_regr_jvm", "agg_heavy_hitters",
-    # TPC-H gap queries
-    "q2_min_cost_supplier", "q8_market_share",
-    "q9_profit_by_nation_year", "q20_excess_inventory",
-    # joins / ranges / time series / quality
-    "join_lateral_topn", "join_range_bucketed", "join_interval_overlap",
-    "dq_profile", "ts_anomaly_zscore", "ts_ewma",
-    # sampling / sketches / sql surface
-    "sample_cap_per_group", "rollup_hll_mergeable", "fn_try_arith",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the driver's 50-row correctness window lands on operators
-    that have no driver evidence yet (see _DRIVER_WINDOW_R05 above); the
-    rest follow in registry order.
+    Ordered so the driver's 50-row correctness window lands on queries
+    whose expressions changed after their last driver row (see
+    _DRIVER_WINDOW_R06 above); the rest follow in registry order.
     """
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R05 if n in QUERIES}
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R06 if n in QUERIES}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn
