@@ -297,47 +297,62 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement. The undirected graph guarantees every node receives mass,
     so the inner join loses no nodes."""
     pairs = _basket_pairs(spark).select("p1", "p2")
-    # One distinct on the canonical (p1<p2) pairs; the reversed copy is
-    # disjoint by construction, so the union needs no second dedup.
-    und = pairs.distinct()
-    # localCheckpoint (not just persist): the edge list feeds the degree
-    # table, the node count, the initial ranks, AND every iteration —
-    # without materialization each consumer re-derives the whole basket
-    # pipeline, and the per-iteration plan grows into a tower. After the
-    # checkpoint everything downstream reads a materialized scan.
-    edges = (
-        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .union(und.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .localCheckpoint()
+    # localCheckpoint the CANONICAL (p1<p2) pairs — half the rows of the
+    # full edge list; the reversed copy is disjoint by construction, so
+    # the union needs no second dedup and both directions read the same
+    # materialized scan. Without the pin every consumer re-derives the
+    # whole basket pipeline and the per-iteration plan grows into a tower.
+    und = pairs.distinct().localCheckpoint()
+    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Pinned once: every iteration re-reads (edge, outdeg) — without this
-    # each of the 3 iterations re-runs the degree agg + join.
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    # The degree table is NODE-sized (parts ≪ edges) — pin it eagerly
+    # (one groupBy over the pinned pairs) and from here on nothing
+    # node-sized is ever shuffled: each iteration probes a broadcast of
+    # (node, r, outdeg), so the only per-iteration shuffle is the
+    # map-side-combined groupBy(dst), whose post-combine volume is
+    # O(partitions · nodes), not O(edges). At cluster scale this holds
+    # while the node table fits executor memory (an item catalog —
+    # millions of rows, tens of MB); past that, fall back to shuffle
+    # joins with edges pre-partitioned by src so all iterations reuse
+    # one exchange.
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     nn = deg.agg(F.count("*").alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),
         _round_ieee(F.lit(1.0) / F.col("n").cast("double"), 8).alias("r"),
+        "outdeg",
     )
+    deg_dst = deg.select(F.col("src").alias("node"), "outdeg")
     for _ in range(_ITERS):
         # Scaled-integer contribution (see _sql_pr_iter): floor onto the
         # 8dp grid as a LONG, exact DECIMAL(18,0) accumulation, one
         # scale-back division per node — no per-edge double→decimal cast.
+        # r and outdeg both ride the broadcast ranks row, so the probe is
+        # a single hash lookup per edge.
         contrib_i = F.floor(
             (F.col("r") / F.col("outdeg").cast("double")) * 1.0e8 + F.lit(0.5)
         ).cast("decimal(18,0)")
         sums = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(contrib_i).alias("sum_ci"))
         )
-        ranks = sums.crossJoin(F.broadcast(nn)).select(
-            F.col("dst").alias("node"),
-            _round_ieee(
-                (F.lit(0.15) / F.col("n").cast("double"))
-                + (F.lit(_DAMP) * (F.col("sum_ci").cast("double") / 1.0e8)),
-                8,
-            ).alias("r"),
+        # Re-attach outdeg for the next iteration's broadcast: node-sized
+        # ⋈ node-sized, broadcast-hash, no shuffle. The undirected graph
+        # guarantees src-set == dst-set, so the inner join loses no nodes.
+        ranks = (
+            sums.join(F.broadcast(deg_dst), sums.dst == deg_dst.node)
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                _round_ieee(
+                    (F.lit(0.15) / F.col("n").cast("double"))
+                    + (F.lit(_DAMP) * (F.col("sum_ci").cast("double") / 1.0e8)),
+                    8,
+                ).alias("r"),
+                "outdeg",
+            )
         )
     return (
         ranks.select("node", F.col("r").alias("pagerank"))
