@@ -110,8 +110,14 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     sh = sets.select(
         "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("shingle")
     )
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = sh.join(df_counts, "shingle").withColumn(
+    # Global shingle rarity (df) as a count window INSIDE the
+    # shingle-partitioned exchange — sh has one row per (doc, shingle),
+    # so the partition count IS the document frequency. One deterministic
+    # shuffle of the token stream instead of two (groupBy df + join back),
+    # and no join strategy for AQE to flip.
+    ranked = sh.withColumn(
+        "df", F.count("*").over(W.partitionBy("shingle"))
+    ).withColumn(
         "pos",
         F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
     )

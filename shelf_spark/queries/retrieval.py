@@ -14,9 +14,11 @@ sum then runs in DECIMAL — exact, order-independent.
 Scale notes (100 TB):
 - The token explode is a narrow map stage that pipelines with the scan —
   no shuffle until the (doc_id, word) count.
-- The df (document-frequency) table is vocabulary-sized — orders of
-  magnitude smaller than the corpus — so the score join broadcasts it;
-  the corpus-side tf table never reshuffles for the join.
+- Document frequency never materializes as a joined table: TF-IDF
+  computes it as a count window inside the word-partitioned exchange
+  (one deterministic shuffle, no broadcast-or-merge flip, safe for an
+  unbounded typo-tail vocabulary); BM25's df IS broadcast, but only
+  after the query-term filter bounds it to the query's own terms.
 - N and avgdl are single scalars: computed once, crossJoin-broadcast.
 - Chunking is pure per-row array arithmetic (sequence → slice →
   posexplode): map-only, zero shuffles, output partitioning inherited.
@@ -78,25 +80,21 @@ def _tokens(spark: SparkSession) -> DataFrame:
     ),
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. tf shuffles on (doc_id, word)
-    with map-side combine; df is vocabulary-sized (AQE broadcasts it
-    while it fits — no unconditional hint, the typo tail is unbounded);
-    N is a 1-row crossJoin broadcast. Ranking runs per-doc on the
-    already-small tf rows. idf = ln(N/df) on exact ints → identical."""
+    """Top-3 TF-IDF terms per document. One linear pipeline, three
+    deterministic exchanges: tf shuffles on (doc_id, word) with map-side
+    combine; df is a count(*) window over word computed INSIDE the
+    word-partitioned exchange (tf has exactly one row per distinct
+    (doc, word), so the partition count IS the document frequency) — no
+    tf⋈df join at all, so there is no AQE broadcast-or-merge flip to
+    stabilize and no driver-memory hazard from an unbounded typo-tail
+    vocabulary; then the ranking window re-partitions by doc_id.
+    N is a 1-row crossJoin broadcast. idf = ln(N/df) on exact ints →
+    identical IEEE doubles on both engines."""
     tok = _tokens(spark)
-    # ONE token shuffle: tf has exactly one row per distinct (doc, word),
-    # so df = count of tf rows per word — deriving it from the pinned tf
-    # replaces a second full-token-stream shuffle (countDistinct over all
-    # tokens) with a shuffle of the already-deduplicated tf rows.
-    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).localCheckpoint(
-        eager=False
-    )
-    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     n = spark.table("documents").agg(F.count("*").alias("n_docs"))
-    # df is vocabulary-sized — sublinear in corpus size but unbounded
-    # (typo tail), so no broadcast HINT; AQE size-decides.
     scored = (
-        tf.join(df, "word")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("word")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

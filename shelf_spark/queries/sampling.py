@@ -209,53 +209,72 @@ def interleave_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Connected components over the exact-Jaccard near-dup graph (only
-    # docs that have at least one near-dup appear). Iterative min-label
-    # propagation: labels(doc) ← min(labels(doc), labels of neighbors),
-    # repeated until fixpoint, convergence checked driver-side on a
-    # changed-row count. Each round is one shuffle join on integer ids —
-    # the text never moves after the pairs are built.
+    # docs that have at least one near-dup appear), via the alternating
+    # large-star/small-star contraction (Kiveris et al., "Connected
+    # Components in MapReduce and Beyond", SoCC'14): each round hooks
+    # every node to the minimum of a neighborhood, so chains collapse in
+    # O(log² n) rounds instead of the O(diameter) a min-label propagation
+    # needs — the bound that made this the 10×-smoke tail. Each half-round
+    # is one map-side-combined groupBy + co-partitioned join on integer
+    # ids; the text never moves after the pairs are built.
     d = spark.table("documents")
     # Prefix-filtered exact Jaccard pair generation (see
     # dedup.jaccard_pairs_exact) — same pairs as the naive inverted-index
     # join the oracle's CTE encodes, without its per-shingle df² cost.
     pairs = jaccard_pairs_exact(d, JACCARD_THRESHOLD).select("doc_a", "doc_b")
 
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    edges.persist()
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
-    )
-    # Diameter of near-dup components ≈ duplicate-chain length; cap the
-    # loop generously and stop as soon as a round changes nothing.
-    for _ in range(15):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+    # Edges oriented larger→smaller; both star steps preserve that
+    # orientation, so the fixpoint is a star per component whose center
+    # is the component minimum — exactly the oracle's min(reach).
+    edges = pairs.select(
+        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+    ).localCheckpoint()
+    prev_sig = None
+    # log²-bounded: 12 rounds covers any component this graph can hold;
+    # the signature check stops as soon as a round is a no-op.
+    for _ in range(12):
+        # Large-star: over both directions, hook every neighbor larger
+        # than u to m = min(N(u) ∪ {u}).  m ≤ u < v keeps (bigger, smaller).
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
-                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias(
-                    "_changed"
-                ),
-            )
+        large = (
+            bidir.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
-        # Eager localCheckpoint: materializes the round AND truncates lineage,
-        # so the logical plan stays one-round deep instead of doubling every
-        # iteration (analysis/planning time blows up long before big data
-        # does otherwise).
-        updated = updated.localCheckpoint()
-        n_changed = updated.filter("_changed").count()
-        labels.unpersist()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
+        # Small-star: hook u and all its (smaller) neighbors to the
+        # minimum neighbor m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        # Eager localCheckpoint: materializes the round AND truncates
+        # lineage, so the logical plan stays one-round deep instead of
+        # doubling every iteration.
+        edges = small.localCheckpoint()
+        # Fixpoint probe: one tiny job over the pinned round — star
+        # graphs are fixpoints of both steps, so an unchanged edge set
+        # (count + order-free hash) means converged.
+        sig = tuple(
+            edges.agg(
+                F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
+            ).first()
+        )
+        if sig == prev_sig:
             break
-    edges.unpersist()
+        prev_sig = sig
+    labels = (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .union(edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )
     return labels.orderBy("doc_id")
