@@ -58,7 +58,7 @@ def _utc_adjusted_timestamp_cols(path: str) -> tuple[str, ...]:
         parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
         if not parts:
             return ()
-        probe = os.path.join(path, parts[0])
+        probe = os.path.join(path, min(parts))  # deterministic pick
     arrow = pq.read_schema(probe)
     return tuple(
         f.name
@@ -70,16 +70,23 @@ def _utc_adjusted_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet timestamp[ns] (Spark can't read natively)."""
-    if path not in _NS_COLS_CACHE:
-        probe = path
-        if os.path.isdir(path):  # Spark-written table dir: probe a part file
-            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
-            if not parts:
-                # Empty ingest dir: do NOT cache — files that land later
-                # (possibly int64-nanos) must be re-probed on next call.
-                return ()
-            probe = os.path.join(path, parts[0])
+    """Columns stored as parquet timestamp[ns] (Spark can't read natively).
+
+    The cache is keyed by the PROBED FILE, not the directory: a streaming
+    ingest dir keeps growing, and pinning a dir to its first-ever probe
+    would mis-read later files with a different timestamp encoding. The
+    probe file is picked deterministically (min of the part names); when
+    new parts change that pick, the new file is probed fresh.
+    """
+    probe = path
+    if os.path.isdir(path):  # Spark-written table dir: probe a part file
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            # Empty ingest dir: files that land later (possibly
+            # int64-nanos) must be re-probed on next call.
+            return ()
+        probe = os.path.join(path, min(parts))
+    if probe not in _NS_COLS_CACHE:
         # Arrow reports both TIMESTAMP(NANOS) (INT64) and Spark's INT96 as
         # timestamp[ns]; only the INT64 form needs the nanosAsLong workaround
         # (Spark reads its own INT96 natively).
@@ -89,13 +96,13 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
             for rg_c in [pq.ParquetFile(probe).schema]
             for c in (rg_c.column(i) for i in range(len(rg_c)))
         }
-        _NS_COLS_CACHE[path] = tuple(
+        _NS_COLS_CACHE[probe] = tuple(
             f.name
             for f in arrow
             if str(f.type).startswith("timestamp[ns")
             and physical.get(f.name) == "INT64"
         )
-    return _NS_COLS_CACHE[path]
+    return _NS_COLS_CACHE[probe]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

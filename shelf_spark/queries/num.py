@@ -40,6 +40,16 @@ def dsum_i(col: Column, din: int = 2) -> Column:
     ~40% cheaper per column than :func:`dsum`: it avoids the per-row
     double→decimal cast (BigDecimal.valueOf → Double.toString in the JVM),
     which dominates the decimal tier's cost. Same determinism guarantee.
+
+    CALLER CONTRACT: the input must be fixed-point data lying on the
+    10^-din grid (money, rates, grid products). An off-grid value — a
+    ratio, a vector norm, an already-averaged column — is silently
+    quantized to din decimals with no error raised; for general ≤8dp
+    doubles use :func:`dsum`'s DECIMAL(30,8) tier instead. Note the
+    result is the UNROUNDED grid sum (up to din decimals); the old
+    decimal tier presented 2dp — an intentional precision change,
+    recorded in SCALE.md (both engines changed together, so parity is
+    unaffected).
     """
     scale = float(10**din)
     s = F.sum(F.floor(col * scale + F.lit(0.5)).cast("decimal(18,0)"))
