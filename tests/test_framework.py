@@ -233,6 +233,81 @@ def test_build_cycle_python_step(workspace, spark):
     assert rows == {(10, 100), (20, 400)}
 
 
+def test_python_step_polars_style_parquet_interchange(workspace, spark):
+    """E2E build whose step script writes Parquet with Polars' physical
+    conventions — large_string / int64 / date32 / float64 (the reference's
+    placeholder scripts write via Polars, README.md:77-91) — then a SQL
+    step consumes that output. Pins interchange fidelity end-to-end: the
+    argv contract (reference tables.py:142-152), Spark's read of the
+    arrow-written file, dtype flow into the sidecar's simpleString schema
+    vocabulary, and a golden frame through the downstream step. The script
+    uses Polars when the interpreter has it and an identically-typed
+    pyarrow writer otherwise (this container has no Polars)."""
+    import yaml
+
+    from shelf_spark.framework.steps import execute_dag, prune_completed
+    from shelf_spark.framework import paths
+
+    Shelf.init()
+    shelf = Shelf()
+    shelf.new_table("ns/catalog/2024-01-01", [])
+    shelf.save()
+    script = paths.TABLE_SCRIPTS_DIR / "ns" / "catalog.py"
+    script.parent.mkdir(parents=True, exist_ok=True)
+    script.write_text(
+        "import sys\n"
+        "rows = {'name': ['ash', 'birch', None],\n"
+        "        'n': [1, 2, 3],\n"
+        "        'price': [1.5, 2.25, 0.0]}\n"
+        "days = [18262, 18263, None]  # 2020-01-01, 2020-01-02 as date32\n"
+        "try:\n"
+        "    import polars as pl\n"
+        "    from datetime import date, timedelta\n"
+        "    df = pl.DataFrame(rows).with_columns(\n"
+        "        pl.Series('d', [date(1970, 1, 1) + timedelta(days=v)\n"
+        "                        if v is not None else None for v in days]))\n"
+        "    df.write_parquet(sys.argv[-1])\n"
+        "except ModuleNotFoundError:\n"
+        "    import pyarrow as pa, pyarrow.parquet as pq\n"
+        "    # Polars' physical parquet types: Utf8→large_string,\n"
+        "    # Int64→int64, Float64→double, Date→date32\n"
+        "    t = pa.table({'name': pa.array(rows['name'], pa.large_string()),\n"
+        "                  'n': pa.array(rows['n'], pa.int64()),\n"
+        "                  'price': pa.array(rows['price'], pa.float64()),\n"
+        "                  'd': pa.array(days, pa.date32())})\n"
+        "    pq.write_table(t, sys.argv[-1])\n"
+    )
+    # downstream SQL step consumes the Python step's output via a temp view
+    shelf = Shelf()
+    shelf.new_table("ns/priced/2024-01-02", ["table://ns/catalog/2024-01-01"])
+    shelf.save()
+    sql = paths.TABLE_SCRIPTS_DIR / "ns" / "priced.sql"
+    sql.write_text(
+        "SELECT name, n * 2 AS n2, price, d FROM {catalog} WHERE name IS NOT NULL"
+    )
+    execute_dag(spark, prune_completed(Shelf().resolve_latest()))
+
+    # dtype flow into the sidecar's schema vocabulary (N20)
+    meta = yaml.safe_load(
+        paths.table_metadata_path("ns/catalog/2024-01-01").read_text()
+    )
+    assert meta["schema"] == {
+        "name": "string",
+        "n": "bigint",
+        "price": "double",
+        "d": "date",
+    }
+    # golden frame through the downstream SQL step
+    import datetime as dt
+
+    out = paths.table_data_path("ns/priced/2024-01-02")
+    got = {tuple(r) for r in spark.read.parquet(str(out.resolve())).collect()}
+    assert got == {
+        ("ash", 2, 1.5, dt.date(2020, 1, 1)),
+        ("birch", 4, 2.25, dt.date(2020, 1, 2)),
+    }
+
+
 def test_sidecar_writes_empty_provenance_as_comments(workspace):
     """Unfilled provenance fields appear as '# key:' comment lines in the
     sidecar — the human-curation skeleton the reference writes (reference
