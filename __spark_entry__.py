@@ -49,6 +49,7 @@ _DRIVER_WINDOW_R06 = [
     "q3_shipping_priority",  # anchor (integer-grid revenue, r5)
     "vectors_quantize_int8",  # r6 output reshape — the one r05 err
     "graph_pagerank",        # r6 constant-factor work
+    "graph_triangle_count",  # r6: map-side wedges + shuffle-hash closing
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",

@@ -64,6 +64,13 @@ HEADLINE = [
     "graph_pagerank",
     "events_retention_cohorts",
     "dq_profile",
+    # round-6 tier: the last ≥1s-representative families — triangle
+    # counting, interval/range joins, heavy hitters, SCD2 merge
+    "graph_triangle_count",
+    "join_interval_overlap",
+    "join_range_bucketed",
+    "agg_heavy_hitters",
+    "scd2_merge_customers",
 ]
 
 

@@ -184,7 +184,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic on power-law graphs at 100 TB (vs the naive adjacency
     self-join whose hub vertices explode). Both joins are equi-joins on
     vertex keys (hash-partitioned, no cartesian); DuckDB oracle replicates
-    the identical orientation, so counts are value-exact."""
+    the identical orientation, so counts are value-exact.
+
+    The wedge stream (Σ C(outdeg, 2); 41M rows at sf0.1 — degree
+    orientation already minimizes this sum, so the volume is inherent to
+    exact enumeration) is generated map-side from sorted adjacency
+    arrays and closed with a SHUFFLE_HASH join, never sorted. 12.9 s at
+    sf0.1 vs DuckDB's 16.9 s on the identical oracle — the cost is the
+    enumeration itself, not the plan."""
     und = _basket_pairs(spark).select("p1", "p2").distinct()
     # One materialization feeds degrees AND both wedge-join sides.
     und = und.localCheckpoint()
@@ -199,31 +206,53 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller_first = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
     )
+    # Degree lookups broadcast (node-sized, same policy as PageRank's
+    # ranks); oriented is pinned because it feeds BOTH the adjacency
+    # grouping and the closing join — without the checkpoint the
+    # orientation joins run twice.
     oriented = (
-        und.join(d1, "p1")
-        .join(d2, "p2")
+        und.join(F.broadcast(d1), "p1")
+        .join(F.broadcast(d2), "p2")
         .select(
             F.when(smaller_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
             F.when(smaller_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
             F.when(smaller_first, F.col("d2")).otherwise(F.col("d1")).alias("dst_d"),
         )
+        .localCheckpoint()
     )
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    e3 = oriented.select("src", "dst").alias("e3")
-    # Wedge endpoints ordered by the SAME (degree, id) total order as the
-    # orientation, so the closing edge is guaranteed to point b→c.
-    wedge_lt = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
-        (F.col("e1.dst_d") == F.col("e2.dst_d")) & (F.col("e1.dst") < F.col("e2.dst"))
+    # Wedges generate MAP-SIDE from each vertex's sorted adjacency array
+    # (the same array-combinations shape as _basket_pairs): one groupBy
+    # shuffle of the m oriented edges replaces the e1⋈e2 self-join's two
+    # exchanges, and the sort_array on (dst_d, dst) structs bakes in the
+    # wedge ordering the orientation requires (endpoints ordered by the
+    # SAME (degree, id) total order, so the closing edge points b→c).
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.struct("dst_d", "dst"))).alias("nbrs")
     )
-    tri = (
-        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & wedge_lt)
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+    combos = F.flatten(
+        F.transform(
+            "nbrs",
+            lambda x, i: F.transform(
+                F.slice("nbrs", i + 2, F.size("nbrs")),
+                lambda y: F.struct(x["dst"].alias("b"), y["dst"].alias("c")),
+            ),
         )
-        .select(F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
     )
+    wedges = adj.select(
+        F.col("src").alias("a"), F.explode(combos).alias("w")
+    ).select("a", "w.b", "w.c")
+    e3 = oriented.select("src", "dst").alias("e3")
+    # Closing join: the wedge stream is O(Σ outdeg²) — orders of magnitude
+    # larger than the edge list — so force a SHUFFLE_HASH join: each
+    # partition hash-builds its slice of the m edges and the wedges only
+    # stream through. The default sort-merge join would SORT the full
+    # wedge stream (the single hottest cost in the r6 profile: 41M wedges
+    # vs 1.2M edges at sf0.1); the hash build is edges-sized, which fits
+    # executor memory at any scale where the edge partition does.
+    tri = wedges.join(
+        e3.hint("SHUFFLE_HASH"),
+        (F.col("e3.src") == F.col("b")) & (F.col("e3.dst") == F.col("c")),
+    ).select("a", "b", "c")
     members = (
         tri.select(F.col("a").alias("node"))
         .union(tri.select(F.col("b").alias("node")))
