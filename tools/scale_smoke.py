@@ -83,6 +83,15 @@ HEADLINE = [
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
+    # round-6: the changed plans (star-contraction clusters, window-df
+    # tfidf/jaccard, broadcast-state pagerank, map-side-wedge triangles)
+    # + the families newly added to bench.py
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "graph_triangle_count",
+    "join_interval_overlap",
+    "join_range_bucketed",
+    "agg_heavy_hitters",
 ]
 
 
