@@ -50,6 +50,8 @@ _DRIVER_WINDOW_R06 = [
     "vectors_quantize_int8",  # r6 output reshape — the one r05 err
     "graph_pagerank",        # r6 constant-factor work
     "graph_triangle_count",  # r6: map-side wedges + shuffle-hash closing
+    "join_range_bucketed",   # r6: weighted-point compression
+    "q20_excess_inventory",  # r6: window totals replace the join-back
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",

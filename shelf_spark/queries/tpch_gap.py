@@ -116,7 +116,16 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts grow). The per-(supp, part) sums and per-part totals are two
     aggregations of one grouped table — the second groupBy reuses the
     first shuffle's l_partkey prefix. qty·n_supp is integer-exact; the
-    1.5·total threshold is one identical IEEE multiply-compare."""
+    1.5·total threshold is one identical IEEE multiply-compare.
+
+    Per-part totals are WINDOW aggregates over the grouped supply rows
+    (one partition pass inside the l_partkey exchange) rather than a
+    second groupBy joined back: the r6 10× smoke showed the join-back
+    re-running the whole lineitem⋈part pipeline when exchange reuse
+    didn't hold under AQE — the window form has one consumer, nothing
+    to re-derive, and strictly fewer exchanges."""
+    from pyspark.sql.window import Window as W
+
     li = spark.table("lineitem")
     part = spark.table("part").filter(F.col("p_type") == "STANDARD")
     supply = (
@@ -124,12 +133,14 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    part_total = supply.groupBy("l_partkey").agg(
-        F.sum("qty").alias("total_qty"), F.count("*").alias("n_supp")
-    )
-    dominant = supply.join(part_total, "l_partkey").filter(
-        (F.col("qty") * F.col("n_supp")).cast("double")
-        > 1.5 * F.col("total_qty").cast("double")
+    wp = W.partitionBy("l_partkey")
+    dominant = (
+        supply.withColumn("total_qty", F.sum("qty").over(wp))
+        .withColumn("n_supp", F.count("*").over(wp))
+        .filter(
+            (F.col("qty") * F.col("n_supp")).cast("double")
+            > 1.5 * F.col("total_qty").cast("double")
+        )
     )
     sup = spark.table("supplier")
     nat = spark.table("nation")
