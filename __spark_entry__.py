@@ -52,6 +52,8 @@ _DRIVER_WINDOW_R06 = [
     "graph_triangle_count",  # r6: map-side wedges + shuffle-hash closing
     "join_range_bucketed",   # r6: weighted-point compression
     "q20_excess_inventory",  # r6: window totals replace the join-back
+    "dedup_semantic_clusters",  # r6: NEW operator — needs a first row
+    "text_chunk_sliding",    # r6: chunk_start widened to match oracle type
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",

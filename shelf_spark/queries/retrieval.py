@@ -228,14 +228,14 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") > 0)
     starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))
     return (
-        base.select("doc_id", "words", F.explode(starts).alias("chunk_start"))
+        base.select("doc_id", "words", F.explode(starts).alias("start_i"))
         .select(
             "doc_id",
-            "chunk_start",
+            F.col("start_i").cast("long").alias("chunk_start"),
             F.array_join(
-                F.slice(F.col("words"), F.col("chunk_start") + 1, 32), " "
+                F.slice(F.col("words"), F.col("start_i") + 1, 32), " "
             ).alias("chunk_text"),
-            F.size(F.slice(F.col("words"), F.col("chunk_start") + 1, 32))
+            F.size(F.slice(F.col("words"), F.col("start_i") + 1, 32))
             .cast("long")
             .alias("n_chunk_tokens"),
         )

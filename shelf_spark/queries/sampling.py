@@ -19,14 +19,15 @@ and consistent train/validation splits (disjoint hash ranges).
 Near-dup *clustering* turns pairwise similarity (see
 :mod:`shelf_spark.queries.dedup`) into connected components — the step a
 dedup pipeline actually acts on (keep one doc per component). Spark side
-is iterative min-label propagation (each round: one join + one agg,
-converges in graph-diameter rounds — near-dup components are chains of
-duplicates, diameter ≲ a few). The DuckDB oracle is a recursive CTE
-computing the same transitive closure, so this genuinely iterative
-operator still gets a full value-check. At 100 TB scale the same loop
-holds (components are tiny; the join is on doc ids, not text), with the
-large-star/small-star rewrite [Kiveris et al., "Connected Components in
-MapReduce and Beyond"] as the upgrade path if components ever get deep.
+is :func:`star_components`, the alternating large-star/small-star
+contraction [Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14]: O(log² n) rounds regardless of component shape, each
+half-round one map-side-combined groupBy + co-partitioned join on ids
+only. The DuckDB oracle is a recursive CTE computing the same transitive
+closure, so this genuinely iterative operator still gets a full
+value-check; a property test (tests/test_star_components.py) checks the
+contraction against a union-find reference on random and adversarial
+(chain) graphs.
 """
 
 from __future__ import annotations
@@ -41,6 +42,72 @@ from .registry import query
 #: P(keep) = int(bound, 16) / 16^4.
 SAMPLE_20PCT = "3333"  # 0x3333/0xffff ≈ 0.20
 SAMPLE_50PCT = "7fff"
+
+
+def star_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 12) -> DataFrame:
+    """Connected components of an undirected graph given as id pairs.
+
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14). Returns ``(node, component)`` for every node appearing in
+    ``pairs``, where ``component`` is the minimum id of the node's
+    component — the same labeling a transitive-closure oracle's
+    ``min(reach)`` produces. Rounds are O(log² n) regardless of
+    component shape; each half-round is one map-side-combined groupBy +
+    one co-partitioned join on integer ids. Fixpoint is detected by an
+    order-free (count, bit_xor of xxhash64) signature over the pinned
+    round output — star graphs are fixpoints of both steps, so an
+    unchanged edge set means converged.
+    """
+    # Edges oriented larger→smaller; both star steps preserve that
+    # orientation, so the fixpoint is a star per component whose center
+    # is the component minimum.
+    edges = (
+        pairs.where(F.col(a) != F.col(b))  # self-pairs carry no connectivity
+        .select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # Large-star: over both directions, hook every neighbor larger
+        # than u to m = min(N(u) ∪ {u}).  m ≤ u < v keeps (bigger, smaller).
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            bidir.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # Small-star: hook u and all its (smaller) neighbors to the
+        # minimum neighbor m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        # Eager localCheckpoint: materializes the round AND truncates
+        # lineage, so the logical plan stays one-round deep instead of
+        # doubling every iteration.
+        edges = small.localCheckpoint()
+        sig = tuple(edges.agg(F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
 
 
 def _hash_bucket(key) -> F.Column:
@@ -222,59 +289,8 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup.jaccard_pairs_exact) — same pairs as the naive inverted-index
     # join the oracle's CTE encodes, without its per-shingle df² cost.
     pairs = jaccard_pairs_exact(d, JACCARD_THRESHOLD).select("doc_a", "doc_b")
-
-    # Edges oriented larger→smaller; both star steps preserve that
-    # orientation, so the fixpoint is a star per component whose center
-    # is the component minimum — exactly the oracle's min(reach).
-    edges = pairs.select(
-        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-    ).localCheckpoint()
-    prev_sig = None
-    # log²-bounded: 12 rounds covers any component this graph can hold;
-    # the signature check stops as soon as a round is a no-op.
-    for _ in range(12):
-        # Large-star: over both directions, hook every neighbor larger
-        # than u to m = min(N(u) ∪ {u}).  m ≤ u < v keeps (bigger, smaller).
-        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            bidir.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
-        large = (
-            bidir.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # Small-star: hook u and all its (smaller) neighbors to the
-        # minimum neighbor m.
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(mins2, "u")
-            .where(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select("u", F.col("m").alias("v")))
-            .distinct()
-        )
-        # Eager localCheckpoint: materializes the round AND truncates
-        # lineage, so the logical plan stays one-round deep instead of
-        # doubling every iteration.
-        edges = small.localCheckpoint()
-        # Fixpoint probe: one tiny job over the pinned round — star
-        # graphs are fixpoints of both steps, so an unchanged edge set
-        # (count + order-free hash) means converged.
-        sig = tuple(
-            edges.agg(
-                F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
-            ).first()
-        )
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    labels = (
-        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
-        .union(edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")))
-        .distinct()
+    return (
+        star_components(pairs, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
     )
-    return labels.orderBy("doc_id")

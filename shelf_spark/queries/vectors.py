@@ -231,3 +231,80 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (
+      SELECT vec_id, label, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
+            / (a.nrm * b.nrm) >= 0.92
+    ),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM prs
+      UNION SELECT vb, va FROM prs
+    ),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    lab AS (
+      SELECT node AS vec_id, min(reach) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           (vec_id = cluster_id) AS is_canonical
+    FROM lab
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup-shaped): high-cosine embedding
+    pairs within a blocking cell → connected components → one canonical
+    (minimum-id) representative per cluster, with cluster sizes — the
+    keep-one-per-cluster decision table a curation pipeline acts on.
+    Pair mining reuses the embed_cosine_pairs shape (label blocking
+    bounds the pair space; the cosine is a fixed-shape JVM fold,
+    identical IEEE on both engines); components come from the
+    large-star/small-star contraction (sampling.star_components,
+    O(log² n) rounds, property-tested); cluster_size is a count window
+    inside the component-partitioned exchange. Only ids shuffle after
+    pair mining — embeddings never move again. Oracle: the same pairs
+    fed through a recursive-CTE transitive closure."""
+    from .sampling import star_components
+
+    v = (
+        spark.table("embeddings")
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.92)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    lab = star_components(pairs, "va", "vb").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        lab.withColumn(
+            "cluster_size",
+            F.count("*").over(W.partitionBy("cluster_id")).cast("bigint"),
+        )
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("vec_id")
+    )
