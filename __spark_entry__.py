@@ -54,6 +54,10 @@ _DRIVER_WINDOW_R06 = [
     "q20_excess_inventory",  # r6: window totals replace the join-back
     "dedup_semantic_clusters",  # r6: NEW operator — needs a first row
     "text_chunk_sliding",    # r6: chunk_start widened to match oracle type
+    # r6: NEW streaming surfaces — stream-static dedup/enrich + the
+    # watermarked stream-stream conversion join
+    "stream_dedup_against_corpus", "stream_static_enrich",
+    "stream_stream_conversions",
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",

@@ -156,3 +156,142 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "day")
     )
     return S.run_available_now(deduped, "q_stream_dedup", output_mode="append")
+
+
+@query(
+    "stream_dedup_against_corpus",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE sha256(text) NOT IN (
+      SELECT sha256(text) FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    )
+    ORDER BY doc_id
+    """,
+)
+def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup against a STATIC corpus: incoming document
+    shards (file stream) drop any doc whose SHA-256 fingerprint already
+    exists in the ingested corpus (here: the 'src0'–'src4' slice). The
+    stream side is stateless — no watermark, no state store — because
+    the corpus carries the history; the corpus collapses to its distinct
+    32-byte digests and is broadcast per micro-batch, so a corpus
+    growing underneath the stream is picked up without restarts. This is
+    the streaming face of the batch dedup ladder (dedup_exact), and the
+    single availableNow pass makes it exactly the batch anti-join the
+    oracle encodes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+
+    corpus = spark.table("documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    stream = S.documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    fresh = S.dedup_against_corpus(stream, corpus).select(
+        "doc_id", "source", "n_chars"
+    )
+    return S.run_available_now(
+        fresh, "q_stream_corpus_dedup", output_mode="append"
+    ).orderBy("doc_id")
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    WITH dim AS (
+      SELECT user_id, count(*) AS n_lifetime FROM events GROUP BY user_id
+    ), tiers AS (
+      SELECT user_id,
+             CASE WHEN n_lifetime >= 75 THEN 'heavy'
+                  WHEN n_lifetime >= 60 THEN 'mid'
+                  ELSE 'light' END AS tier
+      FROM dim
+    )
+    SELECT event_type, tier,
+           count(*) AS n_events,
+           {SQL_DSUM_VALUE} AS total_value
+    FROM events JOIN tiers USING (user_id)
+    GROUP BY event_type, tier
+    ORDER BY event_type, tier
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: each streamed event joins a BATCH
+    per-user dimension (lifetime activity tier) via a broadcast hash
+    join — stateless for the stream, re-read per micro-batch so a
+    slowly-changing dim picks up updates without restarts — then rolls
+    up per (event_type, tier). The rollup value sum rides the integer
+    grid (num.dsum_i), so the single availableNow pass is value-exact
+    against the batch join+rollup the oracle encodes."""
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+    from .num import dsum_i
+
+    events = spark.table("events")
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_lifetime"))
+        .select(
+            "user_id",
+            F.when(F.col("n_lifetime") >= 75, "heavy")
+            .when(F.col("n_lifetime") >= 60, "mid")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    enriched = S.enrich_with_static(stream, dim, "user_id", how="inner")
+    rolled = enriched.groupBy("event_type", "tier").agg(
+        F.count("*").alias("n_events"), dsum_i(F.col("value"), 2).alias("total_value")
+    )
+    return S.run_available_now(
+        rolled, "q_stream_enrich", output_mode="complete"
+    ).orderBy("event_type", "tier")
+
+
+@query(
+    "stream_stream_conversions",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS first_event_id,
+           b.event_id AS then_event_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ORDER BY a.user_id, first_event_id, then_event_id
+    """,
+)
+def stream_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (conversion attribution): every
+    'view' matched to the same user's 'purchase' events within the next
+    30 minutes. Both sides carry watermarks and the join bounds
+    event-time distance, so state expires once rows fall behind the
+    horizon — O(events in horizon), the requirement for an unbounded
+    run. The inner join emits each match exactly once, so the single
+    availableNow pass equals the batch theta join the oracle encodes."""
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    matched = S.stream_stream_correlate(
+        stream, first_type="view", then_type="purchase", within="30 minutes"
+    )
+    out = matched.select(
+        "user_id",
+        "first_event_id",
+        "then_event_id",
+        (F.unix_micros("then_ts") - F.unix_micros("first_ts")).alias("gap_us"),
+    )
+    return S.run_available_now(
+        out, "q_stream_conversions", output_mode="append"
+    ).orderBy("user_id", "first_event_id", "then_event_id")
