@@ -58,6 +58,9 @@ _DRIVER_WINDOW_R06 = [
     # watermarked stream-stream conversion join
     "stream_dedup_against_corpus", "stream_static_enrich",
     "stream_stream_conversions",
+    # r6: NEW curation operators — temperature mixing weights +
+    # per-source quality-percentile filter
+    "mix_temperature_weights", "filter_quality_percentile",
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -78,9 +81,9 @@ _DRIVER_WINDOW_R06 = [
     "scan_inline_literals", "join_left_outer", "join_anti",
     "join_nonequi", "join_cross", "dedup_keep_first", "join_salted_skew",
     "text_fingerprint", "docs_stats_by_source",
-    # r05-window TPC-H re-checks (changed in r5, re-proved r05 — keep fresh)
-    "q14_promo_share", "q16_part_supplier_counts",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    # (q14/q16/q17/q19 were re-proved green in the r05 window after their
+    # r4 plan changes — their driver evidence is current, so they yield
+    # their slots to the new r6 operators above.)
 ]
 
 

@@ -455,3 +455,73 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+@query(
+    "filter_quality_percentile",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             round(
+               0.5 * least(n_chars / 500.0, 1.0)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens),
+             6) AS quality
+      FROM feat
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS pct
+      FROM scored
+    )
+    SELECT doc_id, source, quality,
+           (floor(pct * 1000000.0 + 0.5) / 1000000.0) AS pct
+    FROM ranked
+    WHERE pct >= 0.2
+    ORDER BY doc_id
+    """,
+)
+def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile filtering: drop each source's bottom
+    quality quintile — the rank-based variant of threshold filtering
+    that survives per-source score-distribution drift (a fixed absolute
+    cutoff over- or under-prunes sources with different baselines).
+    Reuses text_quality_score's fixed-shape feature expression;
+    percent_rank is the exact rational (rank−1)/(n−1) with ties broken
+    by doc_id, so the cutoff is engine-deterministic. One shuffle (by
+    source, for the ranking window) of (id, score) pairs only — the
+    text never moves. At corpus scale a skewed source partition would
+    salt on a quality-bucket prefix; the window state is one partition's
+    rank counter either way."""
+    from .text import _n_stop, _words
+
+    d = spark.table("documents")
+    n_tokens = F.size(_words()).cast("long")
+    n_distinct = F.size(F.array_distinct(_words())).cast("long")
+    n_stop = _n_stop(_words()).cast("long")
+    quality = F.round(
+        F.lit(0.5) * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + F.lit(0.3) * (n_distinct.cast("double") / n_tokens)
+        + F.lit(0.2) * (F.lit(1.0) - n_stop.cast("double") / n_tokens),
+        6,
+    )
+    scored = d.select("doc_id", "source", quality.alias("quality"))
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = scored.withColumn("pct", F.percent_rank().over(w))
+    return (
+        ranked.filter(F.col("pct") >= 0.2)
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            (F.floor(F.col("pct") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("pct"),
+        )
+        .orderBy("doc_id")
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import JACCARD_THRESHOLD, jaccard_pairs_exact
+from .num import _round_ieee, _sql_round_ieee
 from .registry import query
 
 #: 4-hex-digit prefix of sha256 compared against these bounds.
@@ -293,4 +294,50 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         star_components(pairs, "doc_a", "doc_b")
         .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "mix_temperature_weights",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n_docs,
+             {_sql_round_ieee("sqrt(CAST(n_docs AS DOUBLE))", 6)} AS s
+      FROM c
+    ), t AS (
+      SELECT CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS tot FROM s
+    )
+    SELECT source, n_docs,
+           {_sql_round_ieee("s / tot", 6)} AS weight,
+           CAST(floor(s / tot * 10000.0 + 0.5) AS BIGINT) AS expected_per_10k
+    FROM s CROSS JOIN t
+    ORDER BY source
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights per source (T=2, i.e. w_i ∝
+    √n_i): the up-weight-the-tail reweighting multilingual/multi-source
+    training mixes apply before sampling — feed the weights to the
+    content-hash interleaver (interleave_weighted_sources) to realize
+    the mix. √ is IEEE-correctly-rounded on both engines (unlike pow,
+    which is why the exponent is ½ and not a free α); per-source
+    surprisals land on a 6-decimal grid and total exactly in DECIMAL, so
+    the normalizing division is one identical IEEE op. The aggregate is
+    source-cardinality-sized — a broadcast scalar at any corpus scale."""
+    c = spark.table("documents").groupBy("source").agg(F.count("*").alias("n_docs"))
+    s = c.withColumn("s", _round_ieee(F.sqrt(F.col("n_docs").cast("double")), 6))
+    t = s.agg(F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            _round_ieee(F.col("s") / F.col("tot"), 6).alias("weight"),
+            F.floor(F.col("s") / F.col("tot") * 10000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("expected_per_10k"),
+        )
+        .orderBy("source")
     )
