@@ -71,6 +71,7 @@ HEADLINE = [
     "join_range_bucketed",
     "agg_heavy_hitters",
     "scd2_merge_customers",
+    "dedup_semantic_clusters",
 ]
 
 

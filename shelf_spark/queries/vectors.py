@@ -278,7 +278,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log² n) rounds, property-tested); cluster_size is a count window
     inside the component-partitioned exchange. Only ids shuffle after
     pair mining — embeddings never move again. Oracle: the same pairs
-    fed through a recursive-CTE transitive closure."""
+    fed through a recursive-CTE transitive closure.
+
+    Scale note: pair mining is quadratic WITHIN a blocking cell, so the
+    100 TB contract is bounded cell size, not label count — SemDeDup
+    proper uses k-means cells with a target occupancy (re-cluster any
+    cell past it; vectors_kmeans_assign is that step here), which keeps
+    per-cell pair work constant while cells scale out embarrassingly."""
     from .sampling import star_components
 
     v = (

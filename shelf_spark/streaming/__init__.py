@@ -171,11 +171,15 @@ def dedup_against_corpus(stream: DataFrame, corpus: DataFrame) -> DataFrame:
     re-read per micro-batch, so a corpus growing underneath the stream is
     picked up without restarts; the stream side is stateless (no
     watermark, no state store) because the corpus carries the history.
+    No broadcast hint: the fingerprint set is CORPUS-sized (unbounded at
+    scale, unlike a dimension table), so the per-batch planner picks
+    broadcast only while it fits the threshold and falls back to a
+    shuffled join past it.
     """
     fps = corpus.select(F.sha2(F.col("text"), 256).alias("fingerprint")).distinct()
     return (
         stream.withColumn("fingerprint", F.sha2(F.col("text"), 256))
-        .join(F.broadcast(fps), "fingerprint", "left_anti")
+        .join(fps, "fingerprint", "left_anti")
     )
 
 

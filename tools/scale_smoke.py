@@ -92,6 +92,7 @@ HEADLINE = [
     "join_interval_overlap",
     "join_range_bucketed",
     "agg_heavy_hitters",
+    "dedup_semantic_clusters",
 ]
 
 
