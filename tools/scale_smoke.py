@@ -127,6 +127,23 @@ def replicate(spark, factor: int, dest: str) -> None:
                             " ",
                         ),
                     )
+                # embeddings: same rationale as the text tagging — apply a
+                # per-copy orthogonal reflection (flip a copy-specific
+                # pseudo-random half of the dimensions). Within-copy
+                # cosines are EXACTLY preserved (reflections are
+                # orthogonal), cross-copy cosines collapse toward 0, so
+                # the true semantic-dup rate stays constant instead of
+                # every copy duplicating every other (~factor² pairs).
+                if name == "embeddings" and i > 0:
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding",
+                            lambda x, j: F.when(
+                                F.xxhash64(F.lit(i), j) % 2 == 0, x
+                            ).otherwise(-x),
+                        ),
+                    )
                 copies.append(c)
             df = copies[0]
             for c in copies[1:]:
