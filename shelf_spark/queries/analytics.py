@@ -470,3 +470,115 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (collapse a change stream to final state)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH seq AS (
+      SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+      FROM events
+    ), collapsed AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_changes,
+             arg_max(event_type, sk) AS last_type,
+             arg_max(value, sk) AS last_value,
+             arg_max(ts, sk) AS last_ts
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_changes, last_type, last_value, last_ts
+    FROM collapsed WHERE last_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse a CDC changelog to the post-apply state: the event stream is
+    read as a change feed keyed by ``user_id`` (sequence = ``(ts,
+    event_id)``; an ``error`` event is the tombstone/delete op), and the
+    surviving final row per key is the merged table — the MERGE-INTO /
+    ``APPLY CHANGES`` semantics a lakehouse ingest runs per micro-batch.
+
+    Scale shape: one ``max_by``-style aggregate with map-side combine —
+    per-key state is a single (seq, row) pair, so the shuffle carries one
+    candidate row per key per map partition, NOT the full changelog (the
+    window-sort formulation would shuffle and sort every change). Deletes
+    filter post-aggregate. Determinism: the sequence key is unique
+    (event_id tie-break), so ``max_by`` picks one exact row; it is a
+    fixed-width string (ISO-µs timestamp + zero-padded id) because that is
+    the one ordering-key encoding both engines' arg-max accept."""
+    e = spark.table("events")
+    seq = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    collapsed = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_changes"),
+        F.max_by("event_type", seq).alias("last_type"),
+        F.max_by("value", seq).alias("last_value"),
+        F.max_by("ts", seq).alias("last_ts"),
+    )
+    return collapsed.filter(F.col("last_type") != "error").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# marketing attribution (last touch before conversion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           (CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))
+                 AS DOUBLE) / 100.0) AS attributed_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's most recent preceding touch event (view/click), or ``direct``
+    when none precedes it; revenue rolls up per channel.
+
+    Scale shape: one window pass over the per-user event sequence (hash
+    shuffle on user_id + in-partition sort — the same shape as
+    sessionization) carrying a single running ``last(ignorenulls)`` value,
+    then a tiny channel-sized aggregate. The attributed sum rides the
+    integer grid (see num.py) for cross-engine exactness."""
+    from pyspark.sql import Window
+
+    from .num import dsum_i
+
+    e = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin("view", "click"), F.col("event_type"))
+    touched = e.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            dsum_i(F.col("value")).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
