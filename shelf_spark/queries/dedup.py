@@ -322,3 +322,99 @@ def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("keep_event_id"),
         F.count("*").alias("n_dupes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (k-token window containment)
+# ---------------------------------------------------------------------------
+
+#: Window length (tokens) for exact substring dedup.
+SUBSTR_K = 8
+
+
+@query(
+    "dedup_substring_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), offs AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS i
+      FROM toks
+    ), wins AS (
+      SELECT DISTINCT doc_id,
+             substr(sha256(array_to_string(t[i:i+{SUBSTR_K - 1}], ' ')), 1, 16)
+               AS w
+      FROM offs
+    ), firsts AS (
+      SELECT w, min(doc_id) AS first_doc FROM wins GROUP BY w
+    ), dups AS (
+      SELECT wins.doc_id, count(*) AS n_dup
+      FROM wins JOIN firsts USING (w)
+      WHERE firsts.first_doc < wins.doc_id
+      GROUP BY wins.doc_id
+    ), nw AS (
+      SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(dups.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           coalesce(dups.n_dup, 0) > 0 AS has_dup_span
+    FROM documents d
+    LEFT JOIN nw USING (doc_id) LEFT JOIN dups USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring deduplication at k-token granularity (the
+    suffix-style pass of "Deduplicating Training Data Makes Language
+    Models Better": flag any k-token span that already occurs in an
+    earlier document — catches boilerplate and quotations that whole-doc
+    or Jaccard dedup miss). Every k-window is hashed to a 16-hex digest;
+    a window is a duplicate span iff its global first-occurrence doc_id
+    precedes this doc.
+
+    Scale shape: windows generate MAP-SIDE from the token array (one
+    JVM ``transform`` over offsets — no self-join, no suffix array); the
+    only shuffles carry (doc_id, 16-byte digest) pairs, volume ≈ token
+    count, with map-side-combined aggregates on both the digest and the
+    doc key. The digest join-back is equi on the digest — uniform by
+    construction, no skew. O(tokens) total work vs the suffix-automaton's
+    O(tokens) with a far smaller constant and no serial build."""
+    d = spark.table("documents")
+    toks = F.split("text", " ")
+    hashed = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SUBSTR_K - 1)),
+        lambda i: F.substring(
+            F.sha2(F.array_join(F.slice(toks, i, SUBSTR_K), " "), 256), 1, 16
+        ),
+    )
+    wins = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size(toks) >= SUBSTR_K, F.array_distinct(hashed))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("w"),
+        )
+    )
+    firsts = wins.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    dups = (
+        wins.join(firsts, "w")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    nw = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (
+        d.select("doc_id")
+        .join(nw, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+            (F.coalesce("n_dup", F.lit(0)) > 0).alias("has_dup_span"),
+        )
+        .orderBy("doc_id")
+    )

@@ -341,3 +341,72 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted order sampling (exact, integer weights)
+# ---------------------------------------------------------------------------
+
+#: Weighted-sample size and the weight cap (quality tiers 1..5).
+WEIGHTED_K = 100
+_W_MAX = 5
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, 1 + CAST(n_chars % {_W_MAX} AS BIGINT) AS weight
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, weight,
+             (SELECT max(substr(sha256(CAST(doc_id AS VARCHAR) || '#'
+                                       || CAST(j AS VARCHAR)), 1, 16))
+              FROM generate_series(0, {_W_MAX - 1}) AS g(j)
+              WHERE j < weight) AS sk
+      FROM w
+    )
+    SELECT doc_id, source, weight FROM keyed
+    ORDER BY sk DESC, doc_id LIMIT {WEIGHTED_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    order sampling) for integer weights, transcendental-free: a doc of
+    weight w gets w independent uniform draws (hash prefixes of
+    ``sha256(doc_id # j)``) and its order key is their MAX — the max of w
+    uniforms orders identically to an Exp(w) arrival (−ln is monotone),
+    which is the A-ES exponential-race construction, so the top-k by key
+    IS a weight-proportional sample. No ``pow``/``ln`` means no
+    cross-engine FP hazard: keys are hex strings both engines render
+    identically, and the draw count is bounded by the weight cap, so the
+    per-row cost is O(w_max).
+
+    Scale shape: map-only key computation + one TakeOrderedAndProject —
+    the same partial-top-k-per-partition shape as sort_topk; nothing
+    shuffles but k-row heads. Retry/partition-invariant like every
+    sampler here (keys are content hashes, not RNG state)."""
+    d = spark.table("documents").select(
+        "doc_id",
+        "source",
+        (1 + (F.col("n_chars") % _W_MAX)).cast("long").alias("weight"),
+    )
+    draws = F.transform(
+        F.sequence(F.lit(0), F.col("weight").cast("int") - 1),
+        lambda j: F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#"), j.cast("string")
+                ),
+                256,
+            ),
+            1,
+            16,
+        ),
+    )
+    return (
+        d.withColumn("sk", F.array_max(draws))
+        .orderBy(F.desc("sk"), "doc_id")
+        .limit(WEIGHTED_K)
+        .select("doc_id", "source", "weight")
+    )

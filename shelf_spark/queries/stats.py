@@ -408,3 +408,102 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", _round_ieee(fold, 6).alias("ewma_value")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# exact quantile binning (feature bucketization)
+# ---------------------------------------------------------------------------
+
+_N_BINS = 10
+
+
+@query(
+    "ml_quantile_bins",
+    oracle=f"""
+    WITH pc AS (
+      SELECT l_extendedprice AS price, count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT price, cnt,
+             sum(cnt) OVER (ORDER BY price
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+             sum(cnt) OVER () AS n
+      FROM pc
+    ), bounds AS (
+      SELECT {", ".join(
+        f"min(CASE WHEN c >= (({i} * n + {_N_BINS - 1}) // {_N_BINS})"
+        f" THEN price END) AS b{i}" for i in range(1, _N_BINS))}
+      FROM cum
+    )
+    SELECT CAST(1 {"".join(
+        f" + (CASE WHEN l_extendedprice > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, _N_BINS))} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           (CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS DECIMAL(18,0))) AS DOUBLE) / 100.0) AS sum_price
+    FROM lineitem CROSS JOIN bounds
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile bucketization of ``l_extendedprice`` — the
+    feature-binning pass (equal-frequency bins) an ML feature pipeline
+    runs before one-hot/WOE encoding. Boundary i is the percentile-disc
+    value: the smallest price whose cumulative count reaches
+    ``ceil(i·n/10)`` (pure integer arithmetic — no interpolation, no FP
+    rank math), and a row's bin is 1 + the number of boundaries strictly
+    below its price, so ties land deterministically in the lower bin on
+    both engines.
+
+    Scale shape: the fact table is never globally sorted or row-numbered.
+    Ranks come from the COMPRESSED value domain — one groupBy on price
+    (shuffle volume = distinct prices, i.e. the money grid, ≪ rows), a
+    prefix-sum window over that domain table, and one 9-value boundary
+    aggregate that broadcasts back for a map-only bin assignment. The
+    domain table's single-partition window is the only serial piece; it
+    is value-cardinality-sized, and a range-partitioned prefix sum (sum
+    per range + running offset, the join_range_bucketed trick) is the
+    drop-in upgrade if the domain itself ever outgrows one partition."""
+    li = spark.table("lineitem")
+    pc = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = W.orderBy("price").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = pc.select(
+        "price",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    bounds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("c")
+                    >= F.floor((F.lit(i) * F.col("n") + (_N_BINS - 1)) / _N_BINS),
+                    F.col("price"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, _N_BINS)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, _N_BINS):
+        bin_expr = bin_expr + F.when(
+            F.col("l_extendedprice") > F.col(f"b{i}"), 1
+        ).otherwise(0)
+    from .num import dsum_i
+
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_expr.cast("long").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            dsum_i(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("bin")
+    )
