@@ -61,6 +61,11 @@ _DRIVER_WINDOW_R06 = [
     # r6: NEW curation operators — temperature mixing weights +
     # per-source quality-percentile filter
     "mix_temperature_weights", "filter_quality_percentile",
+    # r6 (late): NEW operators — CDC changelog collapse, last-touch
+    # attribution, exact weighted sampling, quantile binning, substring
+    # dedup; each needs a first driver row
+    "cdc_apply_changes", "events_attribution_last_touch",
+    "sample_weighted_topk", "ml_quantile_bins", "dedup_substring_exact",
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -77,10 +82,11 @@ _DRIVER_WINDOW_R06 = [
     # similarity-join / retrieval rewrites (r5) + r6 scale fixes
     "dedup_ngram_jaccard", "dedup_near_dup_clusters", "text_tfidf_topk",
     "text_bm25_rank",
-    # single-expression grid touches in r5 (cheap to re-prove)
+    # single-expression grid touches in r5 (cheap to re-prove; the other
+    # three — join_nonequi, join_cross, dedup_keep_first — yield their
+    # slots to the five new operators above and stay locally gated)
     "scan_inline_literals", "join_left_outer", "join_anti",
-    "join_nonequi", "join_cross", "dedup_keep_first", "join_salted_skew",
-    "text_fingerprint", "docs_stats_by_source",
+    "join_salted_skew", "text_fingerprint", "docs_stats_by_source",
     # (q14/q16/q17/q19 were re-proved green in the r05 window after their
     # r4 plan changes — their driver evidence is current, so they yield
     # their slots to the new r6 operators above.)

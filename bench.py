@@ -72,6 +72,9 @@ HEADLINE = [
     "agg_heavy_hitters",
     "scd2_merge_customers",
     "dedup_semantic_clusters",
+    # late-r6 additions: substring-window dedup and exact decile binning
+    "dedup_substring_exact",
+    "ml_quantile_bins",
 ]
 
 
