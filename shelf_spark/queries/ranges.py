@@ -218,19 +218,41 @@ _SQL_SESSIONS = """
     """,
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval×interval overlap self-join: for every user session, how
-    many OTHER sessions (any user) were concurrent with it. The oracle is
-    the naive theta self-join (a.start <= b.end AND b.start <= a.end) —
-    quadratic, nested-loop, the scale killer. The Spark plan is the
-    binned rewrite for the interval–interval case: each session explodes
-    into its covered hour buckets (bounded by session length / bucket),
-    candidate pairs meet through a hash equi-join on the bucket key, the
-    exact overlap predicate refines, and a distinct collapses the
-    multi-bucket multiplicity before counting. Work is proportional to
-    Σ per-bucket concurrency², the interval analogue of the shingle
-    inverted-index join in dedup_ngram_jaccard — not |sessions|².
-    Sessionization itself is the standard gaps-and-islands single
-    shuffle on user_id."""
+    """Interval-overlap concurrency: for every user session, how many
+    OTHER sessions (any user) were concurrent with it. The oracle is the
+    naive theta self-join (a.start <= b.end AND b.start <= a.end) —
+    quadratic, nested-loop, the scale killer.
+
+    The Spark plan is a SWEEP-LINE RANK rewrite, not a pair join: two
+    intervals are disjoint iff one ends strictly before the other starts,
+    and the two disjointness cases are mutually exclusive, so
+
+        n_concurrent(a) = N - 1 - #(s_end < a.s_start)
+                                - #(s_start > a.s_end).
+
+    equivalently  n_concurrent(a) = #(s_start <= a.s_end)
+                                  - #(s_end < a.s_start) - 1.
+
+    Both counts are rank lookups against the distinct-time domain: one
+    groupBy builds (t, starts_at, ends_at), two RUNNING-PREFIX sums over
+    that domain table rank every boundary, and two hash equi-joins (on
+    s_start and s_end — every session boundary IS a domain point) attach
+    the ranks. Only [unboundedPreceding, …] frames are used — Spark
+    computes those with a single running accumulator, whereas a
+    [k, unboundedFollowing] suffix frame falls into
+    UnboundedFollowingWindowFunctionFrame, which RECOMPUTES the
+    aggregate per row (O(domain²): the first draft of this rewrite hung
+    exactly there; suffix counts must be phrased as total − prefix).
+    Total work is O(n) past the domain sort — the earlier hour-bucket
+    pair join did Σ per-bucket-concurrency² work (3.4 s at sf0.1,
+    degrading toward n² on dense-overlap workloads); this plan is 1.3 s
+    (sessionization dominates) and volume-proportional at any overlap
+    density. The domain-table window
+    is the only serial piece (session-count-sized); a range-partitioned
+    prefix sum is the named upgrade, same as ml_quantile_bins. When the
+    downstream needs the overlapping PAIRS rather than counts, the
+    bucket-explode equi-join (join_range_bucketed) remains the shape —
+    pair enumeration cannot beat its own output size."""
     from pyspark.sql import Window
 
     e = spark.table("events")
@@ -259,49 +281,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = (
         numbered.groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
-        .localCheckpoint()  # feeds both join sides + the final left join
+        .localCheckpoint()  # feeds the domain agg, both lookups, and N
     )
-    bucket = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
-    binned = sessions.select(
-        "*", F.explode(F.sequence(bucket("s_start"), bucket("s_end"))).alias("bucket")
-    )
-    a = binned.select(
-        F.col("user_id").alias("a_user"),
-        F.col("session_id").alias("a_sid"),
-        F.col("s_start").alias("a_start"),
-        F.col("s_end").alias("a_end"),
-        "bucket",
-    )
-    b = binned.select(
-        F.col("user_id").alias("b_user"),
-        F.col("session_id").alias("b_sid"),
-        F.col("s_start").alias("b_start"),
-        F.col("s_end").alias("b_end"),
-        "bucket",
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(
-            (F.col("a_start") <= F.col("b_end"))
-            & (F.col("b_start") <= F.col("a_end"))
-            & ~(
-                (F.col("a_user") == F.col("b_user"))
-                & (F.col("a_sid") == F.col("b_sid"))
+    # Distinct-time domain with per-time boundary multiplicities.
+    domain = (
+        sessions.select(
+            F.col("s_start").alias("t"),
+            F.lit(1).alias("ns"),
+            F.lit(0).alias("ne"),
+        )
+        .union(
+            sessions.select(
+                F.col("s_end").alias("t"),
+                F.lit(0).alias("ns"),
+                F.lit(1).alias("ne"),
             )
         )
-        # same pair can meet in every shared bucket — collapse before counting
-        .select("a_user", "a_sid", "b_user", "b_sid")
-        .distinct()
+        .groupBy("t")
+        .agg(F.sum("ns").alias("starts_at"), F.sum("ne").alias("ends_at"))
     )
-    counts = pairs.groupBy(
-        F.col("a_user").alias("user_id"), F.col("a_sid").alias("session_id")
-    ).agg(F.count("*").alias("n"))
+    wd = Window.orderBy("t")
+    ranked = domain.select(
+        "t",
+        F.coalesce(
+            F.sum("ends_at").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("ends_before"),
+        F.sum("starts_at")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("starts_upto"),
+    )
     return (
-        sessions.join(counts, ["user_id", "session_id"], "left")
+        sessions.join(
+            ranked.select(F.col("t").alias("s_start"), "ends_before"), "s_start"
+        )
+        .join(ranked.select(F.col("t").alias("s_end"), "starts_upto"), "s_end")
         .select(
             "user_id",
             "session_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_concurrent"),
+            (F.col("starts_upto") - F.col("ends_before") - 1)
+            .cast("bigint")
+            .alias("n_concurrent"),
         )
         .orderBy("user_id", "session_id")
     )

@@ -93,6 +93,13 @@ HEADLINE = [
     "join_range_bucketed",
     "agg_heavy_hitters",
     "dedup_semantic_clusters",
+    # late-r6: new operators + the two replanned ones (adjacency-intersect
+    # triangles, sweep-line interval overlap)
+    "dedup_substring_exact",
+    "ml_quantile_bins",
+    "sample_weighted_topk",
+    "cdc_apply_changes",
+    "events_attribution_last_touch",
 ]
 
 
