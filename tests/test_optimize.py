@@ -105,3 +105,52 @@ def test_zorder_layout_tightens_nonleading_column_stats(spark, tmp_path):
 
     # and the data itself is unchanged
     assert spark.read.parquet(z_dir).count() == events.count()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Spark's runtime row-group/row-level bloom pruning: with a selective
+    dim-side filter, the optimizer injects a BloomFilterAggregate on the
+    build side and a bloom_filter_might_contain probe on the fact scan —
+    the 100 TB mechanism that keeps a selective dim⋈fact join from
+    streaming the whole fact table through the join. Thresholds are
+    lowered because the sf0.001 inputs are far below the production
+    defaults (10 MB creation / 10 GB application)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    li.write.mode("overwrite").parquet(str(tmp_path / "li"))
+    orders.write.mode("overwrite").parquet(str(tmp_path / "ord"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join so the runtime filter is worthwhile
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(str(tmp_path / "li"))
+        dim = spark.read.parquet(str(tmp_path / "ord")).filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        joined = fact.join(dim, fact.l_orderkey == dim.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+        # and it still computes the right thing
+        expected = (
+            li.join(
+                orders.filter("o_orderpriority = '1-URGENT'"),
+                li.l_orderkey == orders.o_orderkey,
+            ).count()
+        )
+        assert joined.count() == expected
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
