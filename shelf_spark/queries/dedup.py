@@ -101,8 +101,15 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     # once and truncates lineage (at cluster scale this is the standard
     # "materialize the tokenization once" step; executor-local storage,
     # cleaned by the ContextCleaner when unreferenced).
-    sets = d.select("doc_id", _shingles(_words()).alias("sh_set")).localCheckpoint(
-        eager=False
+    # repartition first: the shingle build is the hottest map in the
+    # query, and a local single-row-group file would otherwise pin it to
+    # one task (a real lake supplies splits; the narrow exchange is
+    # corpus-volume-bounded).
+    n_parts = max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    sets = (
+        d.repartition(n_parts)
+        .select("doc_id", _shingles(_words()).alias("sh_set"))
+        .localCheckpoint(eager=False)
     )
     # n_sh rides along from size(sh_set) (arrays are already distinct) —
     # a count(*) window here would cost a second WindowExec pass with a
@@ -207,7 +214,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     # Shingle arrays feed the signature pipeline AND both sides of the
     # verify join — pin them once (same rationale as jaccard_pairs_exact).
-    docs = d.select("doc_id", _shingles(_words()).alias("shingles")).localCheckpoint(
+    docs = d.repartition(
+        max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    ).select("doc_id", _shingles(_words()).alias("shingles")).localCheckpoint(
         eager=False
     )
 
