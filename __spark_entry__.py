@@ -63,9 +63,10 @@ _DRIVER_WINDOW_R06 = [
     "mix_temperature_weights", "filter_quality_percentile",
     # r6 (late): NEW operators — CDC changelog collapse, last-touch
     # attribution, exact weighted sampling, quantile binning, substring
-    # dedup; each needs a first driver row
+    # dedup, tolerance as-of join; each needs a first driver row
     "cdc_apply_changes", "events_attribution_last_touch",
     "sample_weighted_topk", "ml_quantile_bins", "dedup_substring_exact",
+    "events_asof_tolerance",
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -83,10 +84,11 @@ _DRIVER_WINDOW_R06 = [
     "dedup_ngram_jaccard", "dedup_near_dup_clusters", "text_tfidf_topk",
     "text_bm25_rank",
     # single-expression grid touches in r5 (cheap to re-prove; the other
-    # three — join_nonequi, join_cross, dedup_keep_first — yield their
-    # slots to the five new operators above and stay locally gated)
+    # four — join_nonequi, join_cross, dedup_keep_first,
+    # docs_stats_by_source — yield their slots to the six new operators
+    # above and stay locally gated)
     "scan_inline_literals", "join_left_outer", "join_anti",
-    "join_salted_skew", "text_fingerprint", "docs_stats_by_source",
+    "join_salted_skew", "text_fingerprint",
     # (q14/q16/q17/q19 were re-proved green in the r05 window after their
     # r4 plan changes — their driver evidence is current, so they yield
     # their slots to the new r6 operators above.)

@@ -242,3 +242,87 @@ def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("events_per_day"),
     )
+
+
+#: As-of tolerance (seconds): a prior click older than this is no match.
+ASOF_TOLERANCE_S = 600
+
+
+@query(
+    "events_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, value,
+             (event_type = 'click') AS is_click
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    enriched AS (
+      SELECT *,
+             last_value(CASE WHEN is_click THEN ts END IGNORE NULLS)
+               OVER w AS last_click_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND date_diff('second', last_click_ts, ts)
+                     <= {ASOF_TOLERANCE_S}
+                THEN last_click_ts END AS matched_click_ts,
+           (last_click_ts IS NOT NULL
+            AND date_diff('second', last_click_ts, ts)
+                <= {ASOF_TOLERANCE_S}) AS within_tolerance
+    FROM enriched
+    WHERE NOT is_click
+    ORDER BY purchase_id
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A LOOKBACK TOLERANCE: each purchase matches its
+    user's most recent prior-or-simultaneous click only if that click is
+    at most ASOF_TOLERANCE_S old — the feature-store join discipline
+    (point-in-time correctness + staleness bound) that plain as-of
+    (events_asof_join) lacks. Same single-shuffle shape: one hash
+    partition on user_id, one ordered window pass carrying a running
+    last(ignorenulls), then a map-side staleness predicate — the
+    tolerance adds zero extra shuffles (vs a range-join formulation,
+    which would bucket-explode; see join_range_bucketed for when the
+    lookup side is a separate table)."""
+    e = spark.table("events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("is_click"), F.col("ts")), ignorenulls=True
+    ).over(w)
+    fresh = last_click.isNotNull() & (
+        F.unix_timestamp("ts") - F.unix_timestamp(last_click)
+        <= ASOF_TOLERANCE_S
+    )
+    return (
+        tagged.withColumn("last_click_ts", last_click)
+        .withColumn("within_tolerance", fresh)
+        .filter(~F.col("is_click"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(F.col("within_tolerance"), F.col("last_click_ts")).alias(
+                "matched_click_ts"
+            ),
+            "within_tolerance",
+        )
+        .orderBy("purchase_id")
+    )
