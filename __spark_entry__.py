@@ -66,7 +66,7 @@ _DRIVER_WINDOW_R06 = [
     # dedup, tolerance as-of join; each needs a first driver row
     "cdc_apply_changes", "events_attribution_last_touch",
     "sample_weighted_topk", "ml_quantile_bins", "dedup_substring_exact",
-    "events_asof_tolerance",
+    "events_asof_tolerance", "stream_cdc_upsert",
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -84,11 +84,12 @@ _DRIVER_WINDOW_R06 = [
     "dedup_ngram_jaccard", "dedup_near_dup_clusters", "text_tfidf_topk",
     "text_bm25_rank",
     # single-expression grid touches in r5 (cheap to re-prove; the other
-    # four — join_nonequi, join_cross, dedup_keep_first,
-    # docs_stats_by_source — yield their slots to the six new operators
+    # five — join_nonequi, join_cross, dedup_keep_first,
+    # docs_stats_by_source, text_fingerprint — yield their slots to the
+    # seven new operators
     # above and stay locally gated)
     "scan_inline_literals", "join_left_outer", "join_anti",
-    "join_salted_skew", "text_fingerprint",
+    "join_salted_skew",
     # (q14/q16/q17/q19 were re-proved green in the r05 window after their
     # r4 plan changes — their driver evidence is current, so they yield
     # their slots to the new r6 operators above.)

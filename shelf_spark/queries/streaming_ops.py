@@ -295,3 +295,47 @@ def stream_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         out, "q_stream_conversions", output_mode="append"
     ).orderBy("user_id", "first_event_id", "then_event_id")
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH seq AS (
+      SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+      FROM events
+    ), collapsed AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_changes,
+             arg_max(event_type, sk) AS last_type,
+             arg_max(value, sk) AS last_value,
+             arg_max(ts, sk) AS last_ts
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_changes, last_type, last_value, last_ts
+    FROM collapsed WHERE last_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming APPLY CHANGES (foreachBatch MERGE into a versioned
+    parquet state table — see streaming.run_cdc_upsert): the final state
+    after consuming the whole changelog must equal the batch CDC
+    collapse (cdc_apply_changes), so it shares that oracle — a full
+    value-hash check on a foreachBatch maintenance loop. Multi-batch
+    convergence (splits + out-of-order arrival) is pytest-covered in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    state_dir = tempfile.mkdtemp(prefix="shelf-cdc-state-")
+    from pyspark.sql import functions as F
+
+    final = S.run_cdc_upsert(spark, stream, state_dir)
+    return (
+        final.filter(F.col("last_type") != "error")
+        .select("user_id", "n_changes", "last_type", "last_value", "last_ts")
+        .orderBy("user_id")
+    )

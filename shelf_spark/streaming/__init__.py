@@ -414,3 +414,104 @@ def foreach_batch_upsert(df: DataFrame, checkpoint: str, batch_fn):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _cdc_seq_key():
+    """Unique, fixed-width, lexicographically-chronological sequence key
+    (ISO-µs timestamp + zero-padded event_id) — the same encoding the
+    batch CDC collapse uses (queries/analytics.py::cdc_apply_changes)."""
+    return F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+def _cdc_collapse(batch: DataFrame) -> DataFrame:
+    """Collapse a changelog slice to per-key (count, latest row) partials —
+    associative, so per-batch partials merge to the global answer in any
+    batch order (late data compares on the sequence key, not arrival)."""
+    sk = _cdc_seq_key()
+    return batch.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_changes"),
+        F.max_by("event_type", sk).alias("last_type"),
+        F.max_by("value", sk).alias("last_value"),
+        F.max_by("ts", sk).alias("last_ts"),
+        F.max(sk).alias("last_sk"),
+    )
+
+
+def _cdc_state_merge(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """MERGE a collapsed batch into the keyed state: counts add; the
+    latest row is whichever side's sequence key is greater. One full-outer
+    hash join on the key — state is key-cardinality-sized, never
+    changelog-sized."""
+    s = state.select(*[F.col(c).alias(f"s_{c}") for c in state.columns])
+    d = delta.select(*[F.col(c).alias(f"d_{c}") for c in delta.columns])
+    joined = s.join(d, s.s_user_id == d.d_user_id, "full_outer")
+    newer = F.col("d_last_sk").isNotNull() & (
+        F.col("s_last_sk").isNull() | (F.col("d_last_sk") > F.col("s_last_sk"))
+    )
+    pick = lambda c: F.when(newer, F.col(f"d_{c}")).otherwise(F.col(f"s_{c}"))  # noqa: E731
+    return joined.select(
+        F.coalesce("s_user_id", "d_user_id").alias("user_id"),
+        (
+            F.coalesce("s_n_changes", F.lit(0))
+            + F.coalesce("d_n_changes", F.lit(0))
+        )
+        .cast("long")
+        .alias("n_changes"),
+        pick("last_type").alias("last_type"),
+        pick("last_value").alias("last_value"),
+        pick("last_ts").alias("last_ts"),
+        pick("last_sk").alias("last_sk"),
+    )
+
+
+def _cdc_latest_version(state_dir: str) -> int | None:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    vs = [int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")]
+    return max(vs) if vs else None
+
+
+def run_cdc_upsert(
+    spark: SparkSession, stream: DataFrame, state_dir: str
+) -> DataFrame:
+    """Streaming APPLY CHANGES: maintain a keyed post-merge state table
+    from a CDC event stream via ``foreachBatch`` — collapse each
+    micro-batch (associative partials), MERGE into the state, and commit
+    the new state as parquet version ``v{batch_id}`` (read-latest /
+    write-next versioning: the reader never sees a partially-written
+    state, the lakehouse-without-Delta commit pattern; superseded
+    versions are compaction fodder). Tombstones (``error`` ops) stay IN
+    the state so a late pre-delete change cannot resurrect a key; they
+    filter at read time. Returns the final merged state (tombstones
+    included — callers filter).
+
+    Scale: per batch one map-side-combined aggregate over the batch plus
+    one key-sized full-outer join — changelog volume is touched once;
+    state I/O is key-cardinality-sized. On a cluster the same loop runs
+    against Delta/Iceberg MERGE INTO with the identical collapse."""
+    import os
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = _cdc_collapse(batch_df)
+        v = _cdc_latest_version(state_dir)
+        if v is None:
+            merged = delta
+        else:
+            prev = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+            merged = _cdc_state_merge(prev, delta)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    checkpoint = tempfile.mkdtemp(prefix="shelf-stream-cdc-upsert-")
+    q = foreach_batch_upsert(stream, checkpoint, merge_batch)
+    q.awaitTermination()
+    v = _cdc_latest_version(state_dir)
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, f"v{v}"))

@@ -225,3 +225,54 @@ def test_empty_dir_probe_not_cached(spark, tmp_path):
     ns = src.set_column(idx, "ts", src.column("ts").cast(pa.timestamp("ns")))
     pq.write_table(ns, d / "part-0001.parquet")
     assert "ts" in _nanos_timestamp_cols(str(d))
+
+
+def test_cdc_upsert_multibatch_converges(spark, tmp_path):
+    """The foreachBatch CDC MERGE must converge to the batch collapse
+    REGARDLESS of how the changelog is split into micro-batches or in
+    what order changes arrive: split events into 3 ingest files with
+    interleaved (non-chronological) slices, stream one file per trigger
+    (3 separate merge commits), and compare the final state to the
+    single-pass batch collapse over the union."""
+    from pyspark.sql import functions as F
+
+    from shelf_spark.data import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    ingest = tmp_path / "ingest"
+    ingest.mkdir()
+    # interleave by event_id mod 3 → each file spans the full time range,
+    # so every batch carries data older than the previous batch's max.
+    # Written as FLAT files (pandas), the shape of a real ingest dir.
+    for i in range(3):
+        e.filter(F.col("event_id") % 3 == i).toPandas().to_parquet(
+            str(ingest / f"part{i}.parquet"), index=False
+        )
+    stream = S.events_stream(spark, str(ingest), max_files_per_trigger=1)
+    state_dir = str(tmp_path / "state")
+    final = S.run_cdc_upsert(spark, stream, state_dir)
+    # 3 versioned commits (one per micro-batch)
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) >= 2, versions
+    got = _rows(
+        final.filter(F.col("last_type") != "error"),
+        ["user_id", "n_changes", "last_type", "last_value", "last_ts"],
+    )
+    sk = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    batch = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_changes"),
+            F.max_by("event_type", sk).alias("last_type"),
+            F.max_by("value", sk).alias("last_value"),
+            F.max_by("ts", sk).alias("last_ts"),
+        )
+        .filter(F.col("last_type") != "error")
+    )
+    want = _rows(batch, ["user_id", "n_changes", "last_type", "last_value", "last_ts"])
+    assert got == want
