@@ -67,6 +67,7 @@ _DRIVER_WINDOW_R06 = [
     "cdc_apply_changes", "events_attribution_last_touch",
     "sample_weighted_topk", "ml_quantile_bins", "dedup_substring_exact",
     "events_asof_tolerance", "stream_cdc_upsert",
+    "multimodal_frame_sample",
     # TPC-H bodies rewritten onto the integer grid in r5 after their last
     # driver row (r01–r03)
     "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -89,7 +90,6 @@ _DRIVER_WINDOW_R06 = [
     # seven new operators
     # above and stay locally gated)
     "scan_inline_literals", "join_left_outer", "join_anti",
-    "join_salted_skew",
     # (q14/q16/q17/q19 were re-proved green in the r05 window after their
     # r4 plan changes — their driver evidence is current, so they yield
     # their slots to the new r6 operators above.)

@@ -259,3 +259,126 @@ def multimodal_decode_wav_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width bigint, height bigint, bpp bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (raw container, real parser)
+# ---------------------------------------------------------------------------
+
+#: Sample every k-th frame.
+FRAME_STRIDE = 3
+
+
+def _make_video(doc_id: int) -> bytes:
+    """Deterministic raw 'video': a 16-byte header (magic, width, height,
+    n_frames) followed by n_frames uncompressed 8-bit grayscale frames,
+    pixel(f, x, y) = (doc_id·7 + f·13 + x + y) mod 256. A stand-in for a
+    real container with the same plumbing shape (header parse → frame
+    seek → pixel stats); swap for PyAV when the lib exists."""
+    import struct
+
+    w = doc_id % 16 + 4
+    h = doc_id % 8 + 4
+    nf = doc_id % 20 + 5
+    frames = bytearray()
+    for f in range(nf):
+        base = doc_id * 7 + f * 13
+        for y in range(h):
+            for x in range(w):
+                frames.append((base + x + y) % 256)
+    return struct.pack("<4sIII", b"RVID", w, h, nf) + bytes(frames)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             doc_id % 16 + 4 AS w,
+             doc_id % 8 + 4 AS h,
+             doc_id % 20 + 5 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+      FROM v
+    ), sampled AS (
+      SELECT * FROM fr WHERE f % {FRAME_STRIDE} = 0
+    ), px AS (
+      SELECT doc_id, w, h, nf, f,
+             unnest(generate_series(0, w * h - 1)) AS p
+      FROM sampled
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(sum((doc_id * 7 + f * 13 + p % w + p // w) % 256)
+                * 1000000 // (w * h) AS BIGINT) AS mean_pixel_ppm
+    FROM px
+    GROUP BY doc_id, f, nf, w, h
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video FRAME SAMPLING with a real parser: encode a deterministic
+    raw multi-frame container per doc (header + uncompressed grayscale
+    frames), then an Arrow-batched stage seeks every FRAME_STRIDE-th
+    frame directly (header gives the frame size → byte offset, no full
+    decode of skipped frames — the cheap-seek property real samplers
+    rely on) and emits per-sampled-frame pixel statistics. The mean is
+    integer-exact (ppm fixed-point: sum·10⁶ // pixels), so the oracle —
+    which recomputes from the generation arithmetic alone — value-hashes
+    bitwise; a match proves writer AND sampler faithful.
+
+    Scale shape: both stages are Arrow-batched ``mapInPandas`` over rows
+    partitioned by the natural file/doc key — embarrassingly parallel,
+    no shuffle at all until a downstream agg; sampled-frame output is
+    1/stride of the frame count. The binary payload never enters a
+    shuffle."""
+    import numpy as np
+    import struct
+
+    d = spark.table("documents").select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_make_video(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "n_frames": [],
+                "width": [], "height": [], "mean_pixel_ppm": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                magic, w, h, nf = struct.unpack_from("<4sIII", payload, 0)
+                assert magic == b"RVID"
+                fsize = w * h
+                for f in range(0, nf, FRAME_STRIDE):
+                    off = 16 + f * fsize  # direct seek — skipped frames unread
+                    frame = np.frombuffer(payload, dtype=np.uint8,
+                                          count=fsize, offset=off)
+                    s = int(frame.astype(np.int64).sum())
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(nf)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_pixel_ppm"].append(s * 1000000 // fsize)
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(encode_batches, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        sample_batches,
+        schema=(
+            "doc_id bigint, frame_idx bigint, n_frames bigint, "
+            "width bigint, height bigint, mean_pixel_ppm bigint"
+        ),
+    ).orderBy("doc_id", "frame_idx")
