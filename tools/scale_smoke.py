@@ -100,6 +100,9 @@ HEADLINE = [
     "sample_weighted_topk",
     "cdc_apply_changes",
     "events_attribution_last_touch",
+    "events_asof_tolerance",
+    "stream_cdc_upsert",
+    "multimodal_frame_sample",
 ]
 
 
