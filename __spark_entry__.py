@@ -51,6 +51,7 @@ _DRIVER_WINDOW_R06 = [
     "graph_pagerank",        # r6 constant-factor work
     "graph_triangle_count",  # r6: map-side wedges + shuffle-hash closing
     "join_range_bucketed",   # r6: weighted-point compression
+    "join_interval_overlap",  # late r6: sweep-line rank replan
     "q20_excess_inventory",  # r6: window totals replace the join-back
     "dedup_semantic_clusters",  # r6: NEW operator — needs a first row
     "text_chunk_sliding",    # r6: chunk_start widened to match oracle type
@@ -89,7 +90,7 @@ _DRIVER_WINDOW_R06 = [
     # docs_stats_by_source, text_fingerprint — yield their slots to the
     # seven new operators
     # above and stay locally gated)
-    "scan_inline_literals", "join_left_outer", "join_anti",
+    "scan_inline_literals", "join_left_outer",
     # (q14/q16/q17/q19 were re-proved green in the r05 window after their
     # r4 plan changes — their driver evidence is current, so they yield
     # their slots to the new r6 operators above.)
