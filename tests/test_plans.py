@@ -232,14 +232,55 @@ def test_triangle_count_joins_are_equi(spark):
     assert "NestedLoop" not in plan
 
 
-def test_interval_overlap_is_binned_not_cartesian(spark):
-    """The interval×interval overlap join must meet through the hour-
-    bucket equi-join; its oracle's theta self-join shape (nested loop)
-    must never appear in the Spark plan."""
+def test_interval_overlap_is_sweepline_not_cartesian(spark):
+    """Interval-overlap concurrency must plan as the sweep-line rank
+    lookup: no theta/nested-loop join (the oracle's shape), and no
+    [k, unboundedFollowing] window frame — Spark evaluates suffix frames
+    by re-aggregating per row (O(domain²); the first draft hung exactly
+    there), so suffix counts must be phrased as total − prefix."""
     df = QUERIES["join_interval_overlap"](spark, SF_DIR)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_cdc_collapse_is_aggregate_not_window_sort(spark):
+    """The CDC collapse must be the max_by aggregate (map-side-combined,
+    one candidate row per key per partition) — not the row_number window
+    formulation, which would shuffle AND sort the whole changelog."""
+    df = QUERIES["cdc_apply_changes"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_weighted_topk_is_take_ordered(spark):
+    """A-ES weighted sampling must plan as TakeOrderedAndProject
+    (per-partition heaps) — a global sort of the corpus would defeat
+    the map-only design."""
+    df = QUERIES["sample_weighted_topk"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_dedup_hashes_once(spark):
+    """The k-token window digest projection is the hottest map in the
+    query; the plan must evaluate it exactly once (window-min firsts
+    inside the digest exchange), not once per consumer as the
+    firsts-join formulation would."""
+    df = QUERIES["dedup_substring_exact"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("sha2") == 1, plan.count("sha2")
+    assert plan.count("Window") == 1
+
+
+def test_quantile_bins_never_sort_facts(spark):
+    """Decile boundaries come from the compressed value domain; the fact
+    table itself must never be range-partitioned/sorted on the price."""
+    df = QUERIES["ml_quantile_bins"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "rangepartitioning(l_extendedprice" not in plan.replace(" ", "")
 
 
 def test_heavy_hitters_candidate_pass_is_map_only(spark):
