@@ -86,10 +86,11 @@ _DRIVER_WINDOW_R06 = [
     "dedup_ngram_jaccard", "dedup_near_dup_clusters", "text_tfidf_topk",
     "text_bm25_rank",
     # single-expression grid touches in r5 (cheap to re-prove; the other
-    # five — join_nonequi, join_cross, dedup_keep_first,
-    # docs_stats_by_source, text_fingerprint — yield their slots to the
-    # seven new operators
-    # above and stay locally gated)
+    # seven — join_nonequi, join_cross, dedup_keep_first,
+    # docs_stats_by_source, text_fingerprint, join_anti,
+    # join_salted_skew — yield their slots to the eight new late-r6
+    # operators and the interval-overlap replan above, and stay locally
+    # gated)
     "scan_inline_literals", "join_left_outer",
     # (q14/q16/q17/q19 were re-proved green in the r05 window after their
     # r4 plan changes — their driver evidence is current, so they yield

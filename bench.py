@@ -72,9 +72,11 @@ HEADLINE = [
     "agg_heavy_hitters",
     "scd2_merge_customers",
     "dedup_semantic_clusters",
-    # late-r6 additions: substring-window dedup and exact decile binning
+    # late-r6 additions: substring-window dedup, exact decile binning,
+    # and the frame-sampling representative of the multimodal family
     "dedup_substring_exact",
     "ml_quantile_bins",
+    "multimodal_frame_sample",
 ]
 
 

@@ -476,13 +476,33 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CDC changelog apply (collapse a change stream to final state)
 # ---------------------------------------------------------------------------
 
+#: DuckDB twin of :func:`cdc_seq_key` — keep the two byte-identical.
+SQL_CDC_SEQ_KEY = (
+    "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')"
+    " || lpad(CAST(event_id AS VARCHAR), 20, '0')"
+)
+
+
+def cdc_seq_key():
+    """Unique, fixed-width, lexicographically-chronological CDC sequence
+    key: ISO-µs timestamp + zero-padded event_id tie-break. The id pad is
+    20 digits — one more than int64's 19-digit max, because ``lpad``
+    TRUNCATES an over-long input on both engines, which would silently
+    collapse distinct ids at ~10^12 rows (the 100 TB design point).
+    Shared by the batch collapse, the streaming foreachBatch merge, and
+    the convergence test — the three must stay byte-identical."""
+    return F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
 
 @query(
     "cdc_apply_changes",
     oracle="""
     WITH seq AS (
       SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
-                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+                || lpad(CAST(event_id AS VARCHAR), 20, '0') AS sk
       FROM events
     ), collapsed AS (
       SELECT user_id,
@@ -511,12 +531,10 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter post-aggregate. Determinism: the sequence key is unique
     (event_id tie-break), so ``max_by`` picks one exact row; it is a
     fixed-width string (ISO-µs timestamp + zero-padded id) because that is
-    the one ordering-key encoding both engines' arg-max accept."""
+    the one ordering-key encoding both engines' arg-max accept (see
+    :func:`cdc_seq_key` for the width contract)."""
     e = spark.table("events")
-    seq = F.concat(
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    seq = cdc_seq_key()
     collapsed = e.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_changes"),
         F.max_by("event_type", seq).alias("last_type"),

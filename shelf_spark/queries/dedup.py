@@ -24,6 +24,14 @@ from pyspark.sql.window import Window as W
 
 from .registry import query
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a doc-level relation across tasks before a hot map: local
+    single-row-group files pin the scan to one task (a real lake supplies
+    splits); the narrow exchange is corpus-volume-bounded."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    return df.repartition(n)
+
+
 def _words() -> Column:
     """Tokenized `text` (lazy: building a Column needs an active session)."""
     return F.split(F.col("text"), " ")
@@ -101,13 +109,9 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     # once and truncates lineage (at cluster scale this is the standard
     # "materialize the tokenization once" step; executor-local storage,
     # cleaned by the ContextCleaner when unreferenced).
-    # repartition first: the shingle build is the hottest map in the
-    # query, and a local single-row-group file would otherwise pin it to
-    # one task (a real lake supplies splits; the narrow exchange is
-    # corpus-volume-bounded).
-    n_parts = max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    # spread first: the shingle build is the hottest map in the query
     sets = (
-        d.repartition(n_parts)
+        _spread(d)
         .select("doc_id", _shingles(_words()).alias("sh_set"))
         .localCheckpoint(eager=False)
     )
@@ -214,9 +218,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     # Shingle arrays feed the signature pipeline AND both sides of the
     # verify join — pin them once (same rationale as jaccard_pairs_exact).
-    docs = d.repartition(
-        max(d.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    ).select("doc_id", _shingles(_words()).alias("shingles")).localCheckpoint(
+    docs = _spread(d).select(
+        "doc_id", _shingles(_words()).alias("shingles")
+    ).localCheckpoint(
         eager=False
     )
 
@@ -404,7 +408,6 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spark.table("documents")
-    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     toks = F.split("text", " ")
     hashed = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SUBSTR_K - 1)),
@@ -412,7 +415,7 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sha2(F.array_join(F.slice(toks, i, SUBSTR_K), " "), 256), 1, 16
         ),
     )
-    wins = d.repartition(n_parts).select(
+    wins = _spread(d).select(
         "doc_id",
         F.explode(
             F.when(F.size(toks) >= SUBSTR_K, F.array_distinct(hashed))

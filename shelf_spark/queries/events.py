@@ -252,7 +252,7 @@ ASOF_TOLERANCE_S = 600
     "events_asof_tolerance",
     oracle=f"""
     WITH tagged AS (
-      SELECT event_id, user_id, ts, value,
+      SELECT event_id, user_id, ts,
              (event_type = 'click') AS is_click
       FROM events
       WHERE event_type IN ('click', 'purchase')
@@ -296,7 +296,6 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        "value",
         (F.col("event_type") == "click").alias("is_click"),
     )
     w = (

@@ -302,7 +302,7 @@ def stream_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
-                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+                || lpad(CAST(event_id AS VARCHAR), 20, '0') AS sk
       FROM events
     ), collapsed AS (
       SELECT user_id,

@@ -416,21 +416,13 @@ def foreach_batch_upsert(df: DataFrame, checkpoint: str, batch_fn):
     )
 
 
-def _cdc_seq_key():
-    """Unique, fixed-width, lexicographically-chronological sequence key
-    (ISO-µs timestamp + zero-padded event_id) — the same encoding the
-    batch CDC collapse uses (queries/analytics.py::cdc_apply_changes)."""
-    return F.concat(
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
-
-
 def _cdc_collapse(batch: DataFrame) -> DataFrame:
     """Collapse a changelog slice to per-key (count, latest row) partials —
     associative, so per-batch partials merge to the global answer in any
     batch order (late data compares on the sequence key, not arrival)."""
-    sk = _cdc_seq_key()
+    from ..queries.analytics import cdc_seq_key
+
+    sk = cdc_seq_key()
     return batch.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_changes"),
         F.max_by("event_type", sk).alias("last_type"),
@@ -467,12 +459,16 @@ def _cdc_state_merge(state: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def _cdc_latest_version(state_dir: str) -> int | None:
+def _cdc_latest_version(
+    state_dir: str, below: int | None = None
+) -> int | None:
     import os
 
     if not os.path.isdir(state_dir):
         return None
     vs = [int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")]
+    if below is not None:
+        vs = [v for v in vs if v < below]
     return max(vs) if vs else None
 
 
@@ -497,8 +493,13 @@ def run_cdc_upsert(
     import os
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # IDEMPOTENT under foreachBatch's at-least-once replay: the merge
+        # input is always the latest version STRICTLY BELOW this batch_id
+        # — a replayed batch N re-merges into the pre-N state and
+        # overwrites v{N}, instead of double-merging into the v{N} its
+        # failed attempt already wrote.
         delta = _cdc_collapse(batch_df)
-        v = _cdc_latest_version(state_dir)
+        v = _cdc_latest_version(state_dir, below=batch_id)
         if v is None:
             merged = delta
         else:
@@ -512,6 +513,10 @@ def run_cdc_upsert(
     q = foreach_batch_upsert(stream, checkpoint, merge_batch)
     q.awaitTermination()
     v = _cdc_latest_version(state_dir)
-    import os
-
+    if v is None:  # zero micro-batches (empty ingest dir): empty state
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_changes bigint, last_type string, "
+            "last_value double, last_ts timestamp, last_sk string",
+        )
     return spark.read.parquet(os.path.join(state_dir, f"v{v}"))

@@ -341,13 +341,8 @@ def test_interval_overlap_matches_naive_theta_join(spark):
 
     register_views(spark, SF_SMALL)
     got = QUERIES["join_interval_overlap"](spark, SF_SMALL)
-    sessions = got.select("user_id", "session_id")  # keys only
-    # rebuild sessions (same gaps-and-islands logic lives in the query);
-    # derive the naive counts from the query's own session relation via
-    # a cross-style theta join
-    from shelf_spark.queries.ranges import join_interval_overlap  # noqa: F401
-
-    # reconstruct session intervals with the same definition
+    # reconstruct session intervals with the query's own definition
+    # (30-minute gaps-and-islands) and count overlaps the naive way
     from pyspark.sql import Window
 
     e = spark.table("events")

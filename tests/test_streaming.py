@@ -260,10 +260,9 @@ def test_cdc_upsert_multibatch_converges(spark, tmp_path):
         final.filter(F.col("last_type") != "error"),
         ["user_id", "n_changes", "last_type", "last_value", "last_ts"],
     )
-    sk = F.concat(
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    from shelf_spark.queries.analytics import cdc_seq_key
+
+    sk = cdc_seq_key()
     batch = (
         e.groupBy("user_id")
         .agg(
