@@ -6,6 +6,12 @@ beyond-reference extension mandated by the build brief: the batch
 event-time operators from :mod:`shelf_spark.queries.events` re-expressed
 as ``readStream`` → transform → sink pipelines with watermarks for late
 data, plus a custom stateful operator via ``applyInPandasWithState``.
+(Spark 4's successor API, ``transformWithStateInPandas``, is present in
+this PySpark build but its state-server protocol imports
+``google.protobuf``, which is absent from the container — verified by a
+live probe; the operator tier therefore stays on
+``applyInPandasWithState``, which exercises the same
+keyed-state/timeout machinery.)
 
 Design:
 
