@@ -325,3 +325,107 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "events_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts,
+             (event_type = 'click') AS is_click
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    enriched AS (
+      SELECT *,
+             last_value(CASE WHEN is_click THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_click_ts,
+             first_value(CASE WHEN is_click THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_click_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE
+             WHEN prev_click_ts IS NULL THEN next_click_ts
+             WHEN next_click_ts IS NULL THEN prev_click_ts
+             WHEN date_diff('microsecond', prev_click_ts, ts)
+                  <= date_diff('microsecond', ts, next_click_ts)
+               THEN prev_click_ts
+             ELSE next_click_ts
+           END AS nearest_click_ts
+    FROM enriched
+    WHERE NOT is_click
+    ORDER BY purchase_id
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'`` semantics): each purchase matches its user's
+    temporally closest click, looking BOTH ways — backward ties win.
+    Backward-only as-of (events_asof_join) is one running ``last``;
+    nearest needs the next-click timestamp too. That is NOT phrased as
+    ``first(...)`` over a [current, unboundedFollowing] frame — Spark's
+    UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate per
+    row (the O(partition²) trap join_interval_overlap documents), which
+    a power-user key with millions of events would turn into a cliff.
+    Instead the next-click is a running ``last`` over the REVERSED
+    per-user ordering: same hash exchange, one extra in-partition sort,
+    O(n log n) guaranteed at any key skew.
+
+    Scale shape: one hash shuffle on user_id, two in-partition sorts
+    (forward + reverse), two running accumulators; no self-join, no
+    range explode."""
+    e = spark.table("events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    w_fwd = W.partitionBy("user_id").orderBy(
+        "ts", F.desc("is_click"), "event_id"
+    )
+    # Reversed total order: running-last here sees exactly the rows the
+    # forward order places at/after the current row (same-ts clicks sort
+    # before purchases forward, hence after them reversed — i.e. they
+    # stay with the PRECEDING side, matching the oracle's frame).
+    w_rev = W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.asc("is_click"), F.desc("event_id")
+    )
+    click_ts = F.when(F.col("is_click"), F.col("ts"))
+    prev_c = F.last(click_ts, ignorenulls=True).over(
+        w_fwd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    next_c = F.last(click_ts, ignorenulls=True).over(
+        w_rev.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # NTZ-safe exact µs: unix_micros rejects TIMESTAMP_NTZ; the cast to
+    # TIMESTAMP is value-identity under the pinned-UTC session tz (same
+    # idiom as sessionize above), and integer µs keep the tie-break exact.
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap_back = us("ts") - us("prev_click_ts")
+    gap_fwd = us("next_click_ts") - us("ts")
+    nearest = (
+        F.when(F.col("prev_click_ts").isNull(), F.col("next_click_ts"))
+        .when(F.col("next_click_ts").isNull(), F.col("prev_click_ts"))
+        .when(gap_back <= gap_fwd, F.col("prev_click_ts"))
+        .otherwise(F.col("next_click_ts"))
+    )
+    return (
+        tagged.withColumn("prev_click_ts", prev_c)
+        .withColumn("next_click_ts", next_c)
+        .filter(~F.col("is_click"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            nearest.alias("nearest_click_ts"),
+        )
+        .orderBy("purchase_id")
+    )
