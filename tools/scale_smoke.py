@@ -103,6 +103,7 @@ HEADLINE = [
     "events_asof_tolerance",
     "stream_cdc_upsert",
     "multimodal_frame_sample",
+    "events_asof_nearest",
 ]
 
 
