@@ -77,6 +77,23 @@ def broadcast_join_count(df: DataFrame) -> int:
     return physical_plan(df).count("BroadcastHashJoin")
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window nodes with an EMPTY partition spec — the shape WindowExec
+    warns about ("No Partition Defined … Moving all data to a single
+    partition"): the node's whole input is serialized through one task.
+
+    Plan text: a partitioned Window prints three bracket groups
+    ``Window [funcs], [partSpec], [orderSpec]``; an unpartitioned one
+    prints two. WindowGroupLimit nodes are excluded (they always carry a
+    partition spec slot)."""
+    n = 0
+    for line in physical_plan(df).splitlines():
+        ls = line.strip().lstrip("+-: ")
+        if ls.startswith("Window [") and ls.count("], [") == 1:
+            n += 1
+    return n
+
+
 def codegen_ids(df: DataFrame) -> set[int]:
     """Distinct whole-stage-codegen spans; wider spans = fewer ids for the
     same operator count."""

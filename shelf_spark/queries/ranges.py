@@ -247,12 +247,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join did Σ per-bucket-concurrency² work (3.4 s at sf0.1,
     degrading toward n² on dense-overlap workloads); this plan is 1.3 s
     (sessionization dominates) and volume-proportional at any overlap
-    density. The domain-table window
-    is the only serial piece (session-count-sized); a range-partitioned
-    prefix sum is the named upgrade, same as ml_quantile_bins. When the
-    downstream needs the overlapping PAIRS rather than counts, the
-    bucket-explode equi-join (join_range_bucketed) remains the shape —
-    pair enumeration cannot beat its own output size."""
+    density. The prefix sums are DISTRIBUTED (prefix.attach_prefix_sums:
+    range-partition the boundary domain, local running sums, broadcast
+    per-partition offsets) — the domain grows linearly with raw events,
+    so the single-task ``Window.orderBy(t)`` formulation would be a
+    serial wall at 100 TB, not a tail. When the downstream needs the
+    overlapping PAIRS rather than counts, the bucket-explode equi-join
+    (join_range_bucketed) remains the shape — pair enumeration cannot
+    beat its own output size."""
     from pyspark.sql import Window
 
     e = spark.table("events")
@@ -300,16 +302,18 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.sum("ns").alias("starts_at"), F.sum("ne").alias("ends_at"))
     )
-    wd = Window.orderBy("t")
-    ranked = domain.select(
+    from .prefix import attach_prefix_sums
+
+    # Distributed prefix sums over the boundary domain: inclusive running
+    # counts per boundary; the exclusive "ends strictly before" rank is
+    # the inclusive rank minus the row's own multiplicity (one row per
+    # distinct t, so no intra-tie ambiguity).
+    ranked = attach_prefix_sums(
+        domain, ["t"], ["starts_at", "ends_at"]
+    ).select(
         "t",
-        F.coalesce(
-            F.sum("ends_at").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("ends_before"),
-        F.sum("starts_at")
-        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("starts_upto"),
+        (F.col("ends_at_upto") - F.col("ends_at")).alias("ends_before"),
+        F.col("starts_at_upto").alias("starts_upto"),
     )
     return (
         sessions.join(

@@ -461,28 +461,31 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table is never globally sorted or row-numbered.
     Ranks come from the COMPRESSED value domain — one groupBy on price
     (shuffle volume = distinct prices, i.e. the money grid, ≪ rows), a
-    prefix-sum window over that domain table, and one 9-value boundary
-    aggregate that broadcasts back for a map-only bin assignment. The
-    domain table's single-partition window is the only serial piece; it
-    is value-cardinality-sized, and a range-partitioned prefix sum (sum
-    per range + running offset, the join_range_bucketed trick) is the
-    drop-in upgrade if the domain itself ever outgrows one partition."""
+    DISTRIBUTED prefix sum over that domain table
+    (prefix.attach_prefix_sums: range-partition on price, local running
+    sums, broadcast per-partition offsets — no single-task window even if
+    the value domain itself grows), and one 9-value boundary aggregate
+    that broadcasts back for a map-only bin assignment. The total row
+    count is a 1-row broadcast cross join straight off the fact scan.
+    Boundary ranks use integer ``div`` (not ``floor`` of a double
+    division, which is exact only while i·n+9 < 2⁵³ — the oracle's ``//``
+    is exact at any row count, so the Spark side must be too)."""
     li = spark.table("lineitem")
     pc = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
         F.count("*").alias("cnt")
     )
-    w_cum = W.orderBy("price").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = pc.select(
-        "price",
-        F.sum("cnt").over(w_cum).alias("c"),
-        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    from .prefix import attach_prefix_sums
+
+    cum = attach_prefix_sums(pc, ["price"], ["cnt"]).select(
+        "price", F.col("cnt_upto").alias("c")
     )
-    bounds = cum.agg(
+    total = li.agg(F.count("*").alias("n"))  # Σ cnt = fact row count
+    bounds = cum.crossJoin(F.broadcast(total)).agg(
         *[
             F.min(
                 F.when(
                     F.col("c")
-                    >= F.floor((F.lit(i) * F.col("n") + (_N_BINS - 1)) / _N_BINS),
+                    >= F.expr(f"({i} * n + {_N_BINS - 1}) div {_N_BINS}"),
                     F.col("price"),
                 )
             ).alias(f"b{i}")

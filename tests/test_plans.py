@@ -9,6 +9,7 @@ from shelf_spark.plans import (
     exchange_count,
     physical_plan,
     scans_of,
+    unpartitioned_window_count,
 )
 from shelf_spark.queries import QUERIES
 
@@ -243,6 +244,31 @@ def test_interval_overlap_is_sweepline_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "unboundedfollowing" not in plan.lower()
+
+
+def test_interval_overlap_prefix_sum_distributed(spark):
+    """The boundary-domain prefix sums must be the two-pass distributed
+    rewrite: the domain range-partitions on t and NO window in the plan
+    has an empty partition spec (the r6 draft's Window.orderBy(t) moved
+    the whole linearly-growing boundary domain into one task)."""
+    df = QUERIES["join_interval_overlap"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert unpartitioned_window_count(df) == 0, plan
+    assert "rangepartitioning(t#" in plan.replace(" ", "").replace(
+        "ASCNULLSFIRST", ""
+    ) or "rangepartitioning(t" in plan
+
+
+def test_quantile_bins_prefix_sum_distributed(spark):
+    """The price-domain cumulative counts must be distributed the same
+    way; the only serial pieces are the partition-count-sized offsets
+    window and the 1-row total broadcast."""
+    df = QUERIES["ml_quantile_bins"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert unpartitioned_window_count(df) == 0, plan
+    assert "rangepartitioning(price" in plan
+    # the row-count total is a 1-row broadcast, not a rescan-sized window
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_cdc_collapse_is_aggregate_not_window_sort(spark):
