@@ -190,14 +190,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     each oriented edge (u, v) the closing nodes are exactly
     ``N+(u) ∩ N+(v)`` (w ∈ N+(u) gives the wedge u→v, u→w; w ∈ N+(v)
     closes it), so the plan never materializes the Σ C(outdeg, 2) wedge
-    stream (41M rows at sf0.1). Each edge row carries its source's
+    stream as ROWS (41M at sf0.1). Each edge row carries its source's
     adjacency array map-side (explode of the grouped adjacency — zero
     extra shuffle), one edges-sized SHUFFLE_HASH join attaches the
     destination's array, and ``array_intersect`` runs in the JVM per row.
-    The shuffled relation stays m rows (vs 41M wedge rows); the array
-    payload per row is bounded by the orientation's O(√m) out-degree cap,
-    so no single row or hash bucket can blow up on a power-law hub at
-    100 TB. Rewrote the r6 wedge-join plan 17.2 → 6.2 s at sf0.1,
+    What shrinks is row CARDINALITY (m rows vs 41M) and the per-wedge
+    shuffle-sort bookkeeping; the shuffled byte volume is still
+    Σ outdeg² (the arrays riding the edge rows), asymptotically the same
+    payload as the wedge stream, packed into far fewer, sort-free rows.
+    The array payload per row is bounded by the orientation's O(√m)
+    out-degree cap, so no single row or hash bucket can blow up on a
+    power-law hub at 100 TB. Rewrote the r6 wedge-join plan 17.2 → 6.2 s at sf0.1,
     bit-identical output (DuckDB oracle: 16.9 s on the same machine)."""
     und = _basket_pairs(spark).select("p1", "p2").distinct()
     # One materialization feeds degrees AND the orientation join.

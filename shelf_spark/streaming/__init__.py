@@ -468,11 +468,23 @@ def _cdc_state_merge(state: DataFrame, delta: DataFrame) -> DataFrame:
 def _cdc_latest_version(
     state_dir: str, below: int | None = None
 ) -> int | None:
+    """Latest COMMITTED state version: a ``v{N}`` directory counts only
+    once Spark's parquet job committer has dropped its ``_SUCCESS``
+    marker — a crash mid-write leaves a partial ``v{N}`` without one,
+    and read-latest must never pick that up (otherwise a fresh run
+    reusing the state_dir, or the final state read, would merge on top
+    of a torn state)."""
     import os
 
     if not os.path.isdir(state_dir):
         return None
-    vs = [int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")]
+    vs = [
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    ]
     if below is not None:
         vs = [v for v in vs if v < below]
     return max(vs) if vs else None

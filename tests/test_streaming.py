@@ -275,3 +275,26 @@ def test_cdc_upsert_multibatch_converges(spark, tmp_path):
     )
     want = _rows(batch, ["user_id", "n_changes", "last_type", "last_value", "last_ts"])
     assert got == want
+
+
+def test_cdc_latest_version_requires_commit_marker(tmp_path):
+    """A crash mid-write leaves a partial v{N} without Spark's _SUCCESS
+    marker; read-latest must skip it (else a restart merges on top of a
+    torn state)."""
+    import os
+
+    from shelf_spark.streaming import _cdc_latest_version
+
+    state = tmp_path / "state"
+    for v, committed in [(0, True), (1, True), (2, False)]:
+        d = state / f"v{v}"
+        d.mkdir(parents=True)
+        (d / "part-00000.parquet").write_bytes(b"")
+        if committed:
+            (d / "_SUCCESS").write_bytes(b"")
+    (state / "vtmp").mkdir()  # non-numeric v* junk must not crash discovery
+    assert _cdc_latest_version(str(state)) == 1
+    assert _cdc_latest_version(str(state), below=1) == 0
+    assert _cdc_latest_version(str(tmp_path / "missing")) is None
+    os.remove(state / "v1" / "_SUCCESS")
+    assert _cdc_latest_version(str(state)) == 0
