@@ -405,9 +405,15 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplies splits, and the narrow exchange is corpus-volume-bounded).
     O(tokens) total work vs the suffix automaton's O(tokens) with a far
     smaller constant and no serial build."""
+    return substring_dup_stats(spark.table("documents"))
+
+
+def substring_dup_stats(d: DataFrame) -> DataFrame:
+    """Core of ``dedup_substring_exact`` over any (doc_id, text) relation
+    — factored out so the adversarial skew-stress tests can drive the
+    same pair generator with a mass-duplicated-span corpus."""
     from pyspark.sql import Window
 
-    d = spark.table("documents")
     toks = F.split("text", " ")
     hashed = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SUBSTR_K - 1)),

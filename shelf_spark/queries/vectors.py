@@ -237,9 +237,10 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_semantic_clusters",
-    oracle=f"""
+def _semantic_oracle(threshold: float) -> str:
+    """DuckDB oracle for the SemDeDup-shaped clustering, parameterized by
+    the cosine threshold (recursive reachability = connected components)."""
+    return f"""
     WITH RECURSIVE
     v AS (
       SELECT vec_id, label, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm,
@@ -253,7 +254,7 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
                        AND a.vec_id < b.vec_id
       WHERE list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
-            / (a.nrm * b.nrm) >= 0.92
+            / (a.nrm * b.nrm) >= {threshold}
     ),
     edges AS (
       SELECT va AS src, vb AS dst FROM prs
@@ -272,8 +273,68 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            (vec_id = cluster_id) AS is_canonical
     FROM lab
     ORDER BY vec_id
-    """,
-)
+    """
+
+
+def occupancy_blocked(v: DataFrame) -> DataFrame:
+    """Attach the occupancy-bounded blocking sub-cell key to a vector
+    relation (columns: vec_id, label, …): the sub-cell count grows with
+    the label's population so a (label, sub) cell never holds more than
+    ~CELL_OCCUPANCY vectors in expectation — pair mining stays quadratic
+    in the CAP, linear in the corpus. The assignment is the
+    engine-independent content hash (sha256 prefix), so DuckDB blocks
+    identically."""
+    nlab = F.count("*").over(W.partitionBy("label"))
+    nsub = F.ceil(nlab / F.lit(float(CELL_OCCUPANCY))).cast("int")
+    sub = (
+        F.conv(
+            F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 4), 16, 10
+        ).cast("int")
+        % nsub
+    )
+    return v.withColumn("sub", sub)
+
+
+def semantic_pairs(v: DataFrame, threshold: float) -> DataFrame:
+    """High-cosine (≥ threshold) pairs within each (label, sub) blocking
+    cell of an occupancy-blocked vector relation (columns: vec_id, label,
+    vec, nrm, sub) → (va, vb) with va < vb."""
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+
+
+def _semantic_clusters(spark: SparkSession, threshold: float) -> DataFrame:
+    from .sampling import star_components
+
+    v = occupancy_blocked(
+        spark.table("embeddings")
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    lab = star_components(semantic_pairs(v, threshold), "va", "vb").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        lab.withColumn(
+            "cluster_size",
+            F.count("*").over(W.partitionBy("cluster_id")).cast("bigint"),
+        )
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_oracle(0.92))
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication (SemDeDup-shaped): high-cosine embedding
     pairs within a blocking cell → connected components → one canonical
@@ -298,43 +359,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange. Only ids shuffle after pair mining — embeddings never
     move again. At the test scales every label holds ≤ CELL_OCCUPANCY
     vectors, so the sub-cell key is constant-0 and results equal the
-    plain label-blocked variant."""
-    from .sampling import star_components
+    plain label-blocked variant.
 
-    nlab = F.count("*").over(W.partitionBy("label"))
-    nsub = F.ceil(nlab / F.lit(float(CELL_OCCUPANCY))).cast("int")
-    sub = (
-        F.conv(
-            F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 4), 16, 10
-        ).cast("int")
-        % nsub
-    )
-    v = (
-        spark.table("embeddings")
-        .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
-        .withColumn("nrm", _norm(F.col("vec")))
-        .withColumn("sub", sub)
-    )
-    a, b = v.alias("a"), v.alias("b")
-    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.92)
-        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
-    )
-    lab = star_components(pairs, "va", "vb").select(
-        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
-    )
-    return (
-        lab.withColumn(
-            "cluster_size",
-            F.count("*").over(W.partitionBy("cluster_id")).cast("bigint"),
-        )
-        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
-        .orderBy("vec_id")
-    )
+    The production 0.92 threshold yields rows only once the corpus
+    carries true near-dups (the 10× replicated smoke mines ~200k pairs);
+    on the clean small-SF fixtures no pair clears it, so the driver-gate
+    evidence for THIS entry compares empty outputs — the t40 twin below
+    exists to keep the whole pipeline (blocking, pair mining, star
+    contraction, canonical pick) value-checked on non-empty data at
+    every scale."""
+    return _semantic_clusters(spark, 0.92)
+
+
+@query("dedup_semantic_clusters_t40", oracle=_semantic_oracle(0.40))
+def dedup_semantic_clusters_t40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_semantic_clusters` with the cosine threshold at 0.40: same
+    blocking, pair mining, and star-contraction pipeline, tuned so the
+    clean synthetic fixtures yield clusters at EVERY scale (sf0.01: 5
+    pairs, margin-to-threshold 0.0017; sf0.1: 86 pairs) — the
+    non-vacuous driver-gate twin of the production 0.92 entry, whose
+    clean-corpus output is empty by construction. One registration per
+    threshold keeps both under the value-exact oracle."""
+    return _semantic_clusters(spark, 0.40)

@@ -1,0 +1,80 @@
+"""Adversarial hot-key stress for the dedup pair generators.
+
+Both `dedup_substring_exact` and `dedup_semantic_clusters` concentrate
+hot keys — a mass-duplicated k-token span hashes every copy to ONE
+digest (one window partition), and mass-duplicated embeddings pile into
+one label. These tests pin the two documented claims:
+
+- substring dedup: a 10⁴-duplicate digest is sort volume inside one
+  window partition, not a blowup — results stay exact (dedup.py:381
+  docstring's "sort volume, not blowup");
+- semantic dedup: the occupancy-bounded blocking splits a 10⁴-vector
+  label into ~CELL_OCCUPANCY-sized sub-cells, so pair work is
+  Σ C(cell, 2) ≈ linear in the corpus, never C(10⁴, 2) (vectors.py
+  CELL_OCCUPANCY contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_DOCS = 10_000
+
+
+def test_substring_dedup_hot_digest_exact(spark):
+    """10⁴ documents all sharing one 8-token span: the span's digest
+    carries 10⁴ rows in a single window partition. The window-min firsts
+    must stream through it and still produce exact counts: the earliest
+    doc owns the span, every other doc has exactly one duplicate span."""
+    from shelf_spark.queries.dedup import SUBSTR_K, substring_dup_stats
+
+    span = " ".join(f"s{j}" for j in range(SUBSTR_K))
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} {span}") for i in range(N_DOCS)],
+        "doc_id bigint, text string",
+    )
+    out = substring_dup_stats(docs).collect()
+    assert len(out) == N_DOCS
+    for r in out:
+        # 10 tokens → 3 windows; only the pure-span window is shared
+        assert r.n_windows == 3
+        assert r.n_dup_windows == (0 if r.doc_id == 0 else 1)
+        assert r.has_dup_span == (r.doc_id > 0)
+
+
+def test_semantic_blocking_caps_pair_volume_under_mass_duplication(spark):
+    """10⁴ identical vectors in one label: without occupancy blocking the
+    pair join would emit C(10⁴, 2) ≈ 5·10⁷ pairs; with it, pair volume is
+    Σ C(cell, 2) over ~40 hash-balanced sub-cells — and the clusters are
+    exactly the sub-cells (the recall/cost trade the docstring states)."""
+    from shelf_spark.queries.sampling import star_components
+    from shelf_spark.queries.vectors import (
+        CELL_OCCUPANCY,
+        occupancy_blocked,
+        semantic_pairs,
+    )
+
+    v = occupancy_blocked(
+        spark.createDataFrame(
+            [(i, 7, [1.0, 2.0, 3.0, 4.0], 30.0**0.5) for i in range(N_DOCS)],
+            "vec_id bigint, label int, vec array<double>, nrm double",
+        )
+    ).localCheckpoint()  # one blocking pass feeds cells, pairs, clusters
+
+    cells = {r.sub: r.cnt for r in v.groupBy("sub").agg(F.count("*").alias("cnt")).collect()}
+    assert len(cells) == -(-N_DOCS // CELL_OCCUPANCY)  # ceil: 40 sub-cells
+    # content-hash balance: no cell more than 2× the occupancy target
+    assert max(cells.values()) <= 2 * CELL_OCCUPANCY
+
+    pairs = semantic_pairs(v, 0.9)
+    expect_pairs = sum(c * (c - 1) // 2 for c in cells.values())
+    assert pairs.count() == expect_pairs  # ≈ 1.2M, not 5·10⁷
+
+    comp_sizes = sorted(
+        r.n
+        for r in star_components(pairs, "va", "vb")
+        .groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert comp_sizes == sorted(cells.values())  # one clique per sub-cell
