@@ -328,6 +328,119 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS user_id, o_orderdate AS o_ts,
+             max(o_orderkey) AS o_key,
+             max_by(o_totalprice, o_orderkey) AS o_price
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           o.o_key AS asof_orderkey,
+           round(o.o_price, 2) AS asof_totalprice,
+           o.o_ts AS asof_orderdate,
+           CAST((CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(o.o_ts)) AS BIGINT)) // 86400 AS BIGINT)
+             AS staleness_days
+    FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts >= o.o_ts
+    ORDER BY purchase_id
+    """,
+)
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-vs-TABLE as-of join (the feature-store point-in-time
+    lookup): each purchase event is enriched with its user's most recent
+    ORDER — a separate keyed relation — at or before the event
+    timestamp, plus the match's staleness in whole days. This is the
+    shape DuckDB exposes as ``ASOF JOIN`` (reference users reach it via
+    SQL steps, reference src/shelf/tables.py:155-181) and pandas as
+    ``merge_asof``; the oracle IS DuckDB's native ASOF JOIN, so the two
+    engines verify each other with genuinely different algorithms.
+
+    Spark plan: the UNION-TAG rewrite — collapse the right side to one
+    row per (key, ts) with a deterministic tie-break (max orderkey; an
+    as-of match must be unique to be well-defined), tag and union both
+    relations, and carry the order attributes forward with running
+    ``last(ignorenulls)`` over the per-user event-time order (right-side
+    rows sort before left-side rows at identical timestamps, so a
+    same-instant order counts as "at or before"). ONE hash shuffle on
+    the key covers both tables; no range-join explode, no per-row
+    probing — the same single-exchange discipline as the same-table
+    as-of family above, now across two scale-growing inputs (both sides
+    shuffle once on the join key, exactly like a sort-merge join, but
+    the merge is a linear window pass). Timestamps hop through
+    TIMESTAMP under the pinned-UTC session (NTZ-safe idiom, see
+    events_sessionize); staleness uses integer-second arithmetic with
+    integer ``div`` — exact at any magnitude."""
+    o = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("okey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("oprice"),
+        )
+        .select(
+            "user_id",
+            F.col("ots").alias("t"),
+            F.lit(True).alias("is_order"),
+            F.lit(None).cast("long").alias("event_id"),
+            "okey",
+            "oprice",
+            "ots",
+        )
+    )
+    p = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("t"),
+            F.lit(False).alias("is_order"),
+            "event_id",
+            F.lit(None).cast("long").alias("okey"),
+            F.lit(None).cast("double").alias("oprice"),
+            F.lit(None).cast("timestamp").alias("ots"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", F.desc("is_order"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carry = lambda c: F.last(  # noqa: E731
+        F.when(F.col("is_order"), F.col(c)), ignorenulls=True
+    ).over(w)
+    enriched = o.unionByName(p).select(
+        "*",
+        carry("okey").alias("asof_orderkey"),
+        carry("oprice").alias("asof_totalprice"),
+        carry("ots").alias("asof_orderdate"),
+    )
+    stale = F.expr(
+        "(unix_timestamp(t) - unix_timestamp(asof_orderdate)) div 86400"
+    )
+    return (
+        enriched.filter(~F.col("is_order"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("t").alias("purchase_ts"),
+            "asof_orderkey",
+            F.round("asof_totalprice", 2).alias("asof_totalprice"),
+            "asof_orderdate",
+            stale.cast("long").alias("staleness_days"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
     "events_asof_nearest",
     oracle="""
     WITH tagged AS (

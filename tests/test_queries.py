@@ -394,3 +394,58 @@ def test_interval_overlap_matches_naive_theta_join(spark):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in naive_full.collect()
     )
+
+
+def test_asof_nearest_matches_naive_min_gap(spark):
+    """The two-directional running-last rewrite must reproduce the naive
+    per-purchase min-|gap| pick over ALL of the user's clicks (backward
+    ties win) — in Spark, independent of the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from shelf_spark.data import register_views
+
+    register_views(spark, SF_SMALL)
+    got = {
+        r.purchase_id: r.nearest_click_ts
+        for r in QUERIES["events_asof_nearest"](spark, SF_SMALL).collect()
+    }
+    e = spark.table("events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    naive = (
+        p.join(c, "user_id", "left")
+        .groupBy("event_id")
+        .agg(
+            F.min_by(
+                "c_ts",
+                F.struct(
+                    F.abs(us("c_ts") - us("p_ts")).alias("gap"),
+                    # backward (click <= purchase) wins equal-|gap| ties
+                    (us("c_ts") > us("p_ts")).cast("int").alias("fwd"),
+                ),
+            ).alias("nearest")
+        )
+    )
+    want = {r.event_id: r.nearest for r in naive.collect()}
+    assert got == want
+
+
+def test_asof_orders_single_key_shuffle(spark):
+    """The table-vs-table as-of join must shuffle each side once on the
+    join key (union + window), never range-explode: at most the key
+    exchange(s) + the presentation sort, and no nested-loop join."""
+    from shelf_spark.plans import physical_plan
+
+    df = QUERIES["events_asof_orders"](spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # union-side hash exchange(s) on user_id + range for ORDER BY; the
+    # orders pre-collapse adds one agg exchange
+    from shelf_spark.plans import exchange_count
+
+    assert exchange_count(df) <= 3
