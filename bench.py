@@ -77,6 +77,16 @@ HEADLINE = [
     "dedup_substring_exact",
     "ml_quantile_bins",
     "multimodal_frame_sample",
+    # round-7 tier: the remaining ≥0.5s-representative families — the
+    # full as-of family (backward/tolerance/nearest/table-vs-table),
+    # streaming CDC upsert, exact weighted sampling, and the non-vacuous
+    # semantic-dedup twin
+    "events_asof_tolerance",
+    "events_asof_nearest",
+    "events_asof_orders",
+    "stream_cdc_upsert",
+    "sample_weighted_topk",
+    "dedup_semantic_clusters_t40",
 ]
 
 
