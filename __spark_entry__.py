@@ -75,7 +75,10 @@ _DRIVER_WINDOW_R07 = [
     "window_first_last", "window_cume_nth", "window_nth_value",
     "q4_order_priority", "q2_min_cost_supplier", "q8_market_share",
     "q9_profit_by_nation_year", "q21_sole_late_supplier",
-    "dedup_exact", "text_token_count", "text_lang_id",
+    "dedup_exact", "text_token_count",
+    # r7 (late): the day-domain cumulative sum also moved to the
+    # distributed prefix pattern
+    "events_new_users_daily",
 ]
 
 

@@ -102,9 +102,13 @@ def incr_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User growth curve: first-seen day per user (one shuffle on
-    user_id), daily new-user counts, and the cumulative total. The only
-    unpartitioned window runs over the per-day relation — bounded by
-    calendar days, never the event stream (windows.py scale rule)."""
+    user_id), daily new-user counts, and the cumulative total. The
+    per-day domain grows with the calendar horizon (slowly, but
+    unboundedly), so the cumulative sum is the DISTRIBUTED prefix sum
+    (prefix.attach_prefix_sums) rather than a single-task
+    ``Window.orderBy(day)``."""
+    from .prefix import attach_prefix_sums
+
     e = spark.table("events")
     first_seen = e.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
@@ -112,11 +116,10 @@ def events_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").alias("new_users")
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return daily.select(
+    return attach_prefix_sums(daily, ["day"], ["new_users"]).select(
         "day",
         "new_users",
-        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        F.col("new_users_upto").cast("long").alias("cum_users"),
     ).orderBy("day")
 
 

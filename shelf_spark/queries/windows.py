@@ -170,12 +170,18 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
     )
     counts = base.groupBy("pid").agg(F.count("*").alias("cnt"))
-    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    # Bounded (≤ n_parts rows): the single-task offsets window is
+    # intended; the non-foldable constant partition key keeps the spec
+    # non-empty so WindowExec's no-partition warning can't drown gate
+    # logs (same idiom as prefix.attach_prefix_sums).
+    const = F.pmod(F.col("pid"), F.lit(1))
+    w_off = W.partitionBy(const).orderBy("pid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
     offsets = counts.select(
         "pid",
         F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
-        F.sum("cnt").over(W.orderBy(F.lit(1)).rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing)).alias("n_total"),
+        F.sum("cnt").over(W.partitionBy(const)).alias("n_total"),
     )
     w_local = W.partitionBy("pid").orderBy(F.desc("c_acctbal"), "c_custkey")
     rn = F.col("local_rn") + F.col("offset")

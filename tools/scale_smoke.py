@@ -104,6 +104,10 @@ HEADLINE = [
     "stream_cdc_upsert",
     "multimodal_frame_sample",
     "events_asof_nearest",
+    # round-7: the distributed-prefix-sum replans are already above
+    # (join_interval_overlap, ml_quantile_bins); add the new operators
+    "events_asof_orders",
+    "dedup_semantic_clusters_t40",
 ]
 
 
