@@ -59,6 +59,8 @@ _DRIVER_WINDOW_R07 = [
     # r7: NEW operators
     "events_asof_orders",        # table-vs-table as-of (ASOF JOIN oracle)
     "dedup_semantic_clusters_t40",  # non-vacuous semantic-dedup twin
+    "text_chunk_cdc",            # content-defined chunking (rolling hash)
+    "stream_asof_enrich",        # per-micro-batch as-of vs static orders
     # r7: distributed prefix-sum replans (single-task domain windows gone)
     "join_interval_overlap", "ml_quantile_bins",
     # r7: refactors sharing code with new tests (expressions unchanged,
@@ -75,7 +77,6 @@ _DRIVER_WINDOW_R07 = [
     "window_first_last", "window_cume_nth", "window_nth_value",
     "q4_order_priority", "q2_min_cost_supplier", "q8_market_share",
     "q9_profit_by_nation_year", "q21_sole_late_supplier",
-    "dedup_exact", "text_token_count",
     # r7 (late): the day-domain cumulative sum also moved to the
     # distributed prefix pattern
     "events_new_users_daily",

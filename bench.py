@@ -87,6 +87,8 @@ HEADLINE = [
     "stream_cdc_upsert",
     "sample_weighted_topk",
     "dedup_semantic_clusters_t40",
+    "text_chunk_cdc",
+    "stream_asof_enrich",
 ]
 
 

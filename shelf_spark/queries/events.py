@@ -375,8 +375,21 @@ def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP under the pinned-UTC session (NTZ-safe idiom, see
     events_sessionize); staleness uses integer-second arithmetic with
     integer ``div`` — exact at any magnitude."""
+    purchases = spark.table("events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return asof_enrich_orders(purchases, spark.table("orders"))
+
+
+def asof_enrich_orders(purchases: DataFrame, orders: DataFrame) -> DataFrame:
+    """Core of ``events_asof_orders`` over any (event_id, user_id, ts)
+    purchase relation and a TPC-H-shaped orders relation — factored out
+    so the streaming twin (``stream_asof_enrich``) can run the identical
+    enrichment per micro-batch against the static orders side (backward
+    as-of against a static right side is batch-decomposable: each left
+    row's match is independent of every other left row)."""
     o = (
-        spark.table("orders")
+        orders
         .groupBy(
             F.col("o_custkey").alias("user_id"),
             F.col("o_orderdate").cast("timestamp").alias("ots"),
@@ -396,8 +409,7 @@ def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p = (
-        spark.table("events")
-        .filter(F.col("event_type") == "purchase")
+        purchases
         .select(
             "user_id",
             F.col("ts").cast("timestamp").alias("t"),

@@ -241,3 +241,109 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_start")
     )
+
+
+#: Content-defined chunking: rolling-window width and boundary modulus
+#: (a window digest ≡ 0 mod 16 cuts → mean chunk ≈ 16 tokens).
+CDC_W = 4
+CDC_MOD = 16
+
+
+@query(
+    "text_chunk_cdc",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) > 0
+    ), b AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n > {CDC_W} THEN
+               list_filter(generate_series({CDC_W}, n - 1),
+                 i -> CAST(('0x' || substr(sha256(array_to_string(
+                          toks[i-{CDC_W - 1}:i], ' ')), 1, 4)) AS INTEGER)
+                      % {CDC_MOD} = 0)
+             ELSE CAST([] AS BIGINT[]) END AS bounds
+      FROM t
+    ), s AS (
+      SELECT doc_id, toks,
+             list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+             list_append(bounds, CAST(n AS BIGINT)) AS ends
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           CAST(starts[k] AS BIGINT) AS chunk_start,
+           CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_chunk_tokens,
+           substr(sha256(array_to_string(toks[starts[k]:ends[k]], ' ')), 1, 16)
+             AS chunk_digest
+    FROM s, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS k) ks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (rolling-hash boundaries, the FastCDC /
+    rsync-family idea at token granularity): a chunk boundary falls
+    after token *i* whenever the digest of the {CDC_W}-token window
+    ending at *i* is ≡ 0 (mod {CDC_MOD}) — so boundaries are decided by
+    local CONTENT, not position, and an insertion near the front of a
+    document shifts at most one chunk instead of re-aligning every
+    fixed-stride window (the property that makes chunk-digest dedup
+    robust to edits, where ``text_chunk_sliding``'s fixed stride is
+    not). Emits (chunk_idx, start, length, 16-hex digest) per chunk;
+    downstream chunk-level dedup is a groupBy on the digest
+    (dedup_substring_exact's exchange shape).
+
+    Scale shape: entirely map-side per document — one JVM
+    ``filter(sequence)`` computes boundary positions, array concat
+    derives starts/ends, one explode emits chunks; zero shuffles before
+    the presentation sort, chunk volume ∝ token count. The boundary
+    digest is the engine-independent sha256-prefix (the sub-cell /
+    Bernoulli-sampler idiom), so DuckDB cuts identically and the check
+    stays value-exact; mean chunk length is {CDC_MOD} tokens with the
+    min/max-length clamps a production pipeline would add left out to
+    keep both engines' expressions trivially identical."""
+    d = spark.table("documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+
+    def is_cut(i: Column) -> Column:
+        win = F.array_join(F.slice(F.col("toks"), i - (CDC_W - 1), CDC_W), " ")
+        dig = F.conv(F.substring(F.sha2(win, 256), 1, 4), 16, 10).cast("int")
+        return dig % CDC_MOD == 0
+
+    bounds = F.when(
+        F.col("n") > CDC_W,
+        F.filter(F.sequence(F.lit(CDC_W), F.col("n") - 1), is_cut),
+    ).otherwise(F.array().cast("array<int>"))
+    framed = base.select(
+        "doc_id",
+        "toks",
+        F.concat(
+            F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1)
+        ).alias("starts"),
+        F.concat(bounds, F.array(F.col("n"))).alias("ends"),
+    ).select(
+        "doc_id",
+        "toks",
+        "starts",
+        "ends",
+        F.explode(F.sequence(F.lit(1), F.size("starts"))).alias("k"),
+    )
+    start = F.element_at("starts", F.col("k"))
+    end = F.element_at("ends", F.col("k"))
+    return framed.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("chunk_start"),
+        (end - start + 1).cast("long").alias("n_chunk_tokens"),
+        F.substring(
+            F.sha2(
+                F.array_join(F.slice("toks", start, end - start + 1), " "), 256
+            ),
+            1,
+            16,
+        ).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -298,6 +298,78 @@ def stream_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_asof_enrich",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS user_id, o_orderdate AS o_ts,
+             max(o_orderkey) AS o_key,
+             max_by(o_totalprice, o_orderkey) AS o_price
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           o.o_key AS asof_orderkey,
+           round(o.o_price, 2) AS asof_totalprice,
+           o.o_ts AS asof_orderdate,
+           CAST((CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(o.o_ts)) AS BIGINT)) // 86400 AS BIGINT)
+             AS staleness_days
+    FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts >= o.o_ts
+    ORDER BY purchase_id
+    """,
+)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING point-in-time enrichment: purchase events arriving on a
+    file stream are as-of joined (backward) against the static orders
+    relation per micro-batch via ``foreachBatch`` — the online
+    feature-store materialization loop. Backward as-of against a STATIC
+    right side is batch-decomposable (each left row's match is
+    independent), so any micro-batch split yields exactly the batch
+    result and the entry shares ``events_asof_orders``' DuckDB
+    ASOF-JOIN oracle — a full value-hash check on a streaming loop.
+    Each batch's output commits to its own ``b{batch_id}`` directory
+    (overwrite → idempotent under foreachBatch's at-least-once replay,
+    the same discipline as the CDC upsert's versioned state). Per batch
+    the plan is the union-tag single-key-shuffle as-of; the collapsed
+    orders side would be checkpointed once in a long-running job."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+    from .events import asof_enrich_orders
+
+    orders = spark.table("orders")
+    stream = S.events_stream(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "purchase"
+    )
+    sink = tempfile.mkdtemp(prefix="shelf-stream-asof-")
+    checkpoint = tempfile.mkdtemp(prefix="shelf-stream-asof-ckpt-")
+
+    def enrich_batch(batch_df, batch_id: int) -> None:
+        asof_enrich_orders(batch_df, orders).write.mode("overwrite").parquet(
+            os.path.join(sink, f"b{batch_id}")
+        )
+
+    q = S.foreach_batch_upsert(stream, checkpoint, enrich_batch)
+    q.awaitTermination()
+    parts = [
+        os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("b")
+    ]
+    if not parts:  # empty ingest: empty result with the output schema
+        return spark.createDataFrame(
+            [],
+            "purchase_id bigint, user_id bigint, purchase_ts timestamp, "
+            "asof_orderkey bigint, asof_totalprice double, "
+            "asof_orderdate timestamp, staleness_days bigint",
+        )
+    return spark.read.parquet(*parts).orderBy("purchase_id")
+
+
+@query(
     "stream_cdc_upsert",
     oracle="""
     WITH seq AS (

@@ -108,6 +108,8 @@ HEADLINE = [
     # (join_interval_overlap, ml_quantile_bins); add the new operators
     "events_asof_orders",
     "dedup_semantic_clusters_t40",
+    "text_chunk_cdc",
+    "stream_asof_enrich",
 ]
 
 
