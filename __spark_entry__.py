@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     everything touched this round (the distributed-prefix-sum replans,
 #     the semantic-dedup refactor + its non-vacuous t40 twin, the new
 #     table-vs-table as-of join, the CDC commit-marker gating), the
-#     q1/q3 anchors, and 33 belt-and-braces slots spent on the oldest
+#     q1/q3 anchors, and 31 belt-and-braces slots spent on the oldest
 #     (r01–r03) rows: relational/set/function/window families. After
 #     this round every registered oracle-checked query's driver row
 #     postdates its last expression change.
