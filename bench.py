@@ -88,6 +88,7 @@ HEADLINE = [
     "sample_weighted_topk",
     "dedup_semantic_clusters_t40",
     "text_chunk_cdc",
+    "dedup_chunk_cdc",
     "stream_asof_enrich",
 ]
 

@@ -249,10 +249,10 @@ CDC_W = 4
 CDC_MOD = 16
 
 
-@query(
-    "text_chunk_cdc",
-    oracle=f"""
-    WITH t AS (
+#: Shared DuckDB CTE chain producing the content-defined chunk relation
+#: (used by both text_chunk_cdc and dedup_chunk_cdc).
+_SQL_CDC_CHUNKS = f"""
+    t AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n
       FROM documents WHERE len(string_split(text, ' ')) > 0
@@ -270,14 +270,24 @@ CDC_MOD = 16
              list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
              list_append(bounds, CAST(n AS BIGINT)) AS ends
       FROM b
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS chunk_idx,
+             CAST(starts[k] AS BIGINT) AS chunk_start,
+             CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_chunk_tokens,
+             substr(sha256(array_to_string(toks[starts[k]:ends[k]], ' ')), 1, 16)
+               AS chunk_digest
+      FROM s, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS k) ks
     )
-    SELECT doc_id,
-           CAST(k AS BIGINT) AS chunk_idx,
-           CAST(starts[k] AS BIGINT) AS chunk_start,
-           CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_chunk_tokens,
-           substr(sha256(array_to_string(toks[starts[k]:ends[k]], ' ')), 1, 16)
-             AS chunk_digest
-    FROM s, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS k) ks
+"""
+
+
+@query(
+    "text_chunk_cdc",
+    oracle=f"""
+    WITH {_SQL_CDC_CHUNKS}
+    SELECT doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_digest
+    FROM chunks
     ORDER BY doc_id, chunk_idx
     """,
 )
@@ -303,7 +313,13 @@ def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays value-exact; mean chunk length is {CDC_MOD} tokens with the
     min/max-length clamps a production pipeline would add left out to
     keep both engines' expressions trivially identical."""
-    d = spark.table("documents")
+    return cdc_chunks(spark.table("documents")).orderBy("doc_id", "chunk_idx")
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """Content-defined chunks of a (doc_id, text) relation — the core of
+    ``text_chunk_cdc``, factored out so chunk-level dedup
+    (``dedup_chunk_cdc``) reuses the identical boundary decisions."""
     toks = F.split("text", " ")
     base = d.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n")
@@ -346,4 +362,70 @@ def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             16,
         ).alias("chunk_digest"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "dedup_chunk_cdc",
+    oracle=f"""
+    WITH {_SQL_CDC_CHUNKS},
+    firsts AS (
+      SELECT chunk_digest, min(doc_id) AS first_doc FROM chunks GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT c.doc_id,
+             count(*) AS n_chunks,
+             sum(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END) AS n_dup
+      FROM chunks c JOIN firsts f USING (chunk_digest)
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+           coalesce(p.n_dup, 0) > 0 AS has_dup_chunk
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over CONTENT-DEFINED chunks: a chunk is a
+    duplicate if any strictly-earlier document contains a chunk with the
+    same digest. Because boundaries follow content (cdc_chunks), a
+    paragraph copied into a new document with surrounding edits still
+    chunks identically and is caught — the edit-robust counterpart of
+    ``dedup_substring_exact``'s fixed k-token windows, at ~1/{CDC_MOD}
+    of its window volume (one digest per chunk, not per token).
+
+    Scale shape mirrors substring dedup: chunks generate map-side, the
+    global first-occurrence attaches as a window-min INSIDE the single
+    digest-keyed exchange (no join-back, digest projection evaluated
+    once), shuffles carry (doc_id, 16-hex digest) pairs ∝ chunk count.
+    A mass-duplicated chunk digest concentrates in one window partition
+    as sort volume, not blowup (tests/test_skew_stress.py pins the
+    analogous substring claim)."""
+    from pyspark.sql import Window
+
+    d = spark.table("documents")
+    chunks = cdc_chunks(d).select("doc_id", "chunk_digest")
+    first = F.min("doc_id").over(Window.partitionBy("chunk_digest"))
+    agg = (
+        chunks.select("doc_id", first.alias("first_doc"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("first_doc") < F.col("doc_id"), 1)).alias(
+                "n_dup"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            (F.coalesce("n_dup", F.lit(0)) > 0).alias("has_dup_chunk"),
+        )
+        .orderBy("doc_id")
+    )

@@ -109,6 +109,7 @@ HEADLINE = [
     "events_asof_orders",
     "dedup_semantic_clusters_t40",
     "text_chunk_cdc",
+    "dedup_chunk_cdc",
     "stream_asof_enrich",
 ]
 
