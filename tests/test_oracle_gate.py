@@ -94,3 +94,19 @@ def test_all_queries_match_oracles():
     finally:
         sys.argv = argv
     assert rc == 0, "oracle gate reported failures (see stdout)"
+
+
+def test_driver_window_names_valid():
+    """The rotated driver window must hold exactly 50 registered names
+    (the driver checks the FIRST 50 queries() entries) with no
+    duplicates — a typo here silently drops a query's driver evidence."""
+    import __spark_entry__ as entry_mod
+
+    from shelf_spark.queries import QUERIES
+
+    w = entry_mod._DRIVER_WINDOW_R07
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    missing = [n for n in w if n not in QUERIES]
+    assert not missing, missing
+    assert list(entry_mod.queries())[:50] == w
