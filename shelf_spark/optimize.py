@@ -119,3 +119,61 @@ def salted_join(
     salted_dim = dim.crossJoin(F.broadcast(salts))
     out = salted_fact.join(salted_dim, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def runtime_bloom_filter_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime (bloom-filter) join pruning — the 100 TB lever Spark's
+    ``InjectRuntimeFilter`` rule provides: when a join's build side is
+    selectively FILTERED, Spark aggregates a bloom filter over its join
+    keys at runtime and pushes a ``might_contain`` probe beneath the
+    probe side's scan, so a 100 TB fact table discards non-matching rows
+    BEFORE the shuffle instead of after it (the runtime analogue of
+    static partition pruning, for arbitrary keys).
+
+    The feature is threshold-gated for exactly the scale it targets —
+    ``applicationSideScanSizeThreshold`` defaults to 10 GB so small scans
+    skip the overhead — which is why local-SF plans never show it; this
+    demo lowers the thresholds to force injection at test scale and
+    returns the joined frame whose plan carries the filter
+    (plan-asserted in tests/test_optimize.py). On a real lake the only
+    requirement is leaving ``spark.sql.optimizer.runtime.bloomFilter
+    .enabled`` on (the default) — no query change.
+    """
+    from pyspark.sql import functions as F
+
+    from .data import register_views
+
+    register_views(spark, sf_dir)
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # the rule only fires on shuffle joins (a broadcast already
+        # prunes via its hashed relation)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # selective build side: one order priority slice of orders
+        o = spark.table("orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.table("lineitem")
+        out = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n_items"))
+        # force planning NOW, while the thresholds are lowered
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

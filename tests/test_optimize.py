@@ -154,3 +154,16 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """With the size gates lowered, InjectRuntimeFilter must build a
+    bloom filter over the selective orders slice and probe it beneath
+    the lineitem scan (might_contain before the shuffle) — the runtime
+    row-pruning lever a 100 TB fact join relies on."""
+    from shelf_spark.optimize import runtime_bloom_filter_demo
+    from shelf_spark.plans import physical_plan
+
+    df = runtime_bloom_filter_demo(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "bloom_filter" in plan or "might_contain" in plan, plan
