@@ -82,15 +82,25 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     warns about ("No Partition Defined … Moving all data to a single
     partition"): the node's whole input is serialized through one task.
 
-    Plan text: a partitioned Window prints three bracket groups
-    ``Window [funcs], [partSpec], [orderSpec]``; an unpartitioned one
-    prints two. WindowGroupLimit nodes are excluded (they always carry a
-    partition spec slot)."""
+    Plan text: a partitioned+ordered Window prints three bracket groups
+    ``Window [funcs], [partSpec], [orderSpec]``; with only two groups the
+    second is EITHER a partition spec (partitionBy with no orderBy —
+    fine) or an order spec (orderBy with no partitionBy — the
+    single-task shape). Order-spec entries always carry a sort direction
+    (``ASC``/``DESC``), which disambiguates. WindowGroupLimit nodes are
+    excluded (they always carry a partition spec slot)."""
     n = 0
     for line in physical_plan(df).splitlines():
         ls = line.strip().lstrip("+-: ")
-        if ls.startswith("Window [") and ls.count("], [") == 1:
+        if not ls.startswith("Window ["):
+            continue
+        groups = ls.count("], [")
+        if groups == 0:  # funcs only: no partition at all
             n += 1
+        elif groups == 1:
+            last = ls.rsplit("], [", 1)[1]
+            if " ASC" in last or " DESC" in last:
+                n += 1  # order spec without partition spec
     return n
 
 
