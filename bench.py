@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_semantic_clusters_t40",
     "text_chunk_cdc",
     "dedup_chunk_cdc",
+    "events_conversion_paths",
     "stream_asof_enrich",
 ]
 

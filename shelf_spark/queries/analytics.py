@@ -600,3 +600,109 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_conversion_paths",
+    oracle=f"""
+    WITH seg AS (
+      SELECT event_id, user_id, ts, event_type,
+             {SQL_CDC_SEQ_KEY} AS sk,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, s,
+             count(*) AS n_touches,
+             arg_min(event_type, sk) AS first_channel,
+             arg_max(event_type, sk) AS last_channel,
+             min(ts) AS first_touch_ts
+      FROM seg WHERE event_type IN ('view', 'click')
+      GROUP BY 1, 2
+    ),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, s
+      FROM seg WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(coalesce(t.n_touches, 0) AS BIGINT) AS n_touches,
+           t.first_channel, t.last_channel,
+           CAST(CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                - CAST(floor(epoch(t.first_touch_ts)) AS BIGINT)
+                AS BIGINT) AS secs_to_convert
+    FROM purch p LEFT JOIN touches t USING (user_id, s)
+    ORDER BY purchase_id
+    """,
+)
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-path summary (the multi-touch attribution input):
+    each purchase is paired with the touch events (view/click) since the
+    user's PREVIOUS purchase — first/last channel, touch count, and
+    seconds from first touch to conversion. Unlike fractional credit
+    schemes (U-shaped 40/20/40, linear 1/n), every output here is an
+    integer/string — fully exact across engines, and any credit scheme
+    is a trivial map over these rows downstream.
+
+    Scale shape: segment ids come from ONE running count over the
+    per-user event order (purchases strictly before the row — so a
+    purchase closes its own segment); touches aggregate per
+    (user, segment) with min_by/max_by on the fixed-width chronological
+    sequence key (cdc_seq_key — no second sort), and the purchase join
+    shares the (user, segment) hash partitioning. Two key exchanges
+    total, each carrying the events once; no self-join over touch
+    windows."""
+    from pyspark.sql import Window
+
+    e = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w),
+        F.lit(0),
+    )
+    seg = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        cdc_seq_key().alias("sk"),
+        s.alias("s"),
+    )
+    touches = (
+        seg.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "s")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.min_by("event_type", "sk").alias("first_channel"),
+            F.max_by("event_type", "sk").alias("last_channel"),
+            F.min("ts").alias("first_touch_ts"),
+        )
+    )
+    purch = seg.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "s",
+    )
+    return (
+        purch.join(touches, ["user_id", "s"], "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
+            "first_channel",
+            "last_channel",
+            (
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("first_touch_ts")
+            )
+            .cast("long")
+            .alias("secs_to_convert"),
+        )
+        .orderBy("purchase_id")
+    )
