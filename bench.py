@@ -90,6 +90,7 @@ HEADLINE = [
     "text_chunk_cdc",
     "dedup_chunk_cdc",
     "events_conversion_paths",
+    "multimodal_audio_features",
     "stream_asof_enrich",
 ]
 

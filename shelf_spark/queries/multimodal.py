@@ -382,3 +382,115 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width bigint, height bigint, mean_pixel_ppm bigint"
         ),
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction (real WAV decode, framed energy + ZCR)
+# ---------------------------------------------------------------------------
+
+#: Audio analysis frame length (samples).
+AUDIO_FRAME_W = 16
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             50 + doc_id % 100 AS n,
+             list_transform(generate_series(0, 50 + doc_id % 100 - 1),
+                            i -> (doc_id * 31 + i * 17) % 2000 - 1000) AS s
+      FROM documents WHERE doc_id % 2 = 0
+    ), f AS (
+      SELECT doc_id, n, s,
+             list_transform(
+               generate_series(0, CAST(ceil(n / {AUDIO_FRAME_W}.0) AS BIGINT) - 1),
+               f -> list_sum(list_transform(
+                      generate_series(f * {AUDIO_FRAME_W},
+                                      least(f * {AUDIO_FRAME_W} + {AUDIO_FRAME_W - 1},
+                                            n - 1)),
+                      i -> s[i + 1] * s[i + 1]))) AS fe,
+             list_sum(list_transform(generate_series(1, n - 1),
+                      i -> CASE WHEN s[i] * s[i + 1] < 0 THEN 1 ELSE 0 END)) AS zc
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(len(fe) AS BIGINT) AS n_frames,
+           CAST(list_sum(fe) AS BIGINT) AS total_energy,
+           CAST(coalesce(zc, 0) AS BIGINT) AS n_zero_crossings,
+           CAST(list_position(fe, list_max(fe)) - 1 AS BIGINT) AS peak_frame_idx,
+           CAST(list_max(fe) AS BIGINT) AS peak_frame_energy
+    FROM f ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL WAV bytes (no external codec):
+    the PCM stream is framed into {AUDIO_FRAME_W}-sample windows and
+    reduced to per-frame energy (Σ sample² — int64-exact), zero-crossing
+    count, and the peak-energy frame — the energy/ZCR screen a speech
+    pipeline runs for voice-activity filtering and silence trimming
+    before any model sees the audio. The oracle recomputes every number
+    from the generator arithmetic alone, so a value match proves the
+    stdlib ``wave`` decode AND the numpy frame math are faithful
+    end-to-end (same contract as multimodal_decode_wav_bmp).
+
+    Scale shape: two Arrow-batched ``mapInPandas`` stages (encode,
+    then decode+reduce) — binary never shuffles, features are a few
+    integers per file; at 100 TB of audio the same plan reads
+    ``binaryFile`` splits instead of the deterministic generator, with
+    maxRecordsPerBatch bounding how many blobs one Arrow batch holds.
+    All outputs are integers → bit-exact across engines."""
+    import io
+    import wave
+
+    import numpy as np
+
+    d = spark.table("documents").filter(F.col("doc_id") % 2 == 0).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_make_media(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "n_frames": [],
+                "total_energy": [], "n_zero_crossings": [],
+                "peak_frame_idx": [], "peak_frame_energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    data = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype=np.int16
+                    ).astype(np.int64)
+                n = len(data)
+                nf = -(-n // AUDIO_FRAME_W)
+                fe = [
+                    int((data[f * AUDIO_FRAME_W:(f + 1) * AUDIO_FRAME_W] ** 2).sum())
+                    for f in range(nf)
+                ]
+                peak = max(fe)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["n_frames"].append(nf)
+                out["total_energy"].append(sum(fe))
+                out["n_zero_crossings"].append(int(((data[:-1] * data[1:]) < 0).sum()))
+                out["peak_frame_idx"].append(fe.index(peak))
+                out["peak_frame_energy"].append(peak)
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(encode_batches, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        feature_batches,
+        schema=(
+            "doc_id bigint, n_samples bigint, n_frames bigint, "
+            "total_energy bigint, n_zero_crossings bigint, "
+            "peak_frame_idx bigint, peak_frame_energy bigint"
+        ),
+    ).orderBy("doc_id")
