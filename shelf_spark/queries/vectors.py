@@ -381,3 +381,152 @@ def dedup_semantic_clusters_t40(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean-corpus output is empty by construction. One registration per
     threshold keeps both under the value-exact oracle."""
     return _semantic_clusters(spark, 0.40)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random-hyperplane / SimHash signatures, banded)
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 16
+LSH_BANDS = 4
+LSH_ROWS_PER_BAND = LSH_BITS // LSH_BANDS
+_EMB_DIM = 64
+
+
+def _lsh_hyperplanes(dim: int = _EMB_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix (Charikar's SimHash for cosine):
+    entry (b, j) is the parity of the first sha256 hex digit of ``b:j`` —
+    an engine-independent derivation, inlined into BOTH the Spark plan
+    and the DuckDB oracle as the same fixed model constant (like a
+    similarity threshold), so the two engines verify the full
+    signature → band → bucket → rerank pipeline against each other."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.sha256(f"{b}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for j in range(dim)
+        ]
+        for b in range(LSH_BITS)
+    ]
+
+
+_H = _lsh_hyperplanes()
+_H_SQL = "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in _H) + "]"
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    hb AS (  -- one row per hyperplane: materializes H[b] ONCE, not per lambda
+      SELECT b, {_H_SQL}[b + 1] AS hrow
+      FROM (SELECT unnest(generate_series(0, {LSH_BITS - 1})) AS b)
+    ),
+    dots AS (
+      SELECT v.vec_id, hb.b,
+             list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+                      j -> hrow[j] * vec[j])) AS dot
+      FROM v CROSS JOIN hb
+    ),
+    sigs AS (
+      SELECT vec_id, b // {LSH_ROWS_PER_BAND} AS band,
+             CAST(sum(CASE WHEN dot >= 0
+                           THEN (1 << (b % {LSH_ROWS_PER_BAND})) ELSE 0 END)
+                  AS BIGINT) AS band_sig
+      FROM dots GROUP BY 1, 2
+    ),
+    q AS (SELECT * FROM sigs WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, s.vec_id AS neighbor_id,
+             qv.vec AS q_vec, qv.nrm AS q_nrm, sv.vec, sv.nrm
+      FROM q JOIN sigs s ON q.band = s.band AND q.band_sig = s.band_sig
+                        AND q.vec_id <> s.vec_id
+      JOIN v qv ON qv.vec_id = q.vec_id
+      JOIN v sv ON sv.vec_id = s.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id,
+             list_sum(list_transform(list_zip(q_vec, vec), p -> p[1] * p[2]))
+               / (q_nrm * nrm) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_sum(list_transform(list_zip(q_vec, vec), p -> p[1] * p[2]))
+                 / (q_nrm * nrm) DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT q_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the VALUE-EXACT scale path next to the
+    rows-only IVF variant: every vector gets {LSH_BITS} sign bits
+    against the fixed ±1 hyperplane matrix (SimHash for cosine), split
+    into {LSH_BANDS} bands of {LSH_ROWS_PER_BAND} bits; a corpus vector
+    is a candidate for a query iff ANY band signature matches
+    (probability rises with cosine — the banding amplification), and
+    only candidates get the exact cosine + top-k rerank. Because the
+    hyperplanes are a deterministic shared constant, candidate sets are
+    identical across engines and the driver gate value-checks the whole
+    approximate pipeline, not just row counts.
+
+    Scale shape: signatures are MAP-ONLY (16 fixed-size JVM folds per
+    vector — no Python, no shuffle); the bucket join is an equi-join on
+    (band, band_sig) whose right side is corpus × {LSH_BANDS} rows of
+    (16-byte signature + id); candidates ≈ corpus × P(band collision)
+    per query — the pruning that replaces the brute-force cross join;
+    rerank touches candidates only. At 10⁹ vectors the signature
+    relation is what shuffles, never the embeddings (they ride only to
+    the rerank of matched candidates)."""
+    v = (
+        spark.table("embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    h_lit = [F.array(*[F.lit(x) for x in row]) for row in _H]
+    def band_sig(band: int) -> Column:
+        out = F.lit(0).cast("long")
+        for r in range(LSH_ROWS_PER_BAND):
+            dot = _dot(F.col("vec"), h_lit[band * LSH_ROWS_PER_BAND + r])
+            out = out + F.when(dot >= 0, F.lit(1 << r).cast("long")).otherwise(0)
+        return out
+
+    sigs = v.select(
+        "vec_id",
+        "vec",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), band_sig(band).alias("band_sig")
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", "vec", "nrm", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        "band",
+        "band_sig",
+    )
+    cand = (
+        sigs.join(F.broadcast(q), ["band", "band_sig"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "q_vec", "q_nrm", "vec", "nrm")
+        .distinct()
+    )
+    cos = _dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("nrm"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )

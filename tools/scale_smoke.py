@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_chunk_cdc",
     "events_conversion_paths",
     "multimodal_audio_features",
+    "ann_lsh_topk",
     "stream_asof_enrich",
 ]
 
