@@ -323,3 +323,15 @@ def test_heavy_hitters_candidate_pass_is_map_only(spark):
     )
     cands = toks.mapInPandas(_mg_candidates, "token string")
     assert exchange_count(cands) == 0
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Every rank<=k-per-group query must carry Spark's WindowGroupLimit
+    pushdown: a partial per-partition top-k heap runs BEFORE the window
+    exchange, so at scale each group contributes at most k rows per map
+    partition to the shuffle instead of its full membership."""
+    for name in ("text_tfidf_topk", "ann_cosine_topk", "join_lateral_topn"):
+        plan = physical_plan(QUERIES[name](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, name
+        # both partial (map-side) and final limits present
+        assert plan.count("WindowGroupLimit") >= 2, name
