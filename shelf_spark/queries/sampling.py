@@ -410,3 +410,67 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WEIGHTED_K)
         .select("doc_id", "source", "weight")
     )
+
+
+#: Epoch-shuffle config: shard count and the epoch seed baked into the
+#: shuffle key (a new epoch = a new seed = an entirely new order).
+SHUFFLE_SHARDS = 8
+SHUFFLE_EPOCH = 1
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             sha256('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(skey, 1, 4)) AS INTEGER)
+                % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY CAST(('0x' || substr(skey, 1, 4)) AS INTEGER)
+                               % {SHUFFLE_SHARDS}
+                  ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    ORDER BY shard, pos
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE manifest — the reproducible global
+    reorder a training pipeline runs before shard packing: every doc
+    gets a content-hash shuffle key seeded by the epoch number, lands in
+    a hash shard, and receives its within-shard position. Rerunning with
+    the same epoch reproduces the byte-identical order on any cluster
+    size or partitioning (no ``rand()``, no ``orderBy(rand)``); bumping
+    SHUFFLE_EPOCH yields a statistically fresh order with zero state.
+
+    Scale shape: the key is map-side; the only exchange hash-partitions
+    by shard, and positions come from SHARD-partitioned windows — 
+    embarrassingly parallel across shards, never a global sort (the
+    single-total-order formulation would serialize the corpus through
+    one task; consumers that need a total order read shards in index
+    order, exactly like shard-packed training files)."""
+    from pyspark.sql import Window
+
+    skey = F.sha2(
+        F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string")), 256
+    )
+    keyed = spark.table("documents").select(
+        "doc_id",
+        skey.alias("skey"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("skey", 1, 4), 16, 10).cast("int") % SHUFFLE_SHARDS)
+        .cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

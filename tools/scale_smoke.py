@@ -113,6 +113,7 @@ HEADLINE = [
     "events_conversion_paths",
     "multimodal_audio_features",
     "ann_lsh_topk",
+    "sample_epoch_shuffle",
     "stream_asof_enrich",
 ]
 
