@@ -298,3 +298,54 @@ def test_cdc_latest_version_requires_commit_marker(tmp_path):
     assert _cdc_latest_version(str(tmp_path / "missing")) is None
     os.remove(state / "v1" / "_SUCCESS")
     assert _cdc_latest_version(str(state)) == 0
+
+
+def test_stream_asof_enrich_multibatch_equals_batch(spark, tmp_path):
+    """Backward as-of against a STATIC right side is batch-decomposable:
+    splitting the purchase stream into 3 interleaved micro-batches (one
+    file per trigger) must reproduce the single-pass batch enrichment
+    row-for-row — the property stream_asof_enrich's single-batch gate
+    run doesn't exercise on its own."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shelf_spark.data import load_table, register_views
+    from shelf_spark.queries.events import asof_enrich_orders
+
+    e = load_table(spark, SF_DIR, "events")
+    ingest = tmp_path / "ingest"
+    ingest.mkdir()
+    for i in range(3):  # interleaved, non-chronological slices
+        e.filter(F.col("event_id") % 3 == i).toPandas().to_parquet(
+            str(ingest / f"part{i}.parquet"), index=False
+        )
+    register_views(spark, SF_DIR)
+    orders = spark.table("orders")
+
+    stream = S.events_stream(spark, str(ingest), max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    sink = tempfile.mkdtemp(prefix="shelf-test-asof-sink-")
+    ckpt = tempfile.mkdtemp(prefix="shelf-test-asof-ckpt-")
+
+    def enrich(batch_df, batch_id):
+        asof_enrich_orders(batch_df, orders).write.mode("overwrite").parquet(
+            os.path.join(sink, f"b{batch_id}")
+        )
+
+    q = S.foreach_batch_upsert(stream, ckpt, enrich)
+    q.awaitTermination()
+    parts = [os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("b")]
+    assert len(parts) >= 2, "expected multiple micro-batches"
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(*parts).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in asof_enrich_orders(
+            e.filter(F.col("event_type") == "purchase"), orders
+        ).collect()
+    )
+    assert got == want
