@@ -93,6 +93,7 @@ HEADLINE = [
     "multimodal_audio_features",
     "ann_lsh_topk",
     "sample_epoch_shuffle",
+    "join_scd2_pointintime",
     "stream_asof_enrich",
 ]
 

@@ -236,7 +236,15 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one broadcast-able join of dim × updates (updates ≪ dim
     in any real feed) plus an anti-join — zero fact-table involvement.
     """
-    eff = F.lit("2024-06-01").cast("date")
+    return _scd2_customer_dim(spark, "2024-06-01")
+
+
+def _scd2_customer_dim(spark: SparkSession, eff_date: str) -> DataFrame:
+    """SCD2 customer dimension with the update batch effective at
+    ``eff_date`` — the core of ``scd2_merge_customers``, factored so
+    ``join_scd2_pointintime`` can build a dim whose validity boundary
+    falls INSIDE the events' time span."""
+    eff = F.lit(eff_date).cast("date")
     start = F.lit("2024-01-01").cast("date")
     dim = spark.table("customer").select(
         "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
@@ -705,4 +713,73 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("secs_to_convert"),
         )
         .orderBy("purchase_id")
+    )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH dim0 AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey, round(c_acctbal + 100, 2) AS new_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    dim AS (
+      SELECT c_custkey, acctbal,
+             DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM dim0 WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL
+      SELECT d.c_custkey, d.acctbal, DATE '2024-01-01', DATE '2024-01-15'
+      FROM dim0 d JOIN updates u USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, new_acctbal, DATE '2024-01-15', CAST(NULL AS DATE)
+      FROM updates
+    )
+    SELECT e.event_id, e.user_id,
+           d.acctbal AS acctbal_at_event,
+           d.valid_from AS version_valid_from
+    FROM events e JOIN dim d
+      ON e.user_id = d.c_custkey
+     AND e.ts >= CAST(d.valid_from AS TIMESTAMP)
+     AND (d.valid_to IS NULL OR e.ts < CAST(d.valid_to AS TIMESTAMP))
+    ORDER BY e.event_id
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join of facts against an SCD2 dimension: each event
+    picks the customer-dimension VERSION whose validity interval
+    contains the event timestamp — the warehouse-side point-in-time
+    correctness discipline (no future leakage, no stale overwrite) that
+    complements the as-of family: there the right side is an event
+    timeline, here it is materialized validity intervals. The dim's
+    update batch is effective mid-span (2024-01-15), so events genuinely
+    split across versions and the check is non-vacuous.
+
+    Scale shape: an EQUI-join on the dimension key with the validity
+    predicate as a post-join filter — at most #versions-per-key
+    (typically single digits) candidate rows per fact, so the join is
+    output-bounded and hash-partitions on the key like any fact-dim
+    join; never a range-join explode (the interval side is keyed, unlike
+    join_range_bucketed's keyless promo windows). SCD2 versions come
+    from the factored scd2_merge_customers math."""
+    dim = _scd2_customer_dim(spark, "2024-01-15").select(
+        "c_custkey", "acctbal", "valid_from", "valid_to"
+    )
+    e = spark.table("events")
+    valid = (F.col("ts") >= F.col("valid_from").cast("timestamp")) & (
+        F.col("valid_to").isNull()
+        | (F.col("ts") < F.col("valid_to").cast("timestamp"))
+    )
+    return (
+        e.join(dim, e.user_id == dim.c_custkey)
+        .filter(valid)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("acctbal").alias("acctbal_at_event"),
+            F.col("valid_from").alias("version_valid_from"),
+        )
+        .orderBy("event_id")
     )
