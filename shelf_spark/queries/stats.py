@@ -471,9 +471,13 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, which is exact only while i·n+9 < 2⁵³ — the oracle's ``//``
     is exact at any row count, so the Spark side must be too)."""
     li = spark.table("lineitem")
+    # Pin the compressed domain: repartitionByRange's sampling pass would
+    # otherwise re-run the full fact aggregation a second time just to
+    # pick range bounds (measured 2.3 → 2.0 s at sf0.1; the win grows
+    # with fact volume since the checkpoint is domain-sized).
     pc = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
         F.count("*").alias("cnt")
-    )
+    ).localCheckpoint()
     from .prefix import attach_prefix_sums
 
     cum = attach_prefix_sums(pc, ["price"], ["cnt"]).select(
