@@ -78,3 +78,77 @@ def test_semantic_blocking_caps_pair_volume_under_mass_duplication(spark):
         .collect()
     )
     assert comp_sizes == sorted(cells.values())  # one clique per sub-cell
+
+
+def test_chunk_dedup_hot_digest_matches_python_oracle(spark):
+    """10⁴ documents sharing a long tail span: content-defined boundaries
+    resync inside the shared span, so its chunks become one mass-hot
+    digest each. Expected counts are recomputed INDEPENDENTLY in pure
+    Python (hashlib — same sha256 the JVM computes), so this pins the
+    whole chunker + window-min firsts under hot-key skew."""
+    import hashlib
+
+    from shelf_spark.queries.retrieval import CDC_MOD, CDC_W, cdc_chunks
+
+    shared = " ".join(f"w{j % 7}x{j % 11}" for j in range(40))
+    docs = [(i, f"u{i}a u{i}b {shared}") for i in range(N_DOCS)]
+
+    def py_chunks(text):
+        toks = text.split(" ")
+        n = len(toks)
+        bounds = [
+            i
+            for i in range(CDC_W, n)
+            if int(
+                hashlib.sha256(" ".join(toks[i - CDC_W:i]).encode()).hexdigest()[:4],
+                16,
+            )
+            % CDC_MOD
+            == 0
+        ] if n > CDC_W else []
+        starts = [1] + [b + 1 for b in bounds]
+        ends = bounds + [n]
+        return [
+            hashlib.sha256(" ".join(toks[s - 1:e]).encode()).hexdigest()[:16]
+            for s, e in zip(starts, ends)
+        ]
+
+    firsts: dict[str, int] = {}
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        ch = py_chunks(text)
+        per_doc[doc_id] = ch
+        for d in ch:
+            firsts.setdefault(d, doc_id)
+    want = {
+        doc_id: (
+            len(ch),
+            sum(1 for d in ch if firsts[d] < doc_id),
+        )
+        for doc_id, ch in per_doc.items()
+    }
+    # sanity on the fixture itself: the shared span yields ≥1 hot digest
+    # carried by (nearly) every doc
+    hot = max(
+        sum(1 for ch in per_doc.values() if d in ch) for d in firsts
+    )
+    assert hot > N_DOCS * 0.9
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    chunks = cdc_chunks(sdf).select("doc_id", "chunk_digest")
+    from pyspark.sql import Window
+
+    first = F.min("doc_id").over(Window.partitionBy("chunk_digest"))
+    got = {
+        r.doc_id: (r.n, r.dup)
+        for r in chunks.select("doc_id", first.alias("fd"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("fd") < F.col("doc_id"), 1)).alias("dup"),
+        )
+        .collect()
+    }
+    assert got == want
