@@ -554,3 +554,78 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ohlc_daily",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT day, event_type, value,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY day, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           {sql_dsum_i("value", 2)} AS volume
+    FROM r GROUP BY day, event_type ORDER BY day, event_type
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the resample-to-bars pass every
+    metering / market / telemetry pipeline runs before charting or
+    anomaly models: open/close are the chronologically first/last values
+    (ties broken by the unique event_id, so both engines pick the same
+    row), high/low/volume the extrema and exact 2dp-grid sum.
+
+    Scale shape: ONE hash exchange on the (day, event_type) bar key
+    carries everything — both row_numbers are windows inside that
+    exchange (second sort is partition-local, no new shuffle), and the
+    final groupBy lands on the same partitioning, so Catalyst plans
+    HashAggregate without another exchange. Bar-key cardinality grows
+    with the calendar × type grid, not with events → partitions stay
+    balanced at 100 TB; no min_by/max_by cross-engine tie hazard."""
+    e = spark.table("events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    wp = W.partitionBy("day", "event_type")
+    r = e.select(
+        "day",
+        "event_type",
+        "value",
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return (
+        r.groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            dsum_i(F.col("value"), 2).alias("volume"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -429,3 +429,84 @@ def dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted index build
+# ---------------------------------------------------------------------------
+
+#: Posting-list cap per term: bounds both output payload and the
+#: per-group collect buffer (a stop word's full posting list is
+#: corpus-sized at 100 TB; an index shard never stores it inline).
+_POSTINGS_CAP = 8
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+    ), ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             count(*)    OVER (PARTITION BY term) AS df,
+             sum(tf)     OVER (PARTITION BY term) AS cf
+      FROM tf
+    )
+    SELECT term,
+           CAST(max(df) AS BIGINT) AS df,
+           CAST(max(cf) AS BIGINT) AS cf,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             FILTER (WHERE rn <= {_POSTINGS_CAP}) AS postings
+    FROM ranked GROUP BY term ORDER BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index shard build: per term, document frequency, collection
+    frequency, and the first {_POSTINGS_CAP} postings (doc ids ascending) —
+    the core IR index structure a retrieval pipeline materializes before
+    BM25 serving (postings capped the way an index shard caps inline
+    skip-list blocks).
+
+    Scale shape: two deterministic exchanges, both map-side combined —
+    (doc, term) tf counts, then ONE term-partitioned exchange in which
+    df and cf are computed as count/sum windows (the tfidf trick: tf has
+    exactly one row per distinct (doc, term), so the partition count IS
+    the document frequency — no df join, no AQE flip) and the posting cap
+    is applied by row_number BEFORE the collect, so the per-term buffer
+    holds ≤ {_POSTINGS_CAP} ids even for a corpus-sized stop-word term.
+    The final groupBy lands on the same term partitioning → no third
+    shuffle. Output payload is O(vocab · cap), never O(corpus)."""
+    tok = _tokens(spark).select(F.col("word").alias("term"), "doc_id")
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    wt = W.partitionBy("term")
+    ranked = tf.select(
+        "term",
+        "doc_id",
+        F.row_number().over(wt.orderBy("doc_id")).alias("rn"),
+        F.count("*").over(wt).alias("df"),
+        F.sum("tf").over(wt).alias("cf"),
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.max("df").cast("long").alias("df"),
+            F.max("cf").cast("long").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= _POSTINGS_CAP, F.col("doc_id")
+                            )
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )

@@ -514,3 +514,70 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    ORDER BY p_size, p_partkey
+    """,
+)
+def ml_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier mining: the parts not dominated on
+    (maximize size, minimize price) — the multi-objective shortlist query
+    (cheapest-per-capability) behind model/config selection dashboards.
+    A part is dominated if some part is ≥ on size AND ≤ on price with at
+    least one strict; ties (identical size+price) dominate neither way,
+    so both survive — matching the oracle's NOT EXISTS exactly.
+
+    Scale shape: the classic sort-based skyline, but the sort runs over
+    the COMPRESSED objective domain, not the facts. One map-side-combined
+    groupBy on p_size (bounded: the 1..50 size grid) yields min-price per
+    size; a strict-suffix min over that ≤50-row domain (constant-key
+    window — bounded by the grid, not the data) gives "cheapest at any
+    strictly larger size"; the frontier test is then a map-only broadcast
+    join back onto the part scan: keep iff price == min at own size AND
+    price < suffix-min. The O(n²) dominance pair join never materializes
+    — the oracle's NOT EXISTS is quadratic, this plan is one agg + one
+    broadcast map pass."""
+    part = spark.table("part")
+    by_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mn"))
+    # Bounded domain (size grid ≤ 50 rows by the TPC-H spec): constant
+    # partition key keeps the window spec non-empty (prefix.py idiom).
+    const = F.pmod(F.col("p_size"), F.lit(1))
+    w_sfx = (
+        W.partitionBy(const)
+        .orderBy(F.desc("p_size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    dom = by_size.select(
+        "p_size", "mn", F.min("mn").over(w_sfx).alias("sfx_mn")
+    )
+    return (
+        part.join(F.broadcast(dom), "p_size")
+        .filter(
+            (F.col("p_retailprice") <= F.col("mn"))
+            & (
+                F.col("sfx_mn").isNull()
+                | (F.col("p_retailprice") < F.col("sfx_mn"))
+            )
+        )
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("long").alias("p_size"),
+            "p_retailprice",
+        )
+        .orderBy("p_size", "p_partkey")
+    )
