@@ -494,3 +494,123 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_frame_idx bigint, peak_frame_energy bigint"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hash (aHash) over real BMP decode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, x.x, y.y,
+             (d.doc_id + x.x + y.y) % 256 AS v,
+             (x.x * least(d.w, 8)) // d.w AS bx,
+             (y.y * least(d.h, 8)) // d.h AS by
+      FROM d,
+           LATERAL (SELECT unnest(range(0, d.w)) AS x) x,
+           LATERAL (SELECT unnest(range(0, d.h)) AS y) y
+    ), blk AS (
+      SELECT doc_id, by, bx, sum(v) AS bsum, count(*) AS bn
+      FROM px GROUP BY doc_id, by, bx
+    ), tot AS (
+      SELECT doc_id, max(w) AS w, max(h) AS h,
+             sum(v) AS px_total, count(*) AS n_px
+      FROM px GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(max(t.w) AS BIGINT)        AS width,
+           CAST(max(t.h) AS BIGINT)        AS height,
+           CAST(max(t.px_total) AS BIGINT) AS px_total,
+           CAST(max(t.n_px) AS BIGINT)     AS n_px,
+           string_agg(
+             CASE WHEN b.bsum * t.n_px >= t.px_total * b.bn
+                  THEN '1' ELSE '0' END, '' ORDER BY b.by, b.bx) AS ahash
+    FROM blk b JOIN tot t USING (doc_id)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL BMP bytes: encode stage
+    writes each odd-doc image as a 24-bit uncompressed BMP, decode stage
+    parses the DIB header + padded pixel rows back with struct/numpy and
+    emits the min(dim,8)×min(dim,8) block-mean threshold signature — the
+    near-duplicate-image fingerprint an image-dedup pipeline computes
+    before Hamming-bucket clustering. The block/global mean comparison is
+    cross-multiplied in int64 (block_sum·n_px ≥ px_total·block_n), so
+    every output is integer-exact and the oracle recomputes all of them
+    from the pixel-generation arithmetic alone — a value match proves the
+    encoder, the real BMP parse, and the block fold are faithful
+    end-to-end (same contract as multimodal_decode_wav_bmp).
+
+    Scale shape: two Arrow-batched mapInPandas stages, zero shuffles —
+    binary never leaves its partition, output is a ≤64-char string + four
+    ints per image. At 100 TB the encode stage is replaced by binaryFile
+    splits; Hamming-bucket grouping downstream shuffles only the 8-byte
+    signatures, never pixels."""
+    import struct
+
+    import numpy as np
+
+    d = spark.table("documents").filter(F.col("doc_id") % 2 == 1).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_make_media(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "px_total": [], "n_px": [], "ahash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h = struct.unpack_from("<ii", payload, 18)
+                off = struct.unpack_from("<I", payload, 10)[0]
+                row_bytes = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    payload, dtype=np.uint8, count=h * row_bytes, offset=off
+                ).reshape(h, row_bytes)
+                # Grayscale generator → channel 0 of each 3-byte pixel.
+                px = rows[:, : w * 3 : 3].astype(np.int64)
+                gw, gh = min(w, 8), min(h, 8)
+                bx = np.arange(w) * gw // w
+                by = np.arange(h) * gh // h
+                # Block sums/counts via two bincount folds (rows then cols).
+                col_sum = np.zeros((h, gw), dtype=np.int64)
+                for j in range(gw):
+                    col_sum[:, j] = px[:, bx == j].sum(axis=1)
+                bsum = np.zeros((gh, gw), dtype=np.int64)
+                for i in range(gh):
+                    bsum[i] = col_sum[by == i].sum(axis=0)
+                bn = np.outer(np.bincount(by, minlength=gh),
+                              np.bincount(bx, minlength=gw)).astype(np.int64)
+                total, n_px = int(px.sum()), w * h
+                bits = (bsum * n_px >= total * bn).astype(np.uint8)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_total"].append(total)
+                out["n_px"].append(n_px)
+                out["ahash"].append("".join("1" if b else "0" for b in bits.ravel()))
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(encode_batches, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        ahash_batches,
+        schema=(
+            "doc_id bigint, width bigint, height bigint, "
+            "px_total bigint, n_px bigint, ahash string"
+        ),
+    ).orderBy("doc_id")
