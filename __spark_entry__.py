@@ -44,10 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     everything touched this round (the distributed-prefix-sum replans,
 #     the semantic-dedup refactor + its non-vacuous t40 twin, the new
 #     table-vs-table as-of join, the CDC commit-marker gating), the
-#     q1/q3 anchors, and 31 belt-and-braces slots spent on the oldest
-#     (r01–r03) rows: relational/set/function/window families. After
-#     this round every registered oracle-checked query's driver row
-#     postdates its last expression change.
+#     q1/q3 anchors, the second late-r7 operator tier (inverted index,
+#     Pareto skyline, OHLC bars, image aHash — first rows), and
+#     belt-and-braces slots spent on the oldest (r01–r03) rows:
+#     relational/set/function/window families. After this round every
+#     registered oracle-checked query's driver row postdates its last
+#     expression change.
 _DRIVER_WINDOW_R07 = [
     "q1_pricing_summary",    # flagship anchor
     "q3_shipping_priority",  # anchor
@@ -79,10 +81,13 @@ _DRIVER_WINDOW_R07 = [
     "join_semi", "agg_median_percentile", "sort_topk", "set_union_all",
     "set_intersect", "set_except", "dedup_distinct",
     "fn_string", "fn_datetime",
-    "window_rank", "window_lag_lead", "window_ntile",
-    "window_first_last", "window_cume_nth", "window_nth_value",
-    "q4_order_priority", "q2_min_cost_supplier", "q8_market_share",
-    "q9_profit_by_nation_year", "q21_sole_late_supplier",
+    "window_rank", "window_lag_lead", "window_ntile", "window_first_last",
+    "q4_order_priority", "q2_min_cost_supplier",
+    "q21_sole_late_supplier",
+    # r7 (late): the second operator tier — IR index build, skyline,
+    # bar resampling, perceptual image hashing
+    "text_inverted_index", "ml_pareto_frontier", "events_ohlc_daily",
+    "multimodal_image_ahash",
     # r7 (late): the day-domain cumulative sum also moved to the
     # distributed prefix pattern
     "events_new_users_daily",

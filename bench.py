@@ -95,6 +95,12 @@ HEADLINE = [
     "sample_epoch_shuffle",
     "join_scd2_pointintime",
     "stream_asof_enrich",
+    # late-r7 second tier: IR index build, skyline, bar resampling,
+    # perceptual image hashing
+    "text_inverted_index",
+    "ml_pareto_frontier",
+    "events_ohlc_daily",
+    "multimodal_image_ahash",
 ]
 
 

@@ -335,3 +335,49 @@ def test_topk_per_group_uses_window_group_limit(spark):
         assert "WindowGroupLimit" in plan, name
         # both partial (map-side) and final limits present
         assert plan.count("WindowGroupLimit") >= 2, name
+
+
+def test_ohlc_bars_single_hash_exchange(spark):
+    """Both row_number windows and the final aggregate share ONE
+    (day, event_type) hash exchange — the second sort is partition-local
+    and the groupBy lands on the window's partitioning (plus the
+    presentation range sort)."""
+    df = QUERIES["events_ohlc_daily"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert unpartitioned_window_count(df) == 0, plan
+
+
+def test_pareto_frontier_is_broadcast_not_pair_join(spark):
+    """The skyline must be the compressed-domain plan: min-price per size
+    (bounded grid) broadcast back onto the part scan — never the oracle's
+    O(n²) dominance self-join, and no unbounded single-task window (the
+    suffix-min runs over the ≤50-row size grid with a constant key)."""
+    df = QUERIES["ml_pareto_frontier"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_window_count(df) == 0, plan
+
+
+def test_inverted_index_two_exchanges_and_capped_collect(spark):
+    """tf shuffles on (term, doc) and the df/cf/postings pass shuffles on
+    term; the final groupBy reuses the term partitioning → exactly two
+    hash exchanges (+ the presentation sort). The posting collect is
+    capped BEFORE aggregation by the rank predicate, so the per-term
+    buffer is bounded even for a corpus-sized stop word."""
+    df = QUERIES["text_inverted_index"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert unpartitioned_window_count(df) == 0, plan
+
+
+def test_image_ahash_no_shuffle_before_decode(spark):
+    """Both mapInPandas stages (encode, decode+fold) run inside the scan
+    stage — binary never shuffles; the only exchange is the presentation
+    sort on the few-column signature output."""
+    df = QUERIES["multimodal_image_ahash"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert exchange_count(df) <= 1, plan  # range sort only

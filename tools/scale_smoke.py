@@ -116,6 +116,10 @@ HEADLINE = [
     "sample_epoch_shuffle",
     "join_scd2_pointintime",
     "stream_asof_enrich",
+    "text_inverted_index",
+    "ml_pareto_frontier",
+    "events_ohlc_daily",
+    "multimodal_image_ahash",
 ]
 
 
