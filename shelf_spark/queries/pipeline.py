@@ -525,3 +525,112 @@ def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram count for a PMI candidate (standard noise floor: PMI of
+#: a hapax pair is maximal by construction and meaningless).
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+#: Fixed-shape PMI expression — four divisions, one multiply, one ln, in
+#: this exact order on both engines, so the IEEE result is identical:
+#: pmi = ln( (c12/n_big) / ((c1/n_uni) · (c2/n_uni)) ).
+_SQL_PMI = (
+    "round(ln((CAST(c12 AS DOUBLE) / CAST(n_big AS DOUBLE)) / "
+    "((CAST(c1 AS DOUBLE) / CAST(n_uni AS DOUBLE)) * "
+    "(CAST(c2 AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6)"
+)
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), tok AS (
+      SELECT unnest(arr) AS w FROM arrs
+    ), uni AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY 1
+    ), pairs AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2
+      FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i) s
+    ), big AS (
+      SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), n AS (
+      SELECT (SELECT sum(c) FROM uni) AS n_uni,
+             (SELECT count(*) FROM pairs) AS n_big
+    )
+    , joined AS (
+      SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2, n_uni, n_big
+      FROM big
+        JOIN uni u1 ON u1.w = big.w1
+        JOIN uni u2 ON u2.w = big.w2
+        CROSS JOIN n
+      WHERE c12 >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, {_SQL_PMI} AS pmi
+    FROM joined
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP_K}
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOP_K} collocations by pointwise mutual information —
+    the phrase-mining pass (e.g. "new york"-style units) a corpus
+    pipeline runs before tokenizer/vocab construction. PMI compares the
+    bigram's joint probability against independence:
+    ln(p(w1,w2) / (p(w1)·p(w2))), floored at {_PMI_MIN_COUNT} occurrences.
+
+    Scale shape: bigrams are formed MAP-SIDE by adjacent-pair zip on the
+    token array (no self-join, no per-doc window sort); unigram and
+    bigram counts are partial+final hash aggs; the two c1/c2 attachments
+    are plain equi-joins on the word key (AQE broadcasts the unigram side
+    when it fits; with an unbounded typo-tail vocabulary both stay
+    shuffle joins — never a driver collect). Totals are a 1-row broadcast.
+    The PMI expression is evaluated with a fixed op order on exact
+    integer inputs → identical IEEE doubles on both engines. Final top-k
+    is TakeOrderedAndProject, never a global sort."""
+    arrs = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    big = (
+        arrs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("arr") - 2),
+                    lambda i: F.struct(
+                        F.col("arr")[i].alias("w1"),
+                        F.col("arr")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = (
+        arrs.select(F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_big = big.agg(F.sum("c12").alias("n_big"))
+    return (
+        big.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.expr(_SQL_PMI).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

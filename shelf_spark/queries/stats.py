@@ -581,3 +581,180 @@ def ml_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust (MAD) outlier detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ), dom AS (
+      SELECT event_type, vi, count(*) AS cnt FROM e GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, vi,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY vi) AS c
+      FROM dom
+    ), n AS (
+      SELECT event_type, count(*) AS n FROM e GROUP BY 1
+    ), med AS (
+      SELECT event_type, min(vi) AS med_i
+      FROM cum JOIN n USING (event_type)
+      WHERE c >= (n + 1) // 2 GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, abs(vi - med_i) AS di
+      FROM e JOIN med USING (event_type)
+    ), ddom AS (
+      SELECT event_type, di, count(*) AS cnt FROM dev GROUP BY 1, 2
+    ), dcum AS (
+      SELECT event_type, di,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY di) AS c
+      FROM ddom
+    ), mad AS (
+      SELECT event_type, min(di) AS mad_i
+      FROM dcum JOIN n USING (event_type)
+      WHERE c >= (n + 1) // 2 GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(max(n.n) AS BIGINT)                       AS n_events,
+           CAST(max(med.med_i) AS DOUBLE) / 100.0         AS median,
+           CAST(max(mad.mad_i) AS DOUBLE) / 100.0         AS mad,
+           CAST(count(*) FILTER (WHERE di > 3 * mad_i) AS BIGINT)
+                                                          AS n_outliers
+    FROM dev
+      JOIN med USING (event_type)
+      JOIN mad USING (event_type)
+      JOIN n   USING (event_type)
+    GROUP BY dev.event_type ORDER BY dev.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median and median-absolute-
+    deviation (the estimator that survives the heavy-tailed metrics that
+    break z-scores), flagging values beyond 3·MAD. Both medians are
+    EXACT discrete percentiles (smallest value whose cumulative count
+    reaches ceil(n/2)) computed on the 2dp integer grid — every number
+    cross-engine bit-exact, no quantile interpolation ambiguity.
+
+    Scale shape: facts are never sorted — both median passes run over
+    the COMPRESSED (type, value-grid) domain (shuffle volume = distinct
+    2dp values per type, ≪ rows), with partitioned running counts inside
+    the type exchange. The per-type medians relation is bounded by the
+    type catalog → broadcast back; the deviation pass and outlier count
+    are map-only + one map-side-combined agg. Same domain-compression
+    design as ml_quantile_bins, generalized to grouped robust stats."""
+    e = spark.table("events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vi"),
+    )
+    n = e.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def disc_median(vals: DataFrame, col: str) -> DataFrame:
+        dom = vals.groupBy("event_type", col).agg(F.count("*").alias("cnt"))
+        wt = (
+            W.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        cum = dom.withColumn("c", F.sum("cnt").over(wt))
+        return (
+            cum.join(F.broadcast(n), "event_type")
+            .filter(F.col("c") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(f"{col}_med"))
+        )
+
+    med = disc_median(e, "vi").withColumnRenamed("vi_med", "med_i")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("vi") - F.col("med_i")).alias("di")
+    )
+    mad = disc_median(dev, "di").withColumnRenamed("di_med", "mad_i")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count(F.when(F.col("di") > 3 * F.col("mad_i"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("med_i").cast("double") / 100.0).alias("median"),
+            (F.col("mad_i").cast("double") / 100.0).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+#: Fixed-shape LOO expression: scaled-int sum minus the row's own scaled
+#: value, one subtract + two divisions in this order on both engines.
+_SQL_LOO = (
+    "round(CAST(s - x AS DOUBLE) / 100.0 / CAST(n - 1 AS DOUBLE), 6)"
+)
+
+
+@query(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      FROM orders
+    ), g AS (
+      SELECT o_orderpriority, sum(x) AS s, count(*) AS n
+      FROM o GROUP BY 1
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN n > 1 THEN {_SQL_LOO} END AS loo_price
+    FROM o JOIN g USING (o_orderpriority)
+    ORDER BY o_orderkey
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the category→number featurization a tabular-ML pipeline runs
+    with the row's own target excluded (the standard target-leakage
+    guard). Each order gets (Σ_category − own) / (n_category − 1);
+    singleton categories encode NULL rather than a degenerate 0/0.
+
+    Scale shape: one map-side-combined aggregate over the bounded
+    priority catalog, broadcast back onto the scan → map-only encode;
+    the fact table never shuffles. Sums ride the 2dp integer grid in
+    int64 (exact, order-independent); the subtract + two divisions are a
+    fixed IEEE op sequence → bit-identical on both engines. The same
+    plan shape holds for any bounded-cardinality categorical; a
+    high-cardinality key would swap the broadcast for a keyed shuffle
+    join with AQE deciding."""
+    o = spark.table("orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("n") > 1, F.expr(_SQL_LOO)).alias("loo_price"),
+        )
+        .orderBy("o_orderkey")
+    )
