@@ -78,9 +78,12 @@ _DRIVER_WINDOW_R07 = [
     "stream_cdc_upsert",
     # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
     "scan_project_filter", "join_right_outer", "join_full_outer",
-    "join_semi", "agg_median_percentile", "sort_topk", "set_union_all",
-    "set_intersect", "set_except", "dedup_distinct",
+    "join_semi", "agg_median_percentile", "sort_topk",
     "fn_string", "fn_datetime",
+    # r7 (late): third tier — collocations, robust stats, target
+    # encoding, perceptual-signature dedup (first rows)
+    "text_pmi_bigrams", "events_anomaly_mad", "ml_target_encoding",
+    "dedup_image_ahash",
     "window_rank", "window_lag_lead", "window_ntile", "window_first_last",
     "q4_order_priority", "q2_min_cost_supplier",
     "q21_sole_late_supplier",

@@ -101,6 +101,10 @@ HEADLINE = [
     "ml_pareto_frontier",
     "events_ohlc_daily",
     "multimodal_image_ahash",
+    "text_pmi_bigrams",
+    "events_anomaly_mad",
+    "ml_target_encoding",
+    "dedup_image_ahash",
 ]
 
 

@@ -381,3 +381,44 @@ def test_image_ahash_no_shuffle_before_decode(spark):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert exchange_count(df) <= 1, plan  # range sort only
+
+
+def test_pmi_topk_is_take_ordered_not_global_sort(spark):
+    """The PMI ranking must be TakeOrderedAndProject (bounded driver
+    result), and bigrams must be formed map-side — no per-doc window
+    sort, no self-join of the token stream."""
+    df = QUERIES["text_pmi_bigrams"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert unpartitioned_window_count(df) == 0, plan
+
+
+def test_mad_medians_come_from_compressed_domain(spark):
+    """Both discrete medians must run over the (type, value-grid) domain
+    with partitioned running counts — the events scan is never globally
+    sorted and no window moves all data to one task; the per-type
+    medians broadcast back."""
+    df = QUERIES["events_anomaly_mad"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert unpartitioned_window_count(df) == 0, plan
+    assert broadcast_join_count(df) >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encoding_is_broadcast_map_pass(spark):
+    """The category aggregate broadcasts back onto the orders scan — the
+    fact side must not shuffle (one hash exchange for the bounded
+    category agg + the presentation sort only)."""
+    df = QUERIES["ml_target_encoding"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_image_ahash_dedup_single_signature_exchange(spark):
+    """Pixels never shuffle: the only hash exchange carries the ≤8-byte
+    signatures into the cluster groupBy."""
+    df = QUERIES["dedup_image_ahash"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
