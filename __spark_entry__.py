@@ -78,8 +78,9 @@ _DRIVER_WINDOW_R07 = [
     "stream_cdc_upsert",
     # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
     "scan_project_filter", "join_right_outer", "join_full_outer",
-    "join_semi", "agg_median_percentile", "sort_topk",
+    "join_semi", "agg_median_percentile",
     "fn_string", "fn_datetime",
+    "multimodal_video_scene_cuts",
     # r7 (late): third tier — collocations, robust stats, target
     # encoding, perceptual-signature dedup (first rows)
     "text_pmi_bigrams", "events_anomaly_mad", "ml_target_encoding",

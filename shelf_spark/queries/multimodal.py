@@ -681,3 +681,106 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_images") >= 2)
         .orderBy("gw", "gh", "ahash")
     )
+
+
+# ---------------------------------------------------------------------------
+# video scene-cut detection
+# ---------------------------------------------------------------------------
+
+#: Mean-abs-diff threshold (pixel levels) above which a consecutive-frame
+#: transition counts as a hard cut. Compared cross-multiplied in int64:
+#: sum_abs_diff > _CUT_THRESHOLD · n_px.
+_CUT_THRESHOLD = 64
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             doc_id % 16 + 4 AS w,
+             doc_id % 8 + 4 AS h,
+             doc_id % 20 + 5 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 2)) AS f
+      FROM v
+    ), px AS (
+      SELECT doc_id, w, h, nf, f,
+             unnest(generate_series(0, w * h - 1)) AS p
+      FROM fr
+    ), diffs AS (
+      SELECT doc_id, nf, f, w * h AS n_px,
+             sum(abs(
+               ((doc_id * 7 + f * 13 + p // w + p % w) % 256)
+               - ((doc_id * 7 + (f + 1) * 13 + p // w + p % w) % 256)
+             )) AS sum_abs_diff
+      FROM px GROUP BY doc_id, nf, f, w, h
+    )
+    SELECT doc_id,
+           CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (
+             WHERE sum_abs_diff > {_CUT_THRESHOLD} * n_px) AS BIGINT)
+                                   AS n_cuts,
+           CAST(sum(sum_abs_diff) AS BIGINT) AS total_abs_diff
+    FROM diffs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-cut detection over the raw video container: consecutive-frame
+    mean absolute pixel difference, thresholded at {_CUT_THRESHOLD}
+    levels — the shot-boundary screen a video-corpus pipeline runs to
+    pick clip boundaries before sampling training frames (cuts are where
+    content changes; sampling across them mixes scenes). The comparison
+    is cross-multiplied in int64 (Σ|Δ| > τ·n_px), every output integer-
+    exact, and the oracle recomputes the full diff cascade from the
+    generation arithmetic alone — a value match proves writer, parser,
+    and temporal-diff fold end-to-end.
+
+    Scale shape: one encode + one decode/diff Arrow-batched mapInPandas
+    pair, zero shuffles before the final presentation sort — each video's
+    frames are consecutive bytes in ONE row, so the temporal diff needs
+    no self-join and no window; at 100 TB the same stage reads
+    binaryFile splits and emits three ints per video. Contrast with a
+    frames-as-rows layout, where every consecutive-pair diff would be a
+    video-keyed window over a frames-sized shuffle."""
+    import struct
+
+    import numpy as np
+
+    d = spark.table("documents").select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_make_video(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def cuts_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [], "total_abs_diff": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                magic, w, h, nf = struct.unpack_from("<4sIII", payload, 0)
+                assert magic == b"RVID"
+                frames = np.frombuffer(
+                    payload, dtype=np.uint8, count=nf * w * h, offset=16
+                ).reshape(nf, w * h).astype(np.int64)
+                diff = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_cuts"].append(int((diff > _CUT_THRESHOLD * w * h).sum()))
+                out["total_abs_diff"].append(int(diff.sum()))
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(encode_batches, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        cuts_batches,
+        schema=(
+            "doc_id bigint, n_frames bigint, n_cuts bigint, "
+            "total_abs_diff bigint"
+        ),
+    ).orderBy("doc_id")

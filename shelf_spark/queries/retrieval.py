@@ -479,7 +479,18 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds ≤ {_POSTINGS_CAP} ids even for a corpus-sized stop-word term.
     The final groupBy lands on the same term partitioning → no third
     shuffle. Output payload is O(vocab · cap), never O(corpus)."""
-    tok = _tokens(spark).select(F.col("word").alias("term"), "doc_id")
+    return inverted_index(
+        spark.table("documents").select("doc_id", "text")
+    ).orderBy("term")
+
+
+def inverted_index(docs: DataFrame) -> DataFrame:
+    """(term, df, cf, postings) index shard over a (doc_id, text)
+    relation — the reusable core of :func:`text_inverted_index` (also
+    driven directly by the hot-term stress test)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
     tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     wt = W.partitionBy("term")
     ranked = tf.select(
@@ -508,5 +519,4 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("postings"),
         )
-        .orderBy("term")
     )

@@ -552,7 +552,13 @@ def ml_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price < suffix-min. The O(n²) dominance pair join never materializes
     — the oracle's NOT EXISTS is quadratic, this plan is one agg + one
     broadcast map pass."""
-    part = spark.table("part")
+    return pareto_frontier(spark.table("part"))
+
+
+def pareto_frontier(part: DataFrame) -> DataFrame:
+    """Skyline over a (p_partkey, p_size, p_retailprice) relation — the
+    reusable core of :func:`ml_pareto_frontier` (also driven directly by
+    the brute-force-dominance stress test)."""
     by_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mn"))
     # Bounded domain (size grid ≤ 50 rows by the TPC-H spec): constant
     # partition key keeps the window spec non-empty (prefix.py idiom).

@@ -152,3 +152,51 @@ def test_chunk_dedup_hot_digest_matches_python_oracle(spark):
         .collect()
     }
     assert got == want
+
+
+def test_inverted_index_hot_term_postings_capped_and_exact(spark):
+    """10⁴ documents all containing one stop-word-like term (twice each):
+    the term's window partition carries 10⁴ rows, but the posting collect
+    must hold only the cap — and df/cf/postings must match a pure-Python
+    oracle exactly (df = corpus size, cf = 2·corpus, postings = the
+    lowest doc ids)."""
+    from shelf_spark.queries.retrieval import _POSTINGS_CAP, inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, f"the u{i} the") for i in range(N_DOCS)],
+        "doc_id bigint, text string",
+    )
+    rows = {r.term: r for r in inverted_index(docs).collect()}
+    hot = rows["the"]
+    assert hot.df == N_DOCS
+    assert hot.cf == 2 * N_DOCS
+    assert hot.postings == ",".join(str(i) for i in range(_POSTINGS_CAP))
+    # every singleton term: df=1, cf=1, its own doc as the only posting
+    assert rows["u17"].df == 1 and rows["u17"].postings == "17"
+    assert len(rows) == N_DOCS + 1
+
+
+def test_pareto_frontier_matches_bruteforce_dominance(spark):
+    """The compressed-domain skyline must equal the O(n²) dominance
+    definition on an adversarial set: duplicate (size, price) points
+    (neither dominates), equal-price-different-size chains, and a
+    strictly-dominated diagonal."""
+    import itertools
+    import random
+
+    from shelf_spark.queries.stats import pareto_frontier
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(1, 12), rng.randrange(1, 15) * 1.0)
+           for i in range(300)]
+    pts += [(1000, 5, 7.0), (1001, 5, 7.0)]  # exact ties survive together
+    df = spark.createDataFrame(
+        pts, "p_partkey bigint, p_size int, p_retailprice double"
+    )
+    got = {r.p_partkey for r in pareto_frontier(df).collect()}
+    dominated = set()
+    for (i, si, pi), (j, sj, pj) in itertools.permutations(pts, 2):
+        if sj >= si and pj <= pi and (sj > si or pj < pi):
+            dominated.add(i)
+    want = {i for i, _, _ in pts} - dominated
+    assert got == want

@@ -124,6 +124,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "ml_target_encoding",
     "dedup_image_ahash",
+    "multimodal_video_scene_cuts",
 ]
 
 
