@@ -46,6 +46,7 @@ def attach_prefix_sums(
     order_cols: Sequence[str],
     value_cols: Sequence[str],
     n_parts: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Attach ``{c}_upto`` = running sum of ``c`` over the global
     ``order_cols`` order, INCLUSIVE of the current row, for each ``c`` in
@@ -61,9 +62,19 @@ def attach_prefix_sums(
     """
     if n_parts is None:
         n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    # Pin the range-partitioned domain: repartitionByRange needs a
+    # sampling pass to pick bounds, and the relation is consumed twice
+    # below (subtotals + final join) — without the checkpoint the whole
+    # upstream domain build executes three times (measured: the r7
+    # interval-overlap/quantile-bins replans cost ~2× their r6 walls
+    # until this landed). The checkpoint is distributed (per-partition
+    # executor blocks, never a driver collect), so it scales with the
+    # domain like every other exchange.
     base = df.repartitionByRange(
         n_parts, *[F.col(c) for c in order_cols]
     ).withColumn("__pid", F.spark_partition_id())
+    if checkpoint:
+        base = base.localCheckpoint()
     subtotals = base.groupBy("__pid").agg(
         *[F.sum(c).alias(c) for c in value_cols]
     )

@@ -308,6 +308,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts per boundary; the exclusive "ends strictly before" rank is
     # the inclusive rank minus the row's own multiplicity (one row per
     # distinct t, so no intra-tie ambiguity).
+    # NOT checkpointed despite the two consumers below: the recompute off
+    # the helper's checkpointed base (offsets window + join, both over
+    # the compressed domain) measures cheaper than materializing the
+    # ranked relation a second time (2.1 s vs 2.6 s at sf0.1).
     ranked = attach_prefix_sums(
         domain, ["t"], ["starts_at", "ends_at"]
     ).select(

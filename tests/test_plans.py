@@ -248,15 +248,14 @@ def test_interval_overlap_is_sweepline_not_cartesian(spark):
 
 def test_interval_overlap_prefix_sum_distributed(spark):
     """The boundary-domain prefix sums must be the two-pass distributed
-    rewrite: the domain range-partitions on t and NO window in the plan
-    has an empty partition spec (the r6 draft's Window.orderBy(t) moved
-    the whole linearly-growing boundary domain into one task)."""
+    rewrite: NO window in the plan has an empty partition spec (the r6
+    draft's Window.orderBy(t) moved the whole linearly-growing boundary
+    domain into one task). The range exchange itself executes inside the
+    helper's eager checkpoint — its shape is pinned by
+    test_attach_prefix_sums_range_partitions_domain below."""
     df = QUERIES["join_interval_overlap"](spark, SF_DIR)
     plan = physical_plan(df)
     assert unpartitioned_window_count(df) == 0, plan
-    assert "rangepartitioning(t#" in plan.replace(" ", "").replace(
-        "ASCNULLSFIRST", ""
-    ) or "rangepartitioning(t" in plan
 
 
 def test_quantile_bins_prefix_sum_distributed(spark):
@@ -266,9 +265,33 @@ def test_quantile_bins_prefix_sum_distributed(spark):
     df = QUERIES["ml_quantile_bins"](spark, SF_DIR)
     plan = physical_plan(df)
     assert unpartitioned_window_count(df) == 0, plan
-    assert "rangepartitioning(price" in plan
     # the row-count total is a 1-row broadcast, not a rescan-sized window
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_attach_prefix_sums_range_partitions_domain(spark):
+    """The helper's first pass must be a RANGE exchange on the ordering
+    key (contiguous key ranges per partition — the property the local
+    running sums + broadcast offsets depend on), checked with the
+    checkpoint disabled so the exchange is visible in the plan; and the
+    checkpointed production path must produce identical values."""
+    from pyspark.sql import functions as F
+
+    from shelf_spark.queries.prefix import attach_prefix_sums
+
+    dom = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    raw = attach_prefix_sums(dom, ["k"], ["v"], checkpoint=False)
+    plan = physical_plan(raw)
+    assert "rangepartitioning(k" in plan, plan
+    assert unpartitioned_window_count(raw) == 0, plan
+    got = {r.k: r.v_upto for r in attach_prefix_sums(dom, ["k"], ["v"]).collect()}
+    acc, want = 0, {}
+    for k in range(1000):
+        acc += k % 7
+        want[k] = acc
+    assert got == want
 
 
 def test_cdc_collapse_is_aggregate_not_window_sort(spark):
