@@ -106,6 +106,8 @@ HEADLINE = [
     "ml_target_encoding",
     "dedup_image_ahash",
     "multimodal_video_scene_cuts",
+    "text_keyphrase_rake",
+    "ml_eval_binary_metrics",
 ]
 
 

@@ -634,3 +634,134 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a")
+_RAKE_MAX_PHRASE = 8
+_RAKE_TOP_K = 20
+
+#: word score = degree/frequency, rounded onto the 6dp grid BEFORE the
+#: cross-word phrase sum (which then runs in DECIMAL — exact,
+#: order-independent; the module's standard float discipline).
+_SQL_RAKE_WORD = "round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)"
+
+
+@query(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), tok AS (
+      SELECT doc_id, pos, arr[pos] AS w,
+             arr[pos] IN {_RAKE_STOPS} AS is_stop
+      FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS pos) s
+    ), marked AS (
+      SELECT doc_id, pos, w, is_stop,
+             count(*) FILTER (WHERE is_stop)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM tok
+    ), seg AS (
+      SELECT doc_id, pos, w, phrase_id FROM marked WHERE NOT is_stop
+    ), ph AS (
+      SELECT doc_id, phrase_id,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM seg GROUP BY doc_id, phrase_id
+    ), kept AS (
+      SELECT * FROM ph WHERE plen <= {_RAKE_MAX_PHRASE}
+    ), occ AS (
+      SELECT s.doc_id, s.phrase_id, s.w, k.plen
+      FROM seg s JOIN kept k USING (doc_id, phrase_id)
+    ), ws AS (
+      SELECT w, sum(plen) AS deg, count(*) AS freq FROM occ GROUP BY w
+    ), scored AS (
+      SELECT k.doc_id, k.phrase_id, k.phrase,
+             sum(CAST({_SQL_RAKE_WORD} AS DECIMAL(18,6))) AS score_dec
+      FROM occ o
+        JOIN ws USING (w)
+        JOIN kept k ON k.doc_id = o.doc_id AND k.phrase_id = o.phrase_id
+      GROUP BY k.doc_id, k.phrase_id, k.phrase
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_dec) AS DOUBLE) AS score
+    FROM scored
+    GROUP BY phrase
+    ORDER BY score DESC, phrase LIMIT {_RAKE_TOP_K}
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): split documents into
+    candidate phrases at stopword boundaries, score each word by
+    degree/frequency over the phrase graph (degree = Σ length of phrases
+    containing it), score a phrase as the sum of its word scores, and
+    return the corpus top-{_RAKE_TOP_K} — the unsupervised keyword pass a
+    corpus-curation pipeline runs for topic tagging without a model.
+    Word scores round onto the 6dp grid BEFORE the phrase sum, which
+    accumulates in DECIMAL — exact and order-independent on both engines
+    (identical phrase occurrences score identically, so max==every).
+
+    Scale shape: segmentation is one per-doc window pass (running stop
+    count inside the doc_id exchange — gaps-and-islands, the
+    sessionization shape); phrase assembly groups on the SAME
+    (doc, phrase) partitioning; word stats are one vocab-sized
+    map-side-combined agg; the score join is word-keyed (AQE broadcasts
+    the vocab side while it fits, shuffle-joins at typo-tail scale);
+    final top-k is TakeOrderedAndProject. Phrase length is capped at
+    {_RAKE_MAX_PHRASE}, so per-row payloads stay bounded."""
+    arrs = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    tok = arrs.select(
+        "doc_id", F.posexplode("arr").alias("pos", "w")
+    ).withColumn("is_stop", F.col("w").isin(*_RAKE_STOPS))
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    seg = (
+        tok.withColumn(
+            "phrase_id",
+            F.count(F.when(F.col("is_stop"), 1)).over(w_doc),
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "phrase_id", "pos", "w")
+    )
+    ph = (
+        seg.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    occ = seg.join(ph.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+    ws = occ.groupBy("w").agg(
+        F.sum("plen").alias("deg"), F.count("*").alias("freq")
+    )
+    scored = (
+        occ.join(ws, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(F.expr(_SQL_RAKE_WORD).cast("decimal(18,6)")).alias(
+                "score_dec"
+            )
+        )
+        .join(ph, ["doc_id", "phrase_id"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_dec").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(_RAKE_TOP_K)
+    )

@@ -764,3 +764,89 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation metrics
+# ---------------------------------------------------------------------------
+
+#: Fixed decision thresholds on the score (n_chars here); an eval
+#: harness sweeps these over a grid.
+_EVAL_THRESHOLDS = (200, 300, 400)
+
+#: Fixed-shape ratio metric on exact integer counts: one division (or a
+#: guarded NULL when the denominator is empty), rounded to 6dp —
+#: identical IEEE on both engines.
+def _sql_prf(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} > 0 THEN "
+        f"round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 6) END"
+    )
+
+
+@query(
+    "ml_eval_binary_metrics",
+    oracle=f"""
+    WITH scored AS (
+      SELECT n_chars AS score, (lang = 'en') AS y FROM documents
+    ), cm AS (
+      SELECT t.threshold,
+             count(*) FILTER (WHERE score >= t.threshold AND y)     AS tp,
+             count(*) FILTER (WHERE score >= t.threshold AND NOT y) AS fp,
+             count(*) FILTER (WHERE score <  t.threshold AND y)     AS fn,
+             count(*) FILTER (WHERE score <  t.threshold AND NOT y) AS tn
+      FROM scored CROSS JOIN (
+        SELECT unnest(ARRAY{list(_EVAL_THRESHOLDS)}) AS threshold) t
+      GROUP BY t.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           {_sql_prf('tp', 'tp + fp')} AS precision_,
+           {_sql_prf('tp', 'tp + fn')} AS recall_,
+           {_sql_prf('2 * tp', '2 * tp + fp + fn')} AS f1
+    FROM cm ORDER BY threshold
+    """,
+)
+def ml_eval_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation sweep: confusion counts and
+    precision/recall/F1 at {len(_EVAL_THRESHOLDS)} fixed decision
+    thresholds — the eval harness every model-quality gate runs on a
+    held-out table (here: doc length scored against the lang=='en'
+    truth; in production the score column is a model output). Metrics
+    are one guarded division over exact int64 counts → bit-identical
+    across engines; empty denominators yield NULL, not 0/0.
+
+    Scale shape: ONE pass over the scan — the threshold grid is a
+    {len(_EVAL_THRESHOLDS)}-row explode (map-side, constant fan-out)
+    into a single map-side-combined aggregate of conditional counts;
+    output is thresholds-sized. No shuffle of the fact table, no
+    per-threshold rescan — adding thresholds widens the explode
+    constant, never re-reads data."""
+    scored = spark.table("documents").select(
+        F.col("n_chars").alias("score"), (F.col("lang") == "en").alias("y")
+    )
+    grid = scored.select(
+        "score",
+        "y",
+        F.explode(
+            F.array(*[F.lit(t) for t in _EVAL_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    pos = F.col("score") >= F.col("threshold")
+    cm = grid.groupBy("threshold").agg(
+        F.count(F.when(pos & F.col("y"), 1)).alias("tp"),
+        F.count(F.when(pos & ~F.col("y"), 1)).alias("fp"),
+        F.count(F.when(~pos & F.col("y"), 1)).alias("fn"),
+        F.count(F.when(~pos & ~F.col("y"), 1)).alias("tn"),
+    )
+    return cm.select(
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.expr(_sql_prf("tp", "tp + fp")).alias("precision_"),
+        F.expr(_sql_prf("tp", "tp + fn")).alias("recall_"),
+        F.expr(_sql_prf("2 * tp", "2 * tp + fp + fn")).alias("f1"),
+    ).orderBy("threshold")

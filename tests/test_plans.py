@@ -445,3 +445,23 @@ def test_image_ahash_dedup_single_signature_exchange(spark):
     df = QUERIES["dedup_image_ahash"](spark, SF_DIR)
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rake_topk_is_take_ordered_and_segmentation_single_doc_shuffle(spark):
+    """RAKE's segmentation is the gaps-and-islands shape inside the doc
+    exchange; the corpus top-k is TakeOrderedAndProject and no window
+    runs unpartitioned."""
+    df = QUERIES["text_keyphrase_rake"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert unpartitioned_window_count(df) == 0, plan
+
+
+def test_eval_metrics_single_pass_no_fact_shuffle(spark):
+    """The threshold sweep must be one scan: a constant explode into one
+    map-side-combined aggregate — the only hash exchange carries the
+    thresholds-sized partial counts."""
+    df = QUERIES["ml_eval_binary_metrics"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert scans_of(df)[0].read_schema and "text" not in scans_of(df)[0].read_schema
