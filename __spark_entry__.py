@@ -78,9 +78,8 @@ _DRIVER_WINDOW_R07 = [
     "stream_cdc_upsert",
     # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
     "scan_project_filter", "join_right_outer", "join_full_outer",
-    "join_semi",
-    "fn_string",
     "text_keyphrase_rake", "ml_eval_binary_metrics",
+    "sample_stratified_neyman", "multimodal_audio_vad_segments",
     "multimodal_video_scene_cuts",
     # r7 (late): third tier — collocations, robust stats, target
     # encoding, perceptual-signature dedup (first rows)

@@ -108,6 +108,8 @@ HEADLINE = [
     "multimodal_video_scene_cuts",
     "text_keyphrase_rake",
     "ml_eval_binary_metrics",
+    "sample_stratified_neyman",
+    "multimodal_audio_vad_segments",
 ]
 
 

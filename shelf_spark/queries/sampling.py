@@ -474,3 +474,107 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+#: Total sample budget the allocation distributes across strata.
+_NEYMAN_BUDGET = 1000
+
+#: Per-stratum population std from exact integer moments (2dp grid), as a
+#: fixed-shape IEEE expression shared verbatim by both engines:
+#: S = sqrt((n·s2 − s1²)) / n, with s1/s2 the exact scaled-int sums.
+_SQL_NEYMAN_STD = (
+    "round(sqrt((CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) / 1e4))"
+    " - ((CAST(s1 AS DOUBLE) / 1e2) * (CAST(s1 AS DOUBLE) / 1e2)))"
+    " / CAST(n AS DOUBLE), 6)"
+)
+
+#: weight_h = round(N_h · S_h, 6) — rounded onto the 6dp grid BEFORE the
+#: cross-stratum normalizer sum, which runs in DECIMAL (exact).
+_SQL_NEYMAN_W = "round(CAST(n AS DOUBLE) * std, 6)"
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      AS DECIMAL(18,0))) AS s1,
+             sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      AS DECIMAL(18,0))) AS s2
+      FROM events GROUP BY event_type
+    ), w AS (
+      SELECT event_type, n, {_SQL_NEYMAN_STD} AS std
+      FROM m
+    ), ww AS (
+      SELECT event_type, n, std,
+             CAST({_SQL_NEYMAN_W} AS DECIMAL(18,6)) AS wt
+      FROM w
+    ), tot AS (
+      SELECT sum(wt) AS wsum FROM ww
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           std,
+           CAST(floor((CAST(wt AS DOUBLE) / CAST(wsum AS DOUBLE))
+                      * {_NEYMAN_BUDGET} + 0.5) AS BIGINT) AS alloc
+    FROM ww CROSS JOIN tot
+    ORDER BY event_type
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: distribute a
+    {_NEYMAN_BUDGET}-row budget across event-type strata proportionally
+    to N_h·S_h (stratum size × stratum std) — the variance-minimizing
+    design a data-curation pipeline uses instead of proportional
+    sampling when strata differ in spread. Moments accumulate as exact
+    scaled ints (2dp grid, DECIMAL sums → order-independent), the std
+    and share are fixed-shape IEEE expressions, and the per-stratum
+    weight rounds onto the 6dp grid BEFORE the DECIMAL normalizer sum —
+    every number bit-identical across engines.
+
+    Scale shape: ONE map-side-combined aggregate over the fact scan
+    (moment sums per stratum), then all remaining arithmetic runs on the
+    strata-catalog-sized relation with a 1-row broadcast normalizer.
+    The facts never shuffle; the downstream sampler consumes the
+    allocation with the content-hash Bernoulli pattern
+    (sample_stratified_hash) — retry- and partition-invariant."""
+    vi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = spark.table("events").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vi.cast("decimal(18,0)")).alias("s1"),
+        F.sum((vi * vi).cast("decimal(18,0)")).alias("s2"),
+    )
+    ww = m.select(
+        "event_type",
+        "n",
+        F.expr(_SQL_NEYMAN_STD).alias("std"),
+    ).select(
+        "event_type",
+        "n",
+        "std",
+        F.expr(_SQL_NEYMAN_W).cast("decimal(18,6)").alias("wt"),
+    )
+    tot = ww.agg(F.sum("wt").alias("wsum"))
+    return (
+        ww.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_rows"),
+            "std",
+            F.floor(
+                (F.col("wt").cast("double") / F.col("wsum").cast("double"))
+                * _NEYMAN_BUDGET
+                + 0.5
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("event_type")
+    )
