@@ -85,8 +85,9 @@ _DRIVER_WINDOW_R07 = [
     # encoding, perceptual-signature dedup (first rows)
     "text_pmi_bigrams", "events_anomaly_mad", "ml_target_encoding",
     "dedup_image_ahash",
-    "window_rank", "window_lag_lead", "window_ntile", "window_first_last",
-    "q4_order_priority", "q2_min_cost_supplier",
+    "window_rank", "window_lag_lead", "window_ntile",
+    "q4_order_priority",
+    "events_markov_stationary", "events_rfm_segments",
     "q21_sole_late_supplier",
     # r7 (late): the second operator tier — IR index build, skyline,
     # bar resampling, perceptual image hashing

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .registry import query
 
@@ -782,4 +783,244 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").alias("version_valid_from"),
         )
         .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (power iteration)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 3
+
+#: One power-iteration product term: π(i)·p(i→j), with p an exact-int
+#: ratio evaluated in a fixed op order, rounded onto the 12dp grid
+#: BEFORE the cross-state sum (which runs in DECIMAL — exact and
+#: order-independent, the house float discipline).
+_SQL_MARKOV_TERM = (
+    "CAST(round(pi * (CAST(n AS DOUBLE) / CAST(nf AS DOUBLE)), 12)"
+    " AS DECIMAL(24,12))"
+)
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), m AS (
+      SELECT from_type, to_type, n, sum(n) OVER (PARTITION BY from_type) AS nf
+      FROM pairs
+    ), states AS (
+      SELECT DISTINCT from_type AS state FROM pairs
+    ), n_states AS (SELECT count(*) AS k FROM states),
+    pi0 AS (
+      SELECT state, round(1.0 / k, 12) AS pi FROM states CROSS JOIN n_states
+    ),
+    pi1 AS (
+      SELECT to_type AS state, CAST(sum({_SQL_MARKOV_TERM}) AS DOUBLE) AS pi
+      FROM m JOIN pi0 ON pi0.state = m.from_type GROUP BY to_type
+    ),
+    pi2 AS (
+      SELECT to_type AS state, CAST(sum({_SQL_MARKOV_TERM}) AS DOUBLE) AS pi
+      FROM m JOIN pi1 ON pi1.state = m.from_type GROUP BY to_type
+    ),
+    pi3 AS (
+      SELECT to_type AS state, CAST(sum({_SQL_MARKOV_TERM}) AS DOUBLE) AS pi
+      FROM m JOIN pi2 ON pi2.state = m.from_type GROUP BY to_type
+    )
+    SELECT state AS event_type, round(pi, 9) AS pi
+    FROM pi3 ORDER BY event_type
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain:
+    {_MARKOV_ITERS} synchronous power iterations of π·P from a uniform
+    start over the event-type transition matrix — the steady-state
+    page/state importance the transition matrix alone doesn't show
+    (same algorithmic family as PageRank, over the bounded state
+    catalog). Each iteration's products round onto the 12dp grid before
+    a DECIMAL sum, so the trajectory is bit-identical across engines.
+
+    Scale shape: the chain collapse (lead + pair counts) is the
+    transition-matrix single-shuffle pass over the facts; everything
+    after runs on the K²-sized matrix relation (K = type catalog,
+    bounded) with broadcast π each round — iterations never touch the
+    fact table again. For an unbounded state space this becomes
+    PageRank's checkpointed-loop shape (graph.py)."""
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.lead("event_type").over(seq_w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    m = pairs.withColumn(
+        "nf", F.sum("n").over(W.partitionBy("from_type"))
+    ).localCheckpoint()  # K²-sized; reused every iteration
+    states = m.select(F.col("from_type").alias("state")).distinct()
+    k = states.count()  # bounded type catalog (driver-side by design)
+    pi = states.select(
+        "state", F.round(F.lit(1.0) / F.lit(k), 12).alias("pi")
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            m.join(F.broadcast(pi), m.from_type == pi.state)
+            .groupBy("to_type")
+            .agg(F.sum(F.expr(_SQL_MARKOV_TERM)).cast("double").alias("pi"))
+            .select(F.col("to_type").alias("state"), "pi")
+        )
+    return pi.select(
+        F.col("state").alias("event_type"), F.round("pi", 9).alias("pi")
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ANCHOR = "2024-04-01"  # fixed as-of date just past the event horizon
+_RFM_K = 5
+
+
+def _sql_rfm_bounds(metric: str) -> str:
+    """Quintile boundaries as the exact discrete ranks ceil(i·n/K) over
+    the compressed value domain (integer arithmetic — the
+    ml_quantile_bins formulation)."""
+    return ", ".join(
+        f"min(CASE WHEN c >= (({i} * n + {_RFM_K - 1}) // {_RFM_K})"
+        f" THEN {metric} END) AS {metric}_b{i}"
+        for i in range(1, _RFM_K)
+    )
+
+
+def _sql_rfm_score(metric: str) -> str:
+    return "CAST(1 " + "".join(
+        f" + (CASE WHEN {metric} > {metric}_b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, _RFM_K)
+    ) + " AS BIGINT)"
+
+
+@query(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE), DATE '{_RFM_ANCHOR}')
+               AS r,
+             count(*) AS f,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS m
+      FROM events GROUP BY user_id
+    ), n AS (SELECT count(*) AS n FROM u),
+    rb AS (
+      SELECT {_sql_rfm_bounds('r')} FROM (
+        SELECT r, sum(count(*)) OVER (ORDER BY r) AS c FROM u GROUP BY r
+      ) CROSS JOIN n
+    ),
+    fb AS (
+      SELECT {_sql_rfm_bounds('f')} FROM (
+        SELECT f, sum(count(*)) OVER (ORDER BY f) AS c FROM u GROUP BY f
+      ) CROSS JOIN n
+    ),
+    mb AS (
+      SELECT {_sql_rfm_bounds('m')} FROM (
+        SELECT m, sum(count(*)) OVER (ORDER BY m) AS c FROM u GROUP BY m
+      ) CROSS JOIN n
+    ),
+    scored AS (
+      SELECT {_sql_rfm_score('r')} AS r_score,
+             {_sql_rfm_score('f')} AS f_score,
+             {_sql_rfm_score('m')} AS m_score
+      FROM u CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+    )
+    SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, recency (days to the {_RFM_ANCHOR}
+    as-of), frequency, and 2dp-grid monetary sum; each dimension scored
+    into exact discrete quintiles (score = 1 + boundaries strictly
+    below, ascending-value convention) and users counted per
+    (R, F, M) cell — the 125-cell customer-value grid a lifecycle
+    campaign targets. Boundaries are percentile-disc values from integer
+    ranks, so every score and count is engine-exact.
+
+    Scale shape: ONE user-keyed shuffle builds the metrics relation;
+    each quintile pass runs over that metric's COMPRESSED value domain
+    (distributed prefix counts via prefix.attach_prefix_sums — recency
+    and frequency domains are day-/count-grid bounded, the monetary
+    domain grows with users and range-partitions), and the three 4-value
+    boundary rows broadcast back for a map-only score; the final cell
+    aggregate is 125-row bounded. Users never sort globally — the
+    ntile-over-everything formulation this replaces would single-task
+    the user table."""
+    from .prefix import attach_prefix_sums
+
+    e = spark.table("events")
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"), F.max("ts").cast("date")
+        ).alias("r"),
+        F.count("*").alias("f"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("m"),
+    ).localCheckpoint()  # feeds three domain aggs + the score pass
+    n = u.agg(F.count("*").alias("n"))
+
+    def bounds(metric: str):
+        dom = u.groupBy(metric).agg(F.count("*").alias("cnt"))
+        cum = attach_prefix_sums(dom, [metric], ["cnt"]).select(
+            metric, F.col("cnt_upto").alias("c")
+        )
+        return cum.crossJoin(F.broadcast(n)).agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("c")
+                        >= F.expr(f"({i} * n + {_RFM_K - 1}) div {_RFM_K}"),
+                        F.col(metric),
+                    )
+                ).alias(f"{metric}_b{i}")
+                for i in range(1, _RFM_K)
+            ]
+        )
+
+    scored = (
+        u.crossJoin(F.broadcast(bounds("r")))
+        .crossJoin(F.broadcast(bounds("f")))
+        .crossJoin(F.broadcast(bounds("m")))
+    )
+
+    def score(metric: str):
+        expr = F.lit(1)
+        for i in range(1, _RFM_K):
+            expr = expr + F.when(
+                F.col(metric) > F.col(f"{metric}_b{i}"), 1
+            ).otherwise(0)
+        return expr.cast("long")
+
+    return (
+        scored.select(
+            score("r").alias("r_score"),
+            score("f").alias("f_score"),
+            score("m").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
     )

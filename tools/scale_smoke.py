@@ -129,6 +129,8 @@ HEADLINE = [
     "ml_eval_binary_metrics",
     "sample_stratified_neyman",
     "multimodal_audio_vad_segments",
+    "events_markov_stationary",
+    "events_rfm_segments",
 ]
 
 
