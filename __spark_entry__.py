@@ -44,12 +44,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     everything touched this round (the distributed-prefix-sum replans,
 #     the semantic-dedup refactor + its non-vacuous t40 twin, the new
 #     table-vs-table as-of join, the CDC commit-marker gating), the
-#     q1/q3 anchors, the second late-r7 operator tier (inverted index,
-#     Pareto skyline, OHLC bars, image aHash — first rows), and
-#     belt-and-braces slots spent on the oldest (r01–r03) rows:
-#     relational/set/function/window families. After this round every
-#     registered oracle-checked query's driver row postdates its last
-#     expression change.
+#     q1/q3 anchors, then the four late-r7 operator tiers (inverted
+#     index, Pareto skyline, OHLC bars, image aHash + signature dedup,
+#     scene cuts, PMI, MAD, target encoding, RAKE, eval metrics, Neyman,
+#     VAD, Markov stationary, RFM — all first rows), and the remaining
+#     belt-and-braces slots on the oldest (r01–r03) rows. Every new
+#     operator lands in the window at the expense of re-proving
+#     unchanged r01–r03 code whose old rows remain valid.
 _DRIVER_WINDOW_R07 = [
     "q1_pricing_summary",    # flagship anchor
     "q3_shipping_priority",  # anchor
