@@ -78,7 +78,8 @@ _DRIVER_WINDOW_R07 = [
     "dedup_semantic_clusters", "dedup_substring_exact",
     "stream_cdc_upsert",
     # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
-    "scan_project_filter", "join_right_outer", "join_full_outer",
+    "scan_project_filter", "join_right_outer",
+    "agg_abc_classification", "orders_cohort_revenue",
     "text_keyphrase_rake", "ml_eval_binary_metrics",
     "sample_stratified_neyman", "multimodal_audio_vad_segments",
     "multimodal_video_scene_cuts",
@@ -86,7 +87,7 @@ _DRIVER_WINDOW_R07 = [
     # encoding, perceptual-signature dedup (first rows)
     "text_pmi_bigrams", "events_anomaly_mad", "ml_target_encoding",
     "dedup_image_ahash",
-    "window_rank", "window_lag_lead", "window_ntile",
+    "window_rank", "window_ntile",
     "q4_order_priority",
     "events_markov_stationary", "events_rfm_segments",
     "q21_sole_late_supplier",

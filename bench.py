@@ -112,6 +112,8 @@ HEADLINE = [
     "multimodal_audio_vad_segments",
     "events_markov_stationary",
     "events_rfm_segments",
+    "agg_abc_classification",
+    "orders_cohort_revenue",
 ]
 
 

@@ -1024,3 +1024,158 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification
+# ---------------------------------------------------------------------------
+
+#: Cumulative-revenue-share class cuts (A: ≤80%, B: ≤95%, C: rest),
+#: compared cross-multiplied on exact int64 revenue — no FP share math.
+_ABC_CUTS = (80, 95)
+
+
+@query(
+    "agg_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT))
+               AS r
+      FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+      SELECT l_partkey, r,
+             sum(r) OVER (ORDER BY r DESC, l_partkey) AS c,
+             sum(r) OVER () AS total
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN c * 100 <= total * {_ABC_CUTS[0]} THEN 'A'
+                  WHEN c * 100 <= total * {_ABC_CUTS[1]} THEN 'B'
+                  ELSE 'C' END AS cls,
+             r, total
+      FROM cum
+    )
+    SELECT cls,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(r) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed GROUP BY cls ORDER BY cls
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by discounted
+    revenue, classed A/B/C at the {_ABC_CUTS[0]}%/{_ABC_CUTS[1]}%
+    cumulative-share cuts — the working-capital prioritization every
+    supply-chain review starts from. Revenue rides the 4dp integer grid
+    (product of two scaled ints, exact), the class cut is an int64
+    cross-multiplication (c·100 ≤ total·cut — no FP share on the
+    decision path), and only the reported share is a final rounded
+    division.
+
+    Scale shape: one part-keyed map-side-combined revenue agg, then the
+    cumulative ranking runs as a DISTRIBUTED prefix sum over the
+    parts-revenue relation ordered (revenue desc, partkey) — via
+    prefix.attach_prefix_sums on the negated-revenue key, so the
+    parts table (200k×SF — ~2B at the design point) never single-tasks
+    through a global window; the grand total is a 1-row broadcast. The
+    class aggregate is 3-row bounded."""
+    from .prefix import attach_prefix_sums
+
+    li = spark.table("lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            * F.floor((1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("r")
+    ).withColumn("neg_r", -F.col("r"))
+    cum = attach_prefix_sums(rev, ["neg_r", "l_partkey"], ["r"]).select(
+        "l_partkey", "r", F.col("r_upto").alias("c")
+    )
+    total = rev.agg(F.sum("r").alias("total"))
+    cls = (
+        F.when(F.col("c") * 100 <= F.col("total") * _ABC_CUTS[0], "A")
+        .when(F.col("c") * 100 <= F.col("total") * _ABC_CUTS[1], "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(cls.alias("cls"), "r", "total")
+        .groupBy("cls")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(
+                F.sum("r").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort revenue (LTV input)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), facts AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort,
+                       CAST(date_trunc('month', o.o_orderdate) AS DATE))
+               AS age_months,
+             o.o_custkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort, CAST(age_months AS BIGINT) AS age_months,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS revenue
+    FROM facts GROUP BY cohort, age_months ORDER BY cohort, age_months
+    """,
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-age revenue matrix: customers grouped by first-order month,
+    revenue accumulated per months-since-acquisition — the LTV-curve
+    input every growth model fits. Month arithmetic is calendar-exact on
+    both engines (trunc-to-month then whole-month difference) and
+    revenue rides the 2dp grid.
+
+    Scale shape: one customer-keyed min-aggregate (map-side combined)
+    for the cohort map, joined back on the same key (AQE broadcasts it
+    while it fits, hash-joins at scale — no hint, the
+    no-broadcast-hints-on-unbounded-tables rule), then one
+    (cohort × age)-bounded aggregate. The distinct-customer count
+    shuffles (cohort, age, customer) partials — bounded by active
+    customers, the same cardinality the join already carried."""
+    o = spark.table("orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+        )
+        .cast("long")
+        .alias("age_months"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        facts.groupBy("cohort", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("cohort", "age_months")
+    )
