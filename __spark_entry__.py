@@ -87,8 +87,9 @@ _DRIVER_WINDOW_R07 = [
     # encoding, perceptual-signature dedup (first rows)
     "text_pmi_bigrams", "events_anomaly_mad", "ml_target_encoding",
     "dedup_image_ahash",
-    "window_rank", "window_ntile",
+    "window_ntile",
     "q4_order_priority",
+    "stream_ohlc_daily",
     "events_markov_stationary", "events_rfm_segments",
     "q21_sole_late_supplier",
     # r7 (late): the second operator tier — IR index build, skyline,

@@ -114,6 +114,7 @@ HEADLINE = [
     "events_rfm_segments",
     "agg_abc_classification",
     "orders_cohort_revenue",
+    "stream_ohlc_daily",
 ]
 
 

@@ -561,9 +561,9 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "events_ohlc_daily",
-    oracle=f"""
+#: Shared by the batch op and its streaming twin (stream_ohlc_daily):
+#: an availableNow pass over the same events must produce the same bars.
+SQL_OHLC_DAILY = f"""
     WITH e AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              ts, event_id, value
@@ -584,8 +584,10 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(CASE WHEN rn_d = 1 THEN value END) AS close,
            {sql_dsum_i("value", 2)} AS volume
     FROM r GROUP BY day, event_type ORDER BY day, event_type
-    """,
-)
+    """
+
+
+@query("events_ohlc_daily", oracle=SQL_OHLC_DAILY)
 def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC bars per event type — the resample-to-bars pass every
     metering / market / telemetry pipeline runs before charting or

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .events import SQL_DSUM_VALUE, _BUCKET_10M
+from .events import SQL_DSUM_VALUE, SQL_OHLC_DAILY, _BUCKET_10M
 from .registry import query
 
 
@@ -410,4 +410,24 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.filter(F.col("last_type") != "error")
         .select("user_id", "n_changes", "last_type", "last_value", "last_ts")
         .orderBy("user_id")
+    )
+
+
+@query("stream_ohlc_daily", oracle=SQL_OHLC_DAILY)
+def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_ohlc_daily, sharing its oracle verbatim:
+    daily OHLC bars maintained as a watermarked streaming aggregate —
+    open/close are min_by/max_by on the (ts, event_id) struct, a
+    MERGEABLE formulation whose per-bar state is one (value, key) pair
+    per side, so a live feed updates bars incrementally instead of
+    re-sorting windows. The availableNow pass over the full parquet
+    changelog must reproduce the batch bars bit-exactly (volume on the
+    integer grid) — cross-algorithm evidence: streaming min_by/max_by
+    merge trees vs the batch row_number window vs DuckDB's window SQL,
+    three formulations, one value-hash."""
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    return S.run_available_now(
+        S.daily_ohlc(stream), "q_stream_ohlc", output_mode="complete"
     )

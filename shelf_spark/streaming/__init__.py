@@ -538,3 +538,36 @@ def run_cdc_upsert(
             "last_value double, last_ts timestamp, last_sk string",
         )
     return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+
+
+def daily_ohlc(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Daily OHLC bars as a streaming aggregate (twin of batch
+    ``events_ohlc_daily``): open/close via ``min_by``/``max_by`` on the
+    (ts, event_id) struct key — the same unique chronological tiebreak
+    the batch row_number formulation uses, expressed as a mergeable
+    aggregate so streaming state is ONE (value, key) pair per bar and
+    side, not a buffered window. The watermark bounds bar state to the
+    late-data horizon; volume rides the integer grid (num.dsum_i)."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            dsum_i(F.col("value"), 2).alias("volume"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

@@ -133,6 +133,7 @@ HEADLINE = [
     "events_rfm_segments",
     "agg_abc_classification",
     "orders_cohort_revenue",
+    "stream_ohlc_daily",
 ]
 
 
