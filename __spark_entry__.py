@@ -78,7 +78,7 @@ _DRIVER_WINDOW_R07 = [
     "dedup_semantic_clusters", "dedup_substring_exact",
     "stream_cdc_upsert",
     # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
-    "scan_project_filter", "join_right_outer",
+    "scan_project_filter",
     "agg_abc_classification", "orders_cohort_revenue",
     "text_keyphrase_rake", "ml_eval_binary_metrics",
     "sample_stratified_neyman", "multimodal_audio_vad_segments",
@@ -87,9 +87,8 @@ _DRIVER_WINDOW_R07 = [
     # encoding, perceptual-signature dedup (first rows)
     "text_pmi_bigrams", "events_anomaly_mad", "ml_target_encoding",
     "dedup_image_ahash",
-    "window_ntile",
-    "q4_order_priority",
     "stream_ohlc_daily",
+    "ts_cross_correlation", "ml_eval_multiclass", "vectors_centroid_drift",
     "events_markov_stationary", "events_rfm_segments",
     "q21_sole_late_supplier",
     # r7 (late): the second operator tier — IR index build, skyline,

@@ -850,3 +850,174 @@ def ml_eval_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_sql_prf("tp", "tp + fn")).alias("recall_"),
         F.expr(_sql_prf("2 * tp", "2 * tp + fp + fn")).alias("f1"),
     ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# lagged cross-correlation (lead-indicator screen)
+# ---------------------------------------------------------------------------
+
+_XCORR_LAGS = (0, 1, 2, 3)
+
+#: Pearson r from exact integer moment sums — the agg_corr_regr closed
+#: form, shared verbatim by both engines (x = view count, y = 2dp-grid
+#: purchase revenue).
+_SQL_XCORR = (
+    "round(((n * sxy) - (sx * sy))"
+    " / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 6)"
+)
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) FILTER (WHERE event_type = 'view') AS x,
+             coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        FILTER (WHERE event_type = 'purchase'), 0) AS yi
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT l.lag, a.x, b.yi
+      FROM (SELECT unnest(ARRAY{list(_XCORR_LAGS)}) AS lag) l
+        JOIN daily a ON true
+        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    ), m AS (
+      SELECT lag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yi AS DECIMAL(18,0))) AS DOUBLE) / 1e2 AS sy,
+             CAST(sum(CAST(x * yi AS DECIMAL(18,0))) AS DOUBLE) / 1e2 AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yi * yi AS DECIMAL(18,0))) AS DOUBLE) / 1e4 AS syy
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           {_SQL_XCORR} AS corr
+    FROM m ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily view counts and daily
+    purchase revenue ({len(_XCORR_LAGS)} lags) — the lead-indicator
+    screen (does today's traffic predict revenue k days out?) a metrics
+    team runs before building a forecast. Moments accumulate as exact
+    scaled ints per lag; the Pearson closed form is the shared
+    fixed-shape IEEE expression (agg_corr_regr's discipline) →
+    bit-identical across engines.
+
+    Scale shape: ONE fact-table aggregate compresses events onto the
+    bounded calendar-day domain; the lag self-join and moment sums run
+    entirely on that (days × lags)-sized relation — adding lags or
+    years grows the domain, never re-scans facts."""
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                            "long"
+                        ),
+                    )
+                ),
+                F.lit(0),
+            ).alias("yi"),
+        )
+        .localCheckpoint()  # day-domain relation, consumed by both join sides
+    )
+    lags = spark.range(0, len(_XCORR_LAGS)).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("day_a"), "x")
+    b = daily.select(F.col("day").alias("day_b"), "yi")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.expr("date_add(day_a, lag)"))
+    )
+    d0 = "decimal(18,0)"
+    m = lagged.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(d0)).cast("double").alias("sx"),
+        (F.sum(F.col("yi").cast(d0)).cast("double") / 1.0e2).alias("sy"),
+        (F.sum((F.col("x") * F.col("yi")).cast(d0)).cast("double") / 1.0e2).alias(
+            "sxy"
+        ),
+        F.sum((F.col("x") * F.col("x")).cast(d0)).cast("double").alias("sxx"),
+        (F.sum((F.col("yi") * F.col("yi")).cast(d0)).cast("double") / 1.0e4).alias(
+            "syy"
+        ),
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(_SQL_XCORR).alias("corr"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# multiclass confusion matrix
+# ---------------------------------------------------------------------------
+
+#: The text.py lang-id heuristic, shared verbatim so the eval op scores
+#: exactly the classifier the pipeline ships.
+_SQL_LANG_PRED = """CASE
+  WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) * 10
+       >= len(string_split(text, ' ')) THEN 'en'
+  WHEN length(text) % 5 = 0 THEN 'zh'
+  ELSE 'unk' END"""
+
+
+@query(
+    "ml_eval_multiclass",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang, {_SQL_LANG_PRED} AS pred_lang FROM documents
+    ), cm AS (
+      SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS row_share
+    FROM cm ORDER BY lang, pred_lang
+    """,
+)
+def ml_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion matrix with row-normalized shares (per-class
+    recall sits on the diagonal) for the shipped lang-id heuristic
+    against the labeled truth — the per-class error breakdown a
+    quality gate reads before promoting a classifier (aggregate accuracy
+    hides which class is bleeding). Counts are exact; each share is one
+    rounded division of exact ints.
+
+    Scale shape: one map-side-combined (truth, pred) count over the
+    scan; the normalizing window runs on the K²-bounded confusion
+    relation, never the corpus. The predictor is a shared SQL expression
+    with text_lang_id, so the eval always scores exactly the shipped
+    rule — no train/serve skew between the op and its eval (the Spark
+    side shares text.py's column expression, the oracle the SQL twin)."""
+    from .text import _n_stop, _words
+
+    pred_expr = (
+        F.when(_n_stop(_words()) * 10 >= F.size(_words()), "en")
+        .when(F.length("text") % 5 == 0, "zh")
+        .otherwise("unk")
+    )
+    pred = spark.table("documents").select(
+        "lang", pred_expr.alias("pred_lang")
+    )
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    return cm.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("lang")).cast("double"),
+            6,
+        ).alias("row_share"),
+    ).orderBy("lang", "pred_lang")

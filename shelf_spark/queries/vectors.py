@@ -530,3 +530,106 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding centroid drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vectors_centroid_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, vec_id % 2 AS half, d.dim,
+             CAST(embedding[d.dim + 1] AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(0, len(embedding))) AS dim) d
+    ), cent AS (
+      SELECT label, half, dim,
+             round(CAST(sum(CAST(val AS DECIMAL(30,8))) AS DOUBLE)
+                   / count(*), 6) AS m
+      FROM v GROUP BY label, half, dim
+    ), diffs AS (
+      SELECT c0.label, c0.dim,
+             CAST(round((c0.m - c1.m) * (c0.m - c1.m), 12)
+                  AS DECIMAL(24,12)) AS d2
+      FROM cent c0 JOIN cent c1
+        ON c0.label = c1.label AND c0.dim = c1.dim
+       AND c0.half = 0 AND c1.half = 1
+    ), n AS (
+      SELECT label,
+             count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END) AS n_a,
+             count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT d.label,
+           CAST(n.n_a AS BIGINT) AS n_a,
+           CAST(n.n_b AS BIGINT) AS n_b,
+           round(sqrt(CAST(sum(d.d2) AS DOUBLE)), 6) AS centroid_l2_drift
+    FROM diffs d JOIN n ON d.label = n.label
+    GROUP BY d.label, n.n_a, n.n_b ORDER BY d.label
+    """,
+)
+def vectors_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift screen: per label, the L2 distance between the
+    centroids of two deterministic halves of the corpus (even/odd
+    vec_id — in production: train vs fresh batch) — the cheap
+    distribution-shift alarm an embedding pipeline checks before
+    retraining or re-indexing. Per-dim means decimal-sum then round to
+    6dp (the kmeans recentering discipline); squared diffs round onto
+    the 12dp grid and sum in DECIMAL, so the drift value is bit-exact
+    across engines.
+
+    Scale shape: ONE posexplode → (label, half, dim)-keyed map-side-
+    combined aggregate — shuffle volume is labels × 2 × dims, not
+    vectors; the diff join and label counts run on that bounded centroid
+    relation. Vectors never shuffle whole; at 100 TB the same plan holds
+    with dims as the only state multiplier."""
+    e = spark.table("embeddings")
+    v = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val"),
+    )
+    cent = v.groupBy("label", "half", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(30,8)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("m")
+    )
+    c0 = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("m0")
+    )
+    c1 = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("m1")
+    )
+    diffs = c0.join(c1, ["label", "dim"]).select(
+        "label",
+        F.round((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")), 12)
+        .cast("decimal(24,12)")
+        .alias("d2"),
+    )
+    n = e.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        ).alias("n_b"),
+    )
+    return (
+        diffs.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias(
+            "centroid_l2_drift"
+        ))
+        .join(F.broadcast(n), "label")
+        .select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "centroid_l2_drift",
+        )
+        .orderBy("label")
+    )

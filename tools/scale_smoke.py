@@ -134,6 +134,9 @@ HEADLINE = [
     "agg_abc_classification",
     "orders_cohort_revenue",
     "stream_ohlc_daily",
+    "ts_cross_correlation",
+    "ml_eval_multiclass",
+    "vectors_centroid_drift",
 ]
 
 
