@@ -78,7 +78,6 @@ _DRIVER_WINDOW_R07 = [
     "dedup_semantic_clusters", "dedup_substring_exact",
     "stream_cdc_upsert",
     # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
-    "scan_project_filter",
     "agg_abc_classification", "orders_cohort_revenue",
     "text_keyphrase_rake", "ml_eval_binary_metrics",
     "sample_stratified_neyman", "multimodal_audio_vad_segments",
@@ -89,6 +88,7 @@ _DRIVER_WINDOW_R07 = [
     "dedup_image_ahash",
     "stream_ohlc_daily",
     "ts_cross_correlation", "ml_eval_multiclass", "vectors_centroid_drift",
+    "clean_impute_group_median",
     "events_markov_stationary", "events_rfm_segments",
     "q21_sole_late_supplier",
     # r7 (late): the second operator tier — IR index build, skyline,

@@ -118,6 +118,7 @@ HEADLINE = [
     "ts_cross_correlation",
     "ml_eval_multiclass",
     "vectors_centroid_drift",
+    "clean_impute_group_median",
 ]
 
 

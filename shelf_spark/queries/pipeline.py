@@ -765,3 +765,99 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(_RAKE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# group-median imputation
+# ---------------------------------------------------------------------------
+
+#: Deterministic "missingness" mask for the synthetic data (the testdata
+#: has no real nulls): every 97th event's value is treated as missing.
+_IMPUTE_MASK_MOD = 97
+
+
+@query(
+    "clean_impute_group_median",
+    oracle=f"""
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % {_IMPUTE_MASK_MOD} = 0 THEN NULL
+                  ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS vi
+      FROM events
+    ), dom AS (
+      SELECT event_type, vi, count(*) AS cnt FROM masked
+      WHERE vi IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, vi,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY vi) AS c
+      FROM dom
+    ), n AS (
+      SELECT event_type, count(*) AS n FROM masked
+      WHERE vi IS NOT NULL GROUP BY 1
+    ), med AS (
+      SELECT event_type, min(vi) AS med_i
+      FROM cum JOIN n USING (event_type)
+      WHERE c >= (n + 1) // 2 GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE vi IS NULL) AS BIGINT) AS n_imputed,
+           CAST(max(med_i) AS DOUBLE) / 100.0 AS imputed_value,
+           CAST(CAST(sum(coalesce(vi, med_i)) AS DOUBLE) / 100.0 AS DOUBLE)
+             AS sum_after_impute
+    FROM masked JOIN med USING (event_type)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def clean_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation: missing values (deterministic mask — the
+    synthetic data has no real nulls) fill with their group's EXACT
+    discrete median — the robust imputation a feature pipeline prefers
+    over group means when the column is heavy-tailed. Medians come from
+    the compressed (type, value-grid) domain (the events_anomaly_mad
+    machinery); the post-impute checksum rides the integer grid, so the
+    whole repair is bit-exact across engines.
+
+    Scale shape: one map-side-combined domain agg + partitioned running
+    counts for the medians (never a sort of the facts), then the
+    medians broadcast back for a map-only coalesce; the audit aggregate
+    is type-catalog-bounded."""
+    masked = spark.table("events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % _IMPUTE_MASK_MOD == 0, F.lit(None)
+        )
+        .otherwise(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("vi"),
+    )
+    present = masked.filter(F.col("vi").isNotNull())
+    dom = present.groupBy("event_type", "vi").agg(F.count("*").alias("cnt"))
+    wt = (
+        W.partitionBy("event_type")
+        .orderBy("vi")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = dom.withColumn("c", F.sum("cnt").over(wt))
+    n = present.groupBy("event_type").agg(F.count("*").alias("n"))
+    med = (
+        cum.join(F.broadcast(n), "event_type")
+        .filter(F.col("c") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("vi").alias("med_i"))
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count(F.when(F.col("vi").isNull(), 1))
+            .cast("long")
+            .alias("n_imputed"),
+            (F.max("med_i").cast("double") / 100.0).alias("imputed_value"),
+            (
+                F.sum(F.coalesce("vi", "med_i")).cast("double") / 100.0
+            ).alias("sum_after_impute"),
+        )
+        .orderBy("event_type")
+    )
