@@ -69,7 +69,6 @@ _DRIVER_WINDOW_R07 = [
     "ann_lsh_topk",              # value-exact banded SimHash-LSH ANN
     "sample_epoch_shuffle",      # deterministic epoch-shuffle manifest
     "join_scd2_pointintime",     # facts vs SCD2 validity intervals
-    "scd2_merge_customers",      # re-proved post-refactor (same output)
     "stream_asof_enrich",        # per-micro-batch as-of vs static orders
     # r7: distributed prefix-sum replans (single-task domain windows gone)
     "join_interval_overlap", "ml_quantile_bins",
@@ -90,7 +89,7 @@ _DRIVER_WINDOW_R07 = [
     "ts_cross_correlation", "ml_eval_multiclass", "vectors_centroid_drift",
     "clean_impute_group_median",
     "events_markov_stationary", "events_rfm_segments",
-    "q21_sole_late_supplier",
+    "events_survival_km", "ab_test_proportions",
     # r7 (late): the second operator tier — IR index build, skyline,
     # bar resampling, perceptual image hashing
     "text_inverted_index", "ml_pareto_frontier", "events_ohlc_daily",

@@ -1021,3 +1021,195 @@ def ml_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("row_share"),
     ).orderBy("lang", "pred_lang")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve
+# ---------------------------------------------------------------------------
+
+#: Each survival factor ln(1 − d/n) rounds onto the 12dp grid BEFORE the
+#: cumulative DECIMAL sum; the final exp is one IEEE op — the house
+#: discipline applied to a running PRODUCT (Π a_i = exp Σ ln a_i).
+_SQL_KM_LOGTERM = (
+    "CAST(round(ln(1.0 - (CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))), 12)"
+    " AS DECIMAL(24,12))"
+)
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+    WITH lastday AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(max(ts) AS DATE)) AS last_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), total AS (SELECT count(*) AS n_users FROM lastday),
+    deaths AS (
+      SELECT last_day AS day, count(*) AS d FROM lastday GROUP BY 1
+    ), risk AS (
+      SELECT day, d,
+             CAST((SELECT n_users FROM total) AS BIGINT)
+               - coalesce(sum(d) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM deaths
+    ), curve AS (
+      SELECT day, d, n_risk,
+             sum({_SQL_KM_LOGTERM}) OVER (ORDER BY day) AS logsum
+      FROM risk WHERE d < n_risk
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           round(exp(CAST(logsum AS DOUBLE)), 6) AS survival
+    FROM curve ORDER BY day
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve: users "churn" on their last
+    PURCHASE day (the sparse conversion event — all-event last-day
+    degenerates to the horizon edge); S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) over the day timeline — the
+    survival estimate a retention team reads instead of naive
+    day-N percentages (it handles the shrinking at-risk pool
+    correctly). The running product is computed as exp of a running sum
+    of 12dp-rounded logs accumulated in DECIMAL — deterministic across
+    engines where a naive float product would drift with order. Days
+    where everyone remaining churns (d == n_risk) terminate the curve
+    (S hits 0) and are excluded, matching both engines.
+
+    Scale shape: one user-keyed max-aggregate, then everything runs on
+    the CALENDAR-DAY domain (bounded): the at-risk counts come from a
+    cumulative sum over per-day churn counts — a day-domain window with
+    the constant-partition idiom, never a users-sized sort. At a
+    multi-year horizon the day domain stays thousands of rows."""
+    lastday = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("last_day")
+        )
+    )
+    deaths = lastday.groupBy(F.col("last_day").alias("day")).agg(
+        F.count("*").alias("d")
+    )
+    total = lastday.agg(F.count("*").alias("n_users"))
+    # Bounded calendar-day domain: constant-key window (prefix.py idiom).
+    const = F.pmod(F.col("day"), F.lit(1))
+    w_prev = (
+        W.partitionBy(const).orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    )
+    risk = deaths.crossJoin(F.broadcast(total)).select(
+        "day",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = (
+        W.partitionBy(const).orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    curve = risk.filter(F.col("d") < F.col("n_risk")).withColumn(
+        "logsum", F.sum(F.expr(_SQL_KM_LOGTERM)).over(w_cum)
+    )
+    return curve.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.round(F.exp(F.col("logsum").cast("double")), 6).alias("survival"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+#: Fixed-shape two-proportion z statistic on exact integer counts —
+#: pooled-variance form, one op sequence shared by both engines.
+_SQL_AB_Z = (
+    "round(((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+    " / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 - (CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))"
+    " * ((1.0 / CAST(n1 AS DOUBLE)) + (1.0 / CAST(n2 AS DOUBLE)))), 6)"
+)
+
+
+@query(
+    "ab_test_proportions",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT count(*) FILTER (WHERE arm = 0) AS n1,
+             sum(converted) FILTER (WHERE arm = 0) AS c1,
+             count(*) FILTER (WHERE arm = 1) AS n2,
+             sum(converted) FILTER (WHERE arm = 1) AS c2
+      FROM assign
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_control,
+           CAST(c1 AS BIGINT) AS conv_control,
+           CAST(n2 AS BIGINT) AS n_treatment,
+           CAST(c2 AS BIGINT) AS conv_treatment,
+           round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_control,
+           round(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_treatment,
+           {_SQL_AB_Z} AS z_stat
+    FROM arms
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout for a hash-assigned A/B experiment
+    (user_id parity as the deterministic assignment; conversion = any
+    high-value purchase, ≥150 — the all-purchases definition saturates
+    at p=1 on this corpus and the pooled z degenerates): per-arm sizes, conversion rates, and the pooled-variance
+    z statistic — the experiment-dashboard primitive. Counts are exact
+    ints; the rates and z are one fixed-shape IEEE expression shared
+    verbatim with the oracle → bit-identical. (The p-value lookup is a
+    driver-side scalar on z; erf isn't in either SQL dialect and never
+    touches data.)
+
+    Scale shape: one user-keyed max-aggregate (map-side combined)
+    collapses events to per-user conversion flags, then a single 1-row
+    conditional-count aggregate — two exchanges total, output one row,
+    regardless of scale. Adding arms widens the conditional counts, not
+    the shuffles."""
+    assign = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "converted")
+    )
+    arms = assign.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))).alias("c1"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))).alias("c2"),
+    )
+    return arms.select(
+        F.col("n1").cast("long").alias("n_control"),
+        F.col("c1").cast("long").alias("conv_control"),
+        F.col("n2").cast("long").alias("n_treatment"),
+        F.col("c2").cast("long").alias("conv_treatment"),
+        F.round(F.col("c1").cast("double") / F.col("n1").cast("double"), 6).alias(
+            "rate_control"
+        ),
+        F.round(F.col("c2").cast("double") / F.col("n2").cast("double"), 6).alias(
+            "rate_treatment"
+        ),
+        F.expr(_SQL_AB_Z).alias("z_stat"),
+    )

@@ -138,6 +138,8 @@ HEADLINE = [
     "ml_eval_multiclass",
     "vectors_centroid_drift",
     "clean_impute_group_median",
+    "events_survival_km",
+    "ab_test_proportions",
 ]
 
 
