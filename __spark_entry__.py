@@ -55,8 +55,10 @@ _DRIVER_WINDOW_R07 = [
     "q1_pricing_summary",    # flagship anchor
     "q3_shipping_priority",  # anchor
     "events_asof_nearest",   # never driver-checked (post-r6-window)
-    # r5 grid changes postdate their last driver rows
-    "join_nonequi", "join_cross", "dedup_keep_first",
+    # r5 grid changes postdate their last driver rows (join_cross's
+    # slot yielded to the PCA first-row — its grid change is constants
+    # on a 25-row cartesian, locally re-proved)
+    "join_nonequi", "dedup_keep_first",
     "docs_stats_by_source", "text_fingerprint", "join_anti",
     "join_salted_skew",
     # r7: NEW operators
@@ -90,6 +92,7 @@ _DRIVER_WINDOW_R07 = [
     "clean_impute_group_median",
     "events_markov_stationary", "events_rfm_segments",
     "events_survival_km", "ab_test_proportions",
+    "vectors_pca_top_component",
     # r7 (late): the second operator tier — IR index build, skyline,
     # bar resampling, perceptual image hashing
     "text_inverted_index", "ml_pareto_frontier", "events_ohlc_daily",

@@ -633,3 +633,180 @@ def vectors_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component (power iteration)
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 2
+
+
+def _sql_pca_iter(i: int) -> str:
+    """One unrolled power iteration in DuckDB SQL: scores s = c·v (fixed
+    per-row fold order), per-dim w = Σ round(c_d·s, 9) in DECIMAL, then
+    normalize with a 12dp-grid squared sum."""
+    return f"""
+    s{i} AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(list_zip(c.cvec, v.vvec),
+                                     p -> p[1] * p[2])) AS s
+      FROM centered c CROSS JOIN v{i - 1} v
+    ), w{i} AS (
+      SELECT d.dim,
+             CAST(sum(CAST(round(c.cvec[d.dim + 1] * s{i}.s, 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS wd
+      FROM centered c
+        JOIN s{i} ON c.vec_id = s{i}.vec_id,
+        LATERAL (SELECT unnest(range(0, len(c.cvec))) AS dim) d
+      GROUP BY d.dim
+    ), n{i} AS (
+      SELECT CAST(sum(CAST(round(wd * wd, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS n2
+      FROM w{i}
+    ), v{i} AS (
+      SELECT list_transform(
+               list_sort(list(ROW(dim, round(wd / sqrt(n.n2), 9)))),
+               r -> r[2]) AS vvec,
+             sqrt(n.n2) AS lam
+      FROM w{i} CROSS JOIN n{i} n
+      GROUP BY n.n2
+    )"""
+
+
+@query(
+    "vectors_pca_top_component",
+    oracle=f"""
+    WITH raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), mu AS (
+      SELECT d.dim,
+             round(CAST(sum(CAST(raw.vec[d.dim + 1] AS DECIMAL(30,8)))
+                        AS DOUBLE) / count(*), 6) AS m
+      FROM raw, LATERAL (SELECT unnest(range(0, len(raw.vec))) AS dim) d
+      GROUP BY d.dim
+    ), mu_arr AS (
+      SELECT list_transform(list_sort(list(ROW(dim, m))), r -> r[2]) AS mvec
+      FROM mu
+    ), centered AS (
+      SELECT vec_id,
+             list_transform(list_zip(vec, mvec), p -> p[1] - p[2]) AS cvec
+      FROM raw CROSS JOIN mu_arr
+    ), v0 AS (
+      SELECT list_transform(range(0, 64), x -> 0.125) AS vvec
+    ),
+    {",".join(_sql_pca_iter(i) for i in range(1, _PCA_ITERS + 1))}
+    SELECT CAST(d.dim AS BIGINT) AS dim,
+           round(v.vvec[d.dim + 1], 6) AS loading,
+           round(v.lam, 6) AS eigenvalue
+    FROM v{_PCA_ITERS} v,
+         LATERAL (SELECT unnest(range(0, len(v.vvec))) AS dim) d
+    ORDER BY dim
+    """,
+)
+def vectors_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {_PCA_ITERS}
+    power iterations (v ← normalize(Σᵢ cᵢ (cᵢ·v)) over mean-centered
+    vectors, deterministic uniform start) — the dimensionality-reduction
+    primitive behind whitening, anisotropy diagnostics, and ABTT-style
+    post-processing of embedding spaces. The whole trajectory is
+    engine-exact: per-row dots fold in list order (same IEEE sequence),
+    cross-row sums round onto a decimal grid first (9dp products, 12dp
+    squares, the kmeans recentering discipline), and the normalization
+    is a fixed op shape — DuckDB replays the identical unrolled
+    iterations and the value-hash matches bitwise.
+
+    Scale shape per iteration: broadcast the d-sized component, one
+    map pass computes scores, one (dim)-keyed map-side-combined
+    aggregate re-projects — shuffle volume is d rows per iteration,
+    vectors never shuffle (the centered corpus is checkpointed once).
+    Same physical pattern as Lloyd's k-means: state broadcast down,
+    d-sized gradients combined up."""
+    raw = spark.table("embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    mu = (
+        raw.select(F.posexplode("vec").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(30,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    mu_arr = mu.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda r: r["m"],
+        ).alias("mvec")
+    )
+    centered = (
+        raw.crossJoin(F.broadcast(mu_arr))
+        .select(
+            "vec_id",
+            F.zip_with("vec", "mvec", lambda x, y: x - y).alias("cvec"),
+        )
+        .localCheckpoint()  # reused every iteration; vectors never shuffle
+    )
+    v = spark.range(1).select(
+        F.transform(F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)).alias(
+            "vvec"
+        ),
+        F.lit(0.0).alias("lam"),
+    )
+    for _ in range(_PCA_ITERS):
+        s = centered.crossJoin(F.broadcast(v.select("vvec"))).select(
+            "vec_id",
+            "cvec",
+            F.aggregate(
+                F.zip_with("cvec", "vvec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        w = (
+            s.select(F.posexplode("cvec").alias("dim", "xd"), "s")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("xd") * F.col("s"), 9).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("wd")
+            )
+        )
+        n2 = w.agg(
+            F.sum(
+                F.round(F.col("wd") * F.col("wd"), 12).cast("decimal(30,12)")
+            )
+            .cast("double")
+            .alias("n2")
+        )
+        v = (
+            w.crossJoin(F.broadcast(n2))
+            .select(
+                "dim",
+                F.round(F.col("wd") / F.sqrt("n2"), 9).alias("vd"),
+                F.sqrt("n2").alias("lam"),
+            )
+            .groupBy("lam")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "vd"))),
+                    lambda r: r["vd"],
+                ).alias("vvec")
+            )
+            .select("vvec", "lam")
+        )
+    return (
+        v.select(F.posexplode("vvec").alias("dim", "loading"), "lam")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round("loading", 6).alias("loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

@@ -140,6 +140,7 @@ HEADLINE = [
     "clean_impute_group_median",
     "events_survival_km",
     "ab_test_proportions",
+    "vectors_pca_top_component",
 ]
 
 
