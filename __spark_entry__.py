@@ -50,7 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     VAD, Markov stationary, RFM — all first rows), and the remaining
 #     belt-and-braces slots on the oldest (r01–r03) rows. Every new
 #     operator lands in the window at the expense of re-proving
-#     unchanged r01–r03 code whose old rows remain valid.
+#     unchanged r01–r03 code whose old rows remain valid. One exception:
+#     vectors_abtt_postprocess (the last op of the round) found the
+#     window full — it is local-gate-proved and queues for the r8
+#     window's first slot.
 _DRIVER_WINDOW_R07 = [
     "q1_pricing_summary",    # flagship anchor
     "q3_shipping_priority",  # anchor

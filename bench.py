@@ -122,6 +122,7 @@ HEADLINE = [
     "events_survival_km",
     "ab_test_proportions",
     "vectors_pca_top_component",
+    "vectors_abtt_postprocess",
 ]
 
 

@@ -810,3 +810,198 @@ def vectors_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# all-but-the-top embedding post-processing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vectors_abtt_postprocess",
+    oracle=f"""
+    WITH raw AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), mu AS (
+      SELECT d.dim,
+             round(CAST(sum(CAST(raw.vec[d.dim + 1] AS DECIMAL(30,8)))
+                        AS DOUBLE) / count(*), 6) AS m
+      FROM raw, LATERAL (SELECT unnest(range(0, len(raw.vec))) AS dim) d
+      GROUP BY d.dim
+    ), mu_arr AS (
+      SELECT list_transform(list_sort(list(ROW(dim, m))), r -> r[2]) AS mvec
+      FROM mu
+    ), centered AS (
+      SELECT vec_id, label,
+             list_transform(list_zip(vec, mvec), p -> p[1] - p[2]) AS cvec
+      FROM raw CROSS JOIN mu_arr
+    ), v0 AS (
+      SELECT list_transform(range(0, 64), x -> 0.125) AS vvec
+    ),
+    {",".join(_sql_pca_iter(i) for i in range(1, _PCA_ITERS + 1))},
+    proj AS (
+      SELECT c.vec_id, c.label,
+             round(sqrt(list_sum(list_transform(c.cvec, x -> x * x))), 9)
+               AS norm_before,
+             round(sqrt(list_sum(list_transform(
+               list_zip(c.cvec, v.vvec),
+               p -> (p[1] - (list_sum(list_transform(list_zip(c.cvec, v.vvec),
+                                                     q -> q[1] * q[2]))
+                             * p[2]))
+                    * (p[1] - (list_sum(list_transform(
+                         list_zip(c.cvec, v.vvec), q -> q[1] * q[2]))
+                               * p[2]))))), 9) AS norm_after
+      FROM centered c CROSS JOIN v{_PCA_ITERS} v
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(norm_before AS DECIMAL(28,9))) AS DOUBLE)
+                 / count(*), 6) AS mean_norm_before,
+           round(CAST(sum(CAST(norm_after AS DECIMAL(28,9))) AS DOUBLE)
+                 / count(*), 6) AS mean_norm_after
+    FROM proj GROUP BY label ORDER BY label
+    """,
+)
+def vectors_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath,
+    ICLR'18): mean-center, estimate the dominant component by power
+    iteration, project it OUT of every vector (x′ = c − (c·v)v), and
+    report per-label mean norms before/after — the anisotropy repair
+    that makes cosine similarities discriminative again in embedding
+    spaces with a dominant common direction. Per-row folds run in list
+    order, per-row norms round to 9dp before the DECIMAL per-label mean
+    — the whole pipeline (centering, 2-iteration component, projection,
+    stats) value-hashes bitwise against the unrolled SQL replay.
+
+    Scale shape: the PCA iterations are d-row shuffles (above); the
+    projection is one map pass with the component broadcast — vectors
+    never shuffle, and the label stats are a catalog-sized aggregate.
+    At 100 TB this is the same two-broadcast-passes cost as int8
+    quantization."""
+    raw = spark.table("embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    mu = (
+        raw.select(F.posexplode("vec").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(30,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    mu_arr = mu.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda r: r["m"],
+        ).alias("mvec")
+    )
+    centered = (
+        raw.crossJoin(F.broadcast(mu_arr))
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with("vec", "mvec", lambda x, y: x - y).alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    v = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)
+        ).alias("vvec")
+    )
+    for _ in range(_PCA_ITERS):
+        s = centered.crossJoin(F.broadcast(v.select("vvec"))).select(
+            "cvec",
+            F.aggregate(
+                F.zip_with("cvec", "vvec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        w = (
+            s.select(F.posexplode("cvec").alias("dim", "xd"), "s")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("xd") * F.col("s"), 9).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("wd")
+            )
+        )
+        n2 = w.agg(
+            F.sum(
+                F.round(F.col("wd") * F.col("wd"), 12).cast("decimal(30,12)")
+            )
+            .cast("double")
+            .alias("n2")
+        )
+        v = (
+            w.crossJoin(F.broadcast(n2))
+            .select("dim", F.round(F.col("wd") / F.sqrt("n2"), 9).alias("vd"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "vd"))),
+                    lambda r: r["vd"],
+                ).alias("vvec")
+            )
+        )
+    score = F.aggregate(
+        F.zip_with("cvec", "vvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    proj = centered.crossJoin(F.broadcast(v)).select(
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("cvec", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            9,
+        ).alias("norm_before"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "cvec",
+                        "vvec",
+                        lambda x, y: (x - score * y) * (x - score * y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            9,
+        ).alias("norm_after"),
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("norm_before").cast("decimal(28,9)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_norm_before"),
+            F.round(
+                F.sum(F.col("norm_after").cast("decimal(28,9)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_norm_after"),
+        )
+        .orderBy("label")
+    )
