@@ -123,6 +123,8 @@ HEADLINE = [
     "ab_test_proportions",
     "vectors_pca_top_component",
     "vectors_abtt_postprocess",
+    "dedup_cross_source_matrix",
+    "graph_assortativity",
 ]
 
 

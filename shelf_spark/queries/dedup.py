@@ -450,3 +450,90 @@ def substring_dup_stats(d: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+_XSRC_K = 8  # shingle width (tokens)
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT source, string_split(text, ' ') AS arr FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             sha256(array_to_string(arr[i : i + {_XSRC_K} - 1], ' ')) AS dg
+      FROM arrs,
+           LATERAL (SELECT unnest(range(1, len(arr) - {_XSRC_K} + 2)) AS i) s
+      WHERE len(arr) >= {_XSRC_K}
+    ), g AS (
+      SELECT dg, list(source ORDER BY source) AS srcs
+      FROM sh GROUP BY dg
+    ), pairs AS (
+      SELECT a.a_src, b.b_src
+      FROM g,
+           LATERAL (SELECT unnest(srcs) AS a_src) a,
+           LATERAL (SELECT unnest(srcs) AS b_src) b
+      WHERE a.a_src < b.b_src
+    )
+    SELECT a_src AS source_a, b_src AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 5
+    ORDER BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct {_XSRC_K}-token shingles present in BOTH — the
+    overlap/leakage audit a corpus curator runs before mixing sources
+    (and the source-level view of benchmark decontamination). Shingles
+    are content digests, so the measure is order- and dedup-robust.
+
+    Scale shape: shingling is map-side (same narrow pass as chunking);
+    the distinct (source, digest) relation shuffles 32-byte digests
+    once; pair generation groups per digest and explodes the ≤|sources|
+    set — per-digest work is bounded by the SOURCE CATALOG squared,
+    never by document count, so a stop-shingle shared by millions of
+    docs still emits at most source² pairs (contrast a digest self-join,
+    which would square in the hot digest's row count). Output is
+    source²-bounded."""
+    arrs = spark.table("documents").select(
+        "source", F.split("text", " ").alias("arr")
+    )
+    sh = (
+        arrs.filter(F.size("arr") >= _XSRC_K)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("arr") - _XSRC_K),
+                    lambda i: F.sha2(
+                        F.concat_ws(
+                            " ", F.slice(F.col("arr"), i + 1, _XSRC_K)
+                        ),
+                        256,
+                    ),
+                )
+            ).alias("dg"),
+        )
+        .distinct()
+    )
+    g = sh.groupBy("dg").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = (
+        g.select(F.explode("srcs").alias("source_a"), "srcs")
+        .select("source_a", F.explode("srcs").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= 5)
+        .orderBy("source_a", "source_b")
+    )

@@ -394,3 +394,97 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+
+#: Pearson r over the directed edge list of (deg(src), deg(dst)) — the
+#: standard Newman degree-assortativity estimator, as one fixed-shape
+#: IEEE expression on exact integer moment sums.
+_SQL_ASSORT = (
+    "round(((n * sxy) - (sx * sy))"
+    " / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 6)"
+)
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH baskets AS ({{baskets}}),
+    pairs AS ({{pairs}}),
+    und AS (SELECT DISTINCT p1, p2 FROM pairs),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT p1 AS node FROM und UNION ALL SELECT p2 AS node FROM und
+      ) GROUP BY node
+    ), edges AS (
+      SELECT p1 AS u, p2 AS v FROM und
+      UNION ALL SELECT p2, p1 FROM und
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(du.d AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(dv.d AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(du.d * dv.d AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(du.d * du.d AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(dv.d * dv.d AS DECIMAL(18,0))) AS DOUBLE) AS syy
+      FROM edges
+        JOIN deg du ON edges.u = du.node
+        JOIN deg dv ON edges.v = dv.node
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           {_SQL_ASSORT} AS assortativity
+    FROM m
+    """.format(baskets=_SQL_BASKETS, pairs=_SQL_PAIRS),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over the directed edge list
+    — positive means hubs link hubs (social-network shape), negative
+    means hubs link leaves (dependency/star shape); the one-number
+    topology screen run before choosing partition/skew strategies for
+    heavier graph jobs. Moments accumulate as exact integer DECIMAL
+    sums; the closed form is the shared fixed-shape IEEE expression
+    (agg_corr_regr's discipline) → bit-identical across engines.
+
+    Scale shape: the edge list never re-shuffles for the statistic —
+    degrees attach via two node-keyed joins (broadcast while the degree
+    relation fits, hash at scale), then ONE map-side-combined moment
+    aggregate produces six numbers. No windows, no sorts; the same
+    single-pass shape at any edge count."""
+    und = _basket_pairs(spark).select("p1", "p2").distinct().localCheckpoint()
+    deg = (
+        und.select(F.col("p1").alias("node"))
+        .unionAll(und.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    edges = und.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(und.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    d0 = "decimal(18,0)"
+    m = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col("du").cast(d0)).cast("double").alias("sx"),
+            F.sum(F.col("dv").cast(d0)).cast("double").alias("sy"),
+            F.sum((F.col("du") * F.col("dv")).cast(d0))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("du") * F.col("du")).cast(d0))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("dv") * F.col("dv")).cast(d0))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.expr(_SQL_ASSORT).alias("assortativity"),
+    )
