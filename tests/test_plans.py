@@ -465,3 +465,34 @@ def test_eval_metrics_single_pass_no_fact_shuffle(spark):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert scans_of(df)[0].read_schema and "text" not in scans_of(df)[0].read_schema
+
+
+def test_cross_source_matrix_has_no_digest_self_join(spark):
+    """Pair generation must be the per-digest source-set explode
+    (source²-bounded), never a digest self-join (which squares in a hot
+    shingle's row count) — the plan contains NO join at all."""
+    df = QUERIES["dedup_cross_source_matrix"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pca_iterations_ride_checkpointed_corpus(spark):
+    """The centered corpus must be checkpointed once: every iteration's
+    plan reads the RDD scan, so lineage doesn't grow a corpus-rebuild
+    per step, and the component attaches by broadcast."""
+    df = QUERIES["vectors_pca_top_component"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # d-sized component broadcast
+    assert unpartitioned_window_count(df) == 0, plan
+
+
+def test_assortativity_single_moment_pass(spark):
+    """Degrees attach by join and the six moments come from ONE
+    aggregate — no windows, no sorts of the edge list."""
+    df = QUERIES["graph_assortativity"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("Window") == 0, plan
+    assert "HashAggregate" in plan
