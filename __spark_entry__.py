@@ -51,8 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     belt-and-braces slots on the oldest (r01–r03) rows. Every new
 #     operator lands in the window at the expense of re-proving
 #     unchanged r01–r03 code whose old rows remain valid. One exception:
-#     vectors_abtt_postprocess, dedup_cross_source_matrix, and
-#     graph_assortativity (the last ops of the round) found the window
+#     vectors_abtt_postprocess, dedup_cross_source_matrix,
+#     graph_assortativity, mix_source_entropy, privacy_k_anonymity, and
+#     ts_theil_sen_trend (the last ops of the round) found the window
 #     full — they are local-gate-proved and queue for the r8 window's
 #     first slots.
 _DRIVER_WINDOW_R07 = [

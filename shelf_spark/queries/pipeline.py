@@ -861,3 +861,64 @@ def clean_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(value / 50) AS BIGINT) AS value_band,
+             count(*) AS grp
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(grp) AS BIGINT) AS min_class_size,
+           CAST(count(*) FILTER (WHERE grp < {_K_ANON}) AS BIGINT)
+             AS n_violating_classes,
+           CAST(sum(grp) FILTER (WHERE grp < {_K_ANON}) AS BIGINT)
+             AS n_rows_at_risk,
+           round(CAST(count(*) FILTER (WHERE grp >= {_K_ANON}) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS share_k_anonymous
+    FROM qi
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a quasi-identifier projection (event type ×
+    day × banded value, k={_K_ANON}): equivalence-class sizes, the
+    classes below k, and the row count they expose — the release-gate
+    check a privacy review runs before publishing an aggregate extract
+    (classes smaller than k re-identify; the value band is the
+    generalization knob). Counts are exact ints; the one share is a
+    single rounded division.
+
+    Scale shape: ONE map-side-combined aggregate builds the
+    equivalence-class histogram (shuffle volume = distinct QI tuples,
+    bounded by type × calendar × band grid, ≪ rows), then a 1-row
+    summary over it. Tightening or widening the QI changes the grouping
+    expression, never the plan shape."""
+    qi = spark.table("events").groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+    ).agg(F.count("*").alias("grp"))
+    viol = F.col("grp") < _K_ANON
+    return qi.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("grp").cast("long").alias("min_class_size"),
+        F.count(F.when(viol, 1)).cast("long").alias("n_violating_classes"),
+        F.sum(F.when(viol, F.col("grp"))).cast("long").alias("n_rows_at_risk"),
+        F.round(
+            F.count(F.when(~viol, 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("share_k_anonymous"),
+    )

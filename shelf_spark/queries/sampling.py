@@ -578,3 +578,74 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# source-mix entropy
+# ---------------------------------------------------------------------------
+
+#: Per-source entropy term −p·ln p on the exact token-count ratio,
+#: rounded onto the 12dp grid BEFORE the cross-source DECIMAL sum.
+_SQL_ENTROPY_TERM = (
+    "CAST(round(-(CAST(tok AS DOUBLE) / CAST(total AS DOUBLE))"
+    " * ln(CAST(tok AS DOUBLE) / CAST(total AS DOUBLE)), 12)"
+    " AS DECIMAL(24,12))"
+)
+
+
+@query(
+    "mix_source_entropy",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             sum(len(string_split(text, ' '))) AS tok
+      FROM documents GROUP BY source
+    ), tot AS (SELECT sum(tok) AS total, count(*) AS k FROM per_src),
+    terms AS (
+      SELECT {_SQL_ENTROPY_TERM} AS term
+      FROM per_src CROSS JOIN tot
+    )
+    SELECT CAST(t.k AS BIGINT) AS n_sources,
+           CAST(t.total AS BIGINT) AS total_tokens,
+           round(CAST(sum(term) AS DOUBLE), 6) AS entropy,
+           round(CAST(sum(term) AS DOUBLE) / ln(CAST(t.k AS DOUBLE)), 6)
+             AS normalized_entropy
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.k, t.total
+    """,
+)
+def mix_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-share Shannon entropy across corpus sources (plus the
+    ln(k)-normalized form) — the one-number diversity gauge a data-mixing
+    pipeline tracks so a crawl refresh can't silently collapse the blend
+    onto one source (normalized entropy → 1 means uniform, → 0 means
+    monoculture). Token counts are exact ints; each −p·ln p term rounds
+    onto the 12dp grid before the DECIMAL cross-source sum → bit-exact.
+
+    Scale shape: token counting is map-side arithmetic on the scan
+    (no explode — array length only), one source-catalog-sized
+    aggregate, one 1-row broadcast total; output is a single row at any
+    corpus size."""
+    per_src = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("tok"))
+    )
+    tot = per_src.agg(
+        F.sum("tok").alias("total"), F.count("*").alias("k")
+    )
+    terms = per_src.crossJoin(F.broadcast(tot)).select(
+        F.expr(_SQL_ENTROPY_TERM).alias("term"), "total", "k"
+    )
+    return terms.groupBy("k", "total").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+        F.round(
+            F.sum("term").cast("double") / F.log(F.col("k").cast("double")),
+            6,
+        ).alias("normalized_entropy"),
+    ).select(
+        F.col("k").cast("long").alias("n_sources"),
+        F.col("total").cast("long").alias("total_tokens"),
+        "entropy",
+        "normalized_entropy",
+    )

@@ -1213,3 +1213,103 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(_SQL_AB_Z).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+#: Pairwise slope on exact ints: one subtraction pair + two divisions in
+#: fixed order, rounded onto the 9dp grid (the slope DOMAIN key).
+_SQL_TS_SLOPE = (
+    "round((CAST(yj - yi AS DOUBLE) / 100.0)"
+    " / CAST(dj - di AS DOUBLE), 9)"
+)
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS yi
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pairs AS (
+      SELECT a.d AS di, a.yi AS yi, b.d AS dj, b.yi AS yj
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), slopes AS (
+      SELECT {_SQL_TS_SLOPE} AS s FROM pairs
+    ), dom AS (
+      SELECT s, count(*) AS cnt FROM slopes GROUP BY s
+    ), cum AS (
+      SELECT s, sum(cnt) OVER (ORDER BY s) AS c FROM dom
+    ), n AS (SELECT count(*) AS n FROM slopes),
+    med AS (
+      SELECT min(s) AS med_slope FROM cum CROSS JOIN n
+      WHERE c >= (n + 1) // 2
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(n.n AS BIGINT) AS n_pairs,
+           round(med.med_slope, 6) AS slope_per_day
+    FROM med CROSS JOIN n
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily purchase revenue: the DISCRETE
+    median of all pairwise day-slopes — the outlier-proof alternative to
+    OLS (one flash-sale day can't bend it), the estimator a metrics
+    review fits before claiming growth. Slopes are computed on exact
+    grid ints with a fixed two-division shape and rounded to 9dp — that
+    rounded value is the DOMAIN key, so the discrete median is
+    engine-exact (no interpolation).
+
+    Scale shape: facts compress onto the calendar-day domain first (one
+    map-side-combined agg); the pair join and the median pass run
+    entirely on that domain — O(days²) pairs, bounded by the calendar
+    horizon (a decade ≈ 6.7M pairs — a flyweight relation), never by
+    event volume. The slope-domain cumulative count is a
+    constant-partition window over the compressed slope grid."""
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("yi")
+        )
+        .localCheckpoint()  # both pair-join sides + the n_days count
+    )
+    a = daily.select(F.col("d").alias("di"), F.col("yi").alias("yi"))
+    b = daily.select(F.col("d").alias("dj"), F.col("yi").alias("yj"))
+    slopes = a.join(b, F.col("di") < F.col("dj")).select(
+        F.expr(_SQL_TS_SLOPE).alias("s")
+    )
+    dom = slopes.groupBy("s").agg(F.count("*").alias("cnt"))
+    const = F.pmod(F.col("s") * 0, F.lit(1))  # bounded slope grid
+    w_cum = (
+        W.partitionBy(const).orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = dom.withColumn("c", F.sum("cnt").over(w_cum))
+    n = slopes.agg(F.count("*").alias("n"))
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    med = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("c") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("s").alias("med_slope"))
+    )
+    return (
+        med.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round("med_slope", 6).alias("slope_per_day"),
+        )
+    )

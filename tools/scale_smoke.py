@@ -144,6 +144,9 @@ HEADLINE = [
     "vectors_abtt_postprocess",
     "dedup_cross_source_matrix",
     "graph_assortativity",
+    "mix_source_entropy",
+    "privacy_k_anonymity",
+    "ts_theil_sen_trend",
 ]
 
 
