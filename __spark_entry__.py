@@ -53,7 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     unchanged r01–r03 code whose old rows remain valid. One exception:
 #     vectors_abtt_postprocess, dedup_cross_source_matrix,
 #     graph_assortativity, mix_source_entropy, privacy_k_anonymity, and
-#     ts_theil_sen_trend (the last ops of the round) found the window
+#     ts_theil_sen_trend, and dq_distribution_drift (the last ops of
+#     the round) found the window
 #     full — they are local-gate-proved and queue for the r8 window's
 #     first slots.
 _DRIVER_WINDOW_R07 = [

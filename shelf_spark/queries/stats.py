@@ -1313,3 +1313,106 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("med_slope", 6).alias("slope_per_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift audit (two-slice comparison)
+# ---------------------------------------------------------------------------
+
+#: Drift threshold on the relative mean shift, cross-multiplied on grid
+#: ints where possible; the reported shift is one rounded division.
+_DRIFT_REL_PCT = 10
+
+
+@query(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT event_type, event_id % 2 AS slice,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ), stats AS (
+      SELECT event_type, slice, count(*) AS n,
+             sum(CAST(vi AS DECIMAL(18,0))) AS s1,
+             count(DISTINCT vi) AS n_distinct
+      FROM sliced GROUP BY 1, 2
+    ), sides AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.s1 AS s_a, b.s1 AS s_b,
+             a.n_distinct AS dist_a, b.n_distinct AS dist_b
+      FROM stats a JOIN stats b
+        ON a.event_type = b.event_type AND a.slice = 0 AND b.slice = 1
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(s_a AS DOUBLE) / 100.0 / CAST(n_a AS DOUBLE), 6)
+             AS mean_a,
+           round(CAST(s_b AS DOUBLE) / 100.0 / CAST(n_b AS DOUBLE), 6)
+             AS mean_b,
+           CAST(dist_a AS BIGINT) AS distinct_a,
+           CAST(dist_b AS BIGINT) AS distinct_b,
+           (abs((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+            * 100.0
+            > (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              * {_DRIFT_REL_PCT}) AS mean_drifted
+    FROM sides ORDER BY event_type
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-slice distribution-drift audit: per event type, compare row
+    counts, grid-exact means, and distinct-value cardinalities between
+    two deterministic halves (even/odd event_id — in production:
+    yesterday's partition vs today's) and flag mean shifts beyond
+    {_DRIFT_REL_PCT}% — the freshness gate a pipeline runs before
+    promoting a new partition (dq_profile describes ONE slice; this is
+    the comparative twin that catches silent upstream changes). All
+    inputs to the drift predicate are exact-int-derived doubles composed
+    in a fixed op shape → the boolean agrees bitwise across engines.
+
+    Scale shape: one map-side-combined aggregate over the scan keyed by
+    (type, slice) — the distinct-count partials shuffle (type, slice,
+    value-grid) triples, bounded by the 2dp money grid; the side-by-side
+    join and flags run on the type-catalog-sized stats relation."""
+    sliced = spark.table("events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("slice"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vi"),
+    )
+    stats = sliced.groupBy("event_type", "slice").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("vi").cast("decimal(18,0)")).alias("s1"),
+        F.countDistinct("vi").alias("n_distinct"),
+    )
+    a = stats.filter(F.col("slice") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s_a"),
+        F.col("n_distinct").alias("dist_a"),
+    )
+    b = stats.filter(F.col("slice") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s_b"),
+        F.col("n_distinct").alias("dist_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(mean_a / 100.0, 6).alias("mean_a"),
+            F.round(mean_b / 100.0, 6).alias("mean_b"),
+            F.col("dist_a").cast("long").alias("distinct_a"),
+            F.col("dist_b").cast("long").alias("distinct_b"),
+            (
+                F.abs(mean_a - mean_b) * 100.0
+                > mean_a * _DRIFT_REL_PCT
+            ).alias("mean_drifted"),
+        )
+        .orderBy("event_type")
+    )

@@ -147,6 +147,7 @@ HEADLINE = [
     "mix_source_entropy",
     "privacy_k_anonymity",
     "ts_theil_sen_trend",
+    "dq_distribution_drift",
 ]
 
 
