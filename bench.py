@@ -132,7 +132,33 @@ HEADLINE = [
 ]
 
 
+def _run_one(spark, name: str, sf_dir: str) -> float:
+    """Median-of-3 steady-state wall for one query (after a warm pass)."""
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
+    import argparse
+    import gc
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--pattern", default=None, help="regex filter over headline names "
+        "(two-speed workflow: iterate on one family fast)"
+    )
+    ap.add_argument(
+        "--session-every", type=int, default=0, metavar="N",
+        help="restart the SparkContext every N queries (0 = one session; "
+        "isolation mode for measuring serial-session state accumulation)",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -140,35 +166,47 @@ def main() -> None:
     spark = get_spark("shelf-spark-bench")
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in QUERIES]
-    for name in names:  # warm: JVM startup + per-plan codegen compile
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for name in names:
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+    if args.pattern:
+        pat = re.compile(args.pattern)
+        names = [n for n in names if pat.search(n)]
+    for i, name in enumerate(names):
+        if args.session_every and i and i % args.session_every == 0:
+            spark.stop()
+            spark = get_spark("shelf-spark-bench")
+        timings[name] = _run_one(spark, name, sf_dir)
+        # Release py4j refs promptly so the JVM ContextCleaner can drop
+        # finished localCheckpoint blocks / broadcasts; a JVM GC nudge
+        # every 10 queries bounds long-serial-session block accumulation
+        # without paying a full GC per query.
+        gc.collect()
+        if i % 10 == 9:
+            spark.sparkContext._jvm.System.gc()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Methodology marker: r01–r03 were single-run timings; r04+
-                # are median-of-3 after a warm pass. Cross-round totals are
-                # comparable only within the same methodology, and r05 adds
-                # 7 queries — compare per-query, not totals, across rounds.
-                "methodology": "median-of-3-after-warm",
-                "n_queries": len(timings),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            # Methodology marker: r01–r03 were single-run timings; r04+
+            # are median-of-3 after a warm pass. Cross-round totals are
+            # comparable only within the same methodology and headline
+            # set — compare per-query, not totals, across rounds.
+            "methodology": "median-of-3-after-warm",
+            "n_queries": len(timings),
+        }
     )
+    # Durable copy for in-repo records (the driver captures stdout).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as fh:
+        fh.write(payload + "\n")
+    # Stop Spark BEFORE printing so shutdown chatter cannot trail (or, via
+    # \r-fragments, prefix) the one JSON line the driver parses; the
+    # leading newline guards against any pending unterminated \r output.
+    spark.stop()
+    sys.stdout.write("\n" + payload + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

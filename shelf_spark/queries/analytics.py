@@ -1068,10 +1068,10 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue, classed A/B/C at the {_ABC_CUTS[0]}%/{_ABC_CUTS[1]}%
     cumulative-share cuts — the working-capital prioritization every
     supply-chain review starts from. Revenue rides the 4dp integer grid
-    (product of two scaled ints, exact), the class cut is an int64
+    (product of two scaled ints, exact), the class cut is a decimal(38,0)
     cross-multiplication (c·100 ≤ total·cut — no FP share on the
-    decision path), and only the reported share is a final rounded
-    division.
+    decision path, no int64 overflow at the ~2B-part design point),
+    and only the reported share is a final rounded division.
 
     Scale shape: one part-keyed map-side-combined revenue agg, then the
     cumulative ranking runs as a DISTRIBUTED prefix sum over the
@@ -1095,9 +1095,15 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "r", F.col("r_upto").alias("c")
     )
     total = rev.agg(F.sum("r").alias("total"))
+    # The cross-multiplication runs in decimal(38,0): at the ~2B-part
+    # design point the 4dp-grid revenue total approaches 1e18, so c*100
+    # would overflow int64 (silent wrap in non-ANSI Spark) while DuckDB
+    # promotes BIGINT sums to HUGEINT — decimal keeps both engines exact.
+    d38 = "decimal(38,0)"
+    c_d, total_d = F.col("c").cast(d38), F.col("total").cast(d38)
     cls = (
-        F.when(F.col("c") * 100 <= F.col("total") * _ABC_CUTS[0], "A")
-        .when(F.col("c") * 100 <= F.col("total") * _ABC_CUTS[1], "B")
+        F.when(c_d * 100 <= total_d * _ABC_CUTS[0], "A")
+        .when(c_d * 100 <= total_d * _ABC_CUTS[1], "B")
         .otherwise("C")
     )
     return (

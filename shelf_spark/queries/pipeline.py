@@ -597,7 +597,11 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("arr")
     )
     big = (
-        arrs.select(
+        # size >= 2 guard: for a 1-token doc sequence(0, -1) would yield the
+        # DESCENDING array [0, -1] and emit two spurious null-word bigrams
+        # the oracle never produces (latent on fixtures with >=10-token docs).
+        arrs.filter(F.size("arr") >= 2)
+        .select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("arr") - 2),

@@ -492,6 +492,41 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_anti_survivors",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    """,
+)
+def join_anti_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-vacuous anti-join twin: customers with NO 1998+ order.
+
+    `join_anti` (customers with no orders at all) has returned 0 rows on
+    every sf0.01 driver run since r01 — 0-vs-0 proves the plan runs but
+    not that anti semantics are right. Filtering the build side to 1998+
+    orders guarantees thousands of survivors at sf0.01 (the exact
+    complement of `join_semi`), so a wrong join type or null-handling
+    bug can no longer hide behind an empty result.
+
+    Scale shape: identical to `join_anti` — one hash exchange per side
+    on the join key (the date filter prunes the build side before the
+    shuffle; at 100 TB AQE broadcasts it when a tight filter makes it
+    small)."""
+    cust = spark.table("customer")
+    orders = spark.table("orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
     "join_nonequi",
     oracle=f"""
     SELECT n_name,

@@ -929,9 +929,10 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # day-domain relation, consumed by both join sides
     )
-    lags = spark.range(0, len(_XCORR_LAGS)).select(
-        F.col("id").cast("int").alias("lag")
-    )
+    # Build the lag grid from the tuple VALUES (not its length) so a
+    # non-contiguous / non-zero-based _XCORR_LAGS stays in sync with the
+    # oracle, which unnests the same values.
+    lags = spark.createDataFrame([(int(l),) for l in _XCORR_LAGS], "lag int")
     a = daily.select(F.col("day").alias("day_a"), "x")
     b = daily.select(F.col("day").alias("day_b"), "yi")
     lagged = (

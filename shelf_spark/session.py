@@ -51,6 +51,11 @@ def get_spark(app_name: str = "shelf-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-terminated fragments to stdout that
+        # glue onto the NEXT print() — the r7 driver bench artifact was
+        # unparseable because the final JSON line inherited a progress-bar
+        # prefix. Static conf, so it must be set here, not in tune().
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/shelf-spark-warehouse"))
     )
     for k, v in RUNTIME_CONFS.items():
