@@ -61,7 +61,29 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("pattern", nargs="?", default=".*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--changed-since", metavar="GITREF", default=None,
+        help="additionally restrict to queries whose defining module file "
+        "changed since GITREF (two-speed workflow: fast local iteration; "
+        "the full no-filter sweep remains the pre-driver ritual)",
+    )
     args = ap.parse_args()
+
+    changed_mods: set[str] | None = None
+    if args.changed_since:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "diff", "--name-only", args.changed_since, "--", "shelf_spark"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        changed_mods = {
+            p.removesuffix(".py").replace("/", ".")
+            for p in out.split()
+            if p.endswith(".py")
+        }
+        print(f"# modules changed since {args.changed_since}: "
+              f"{sorted(m.rsplit('.', 1)[-1] for m in changed_mods)}")
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
@@ -72,6 +94,8 @@ def main() -> int:
 
     pat = re.compile(args.pattern)
     names = [n for n in QUERIES if pat.search(n)]
+    if changed_mods is not None:
+        names = [n for n in names if QUERIES[n].__module__ in changed_mods]
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
     for name in names:
