@@ -449,3 +449,112 @@ def test_asof_orders_single_key_shuffle(spark):
     from shelf_spark.plans import exchange_count
 
     assert exchange_count(df) <= 3
+
+
+def test_minhash_lsh_bounds(spark):
+    """VALUE-level evidence for the rows-only LSH operator (r7 verdict
+    ask #6): precision must be EXACTLY 1 (every emitted pair is a true
+    exact-Jaccard >= t pair with the correct jaccard value — the verify
+    stage guarantees it), and recall vs the exact Bayardo join must beat
+    the analytic banding bound, evaluated pair-by-pair from each true
+    pair's actual Jaccard: P(detect | J) = 1 - (1 - J^r)^b."""
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    }
+    # precision == 1: emitted pairs are a subset of the exact join, with
+    # identical jaccard values.
+    for pair, j in lsh.items():
+        assert pair in exact and exact[pair] == j, pair
+    # recall >= half the analytic expectation (a deterministic run can
+    # land under the mean; 0.5x leaves slack while still failing on any
+    # real banding bug — a broken bucket join scores ~0).
+    from shelf_spark.queries.dedup import N_BANDS, ROWS_PER_BAND
+
+    expected = sum(
+        1 - (1 - j**ROWS_PER_BAND) ** N_BANDS for j in exact.values()
+    )
+    assert len(lsh) >= 0.5 * expected, (len(lsh), expected)
+
+
+def test_minhash_lsh_selfdup_stratum_complete(spark):
+    """The injected-duplicate twin must be NON-vacuous (>= one J=1 pair
+    per document) and every document must meet its own re-keyed copy —
+    the lossless-at-J=1 claim its oracle promotion rests on."""
+    from shelf_spark.queries.dedup import _SELFDUP_OFFSET
+
+    twin = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh_selfdup"](spark, SF_SMALL).collect()
+    }
+    from shelf_spark.data import register_views
+
+    register_views(spark, SF_SMALL)
+    docs = [r.doc_id for r in spark.table("documents").select("doc_id").collect()]
+    assert len(docs) > 0
+    for d in docs:
+        assert (d, d + _SELFDUP_OFFSET) in twin, d
+
+
+def test_simhash_matches_python_reference(spark):
+    """VALUE-level evidence for the rows-only simhash operator: recompute
+    every fingerprint in plain Python from Spark's per-token xxhash64
+    (the one primitive DuckDB cannot replicate — trusted here, since both
+    sides of THIS test share it) and require bit-equality of the 64-bit
+    fingerprint and the 16-bit band for every document."""
+    from pyspark.sql import functions as F
+
+    from shelf_spark.data import register_views
+
+    register_views(spark, SF_SMALL)
+    got = {
+        r.doc_id: (r.simhash, r.band16)
+        for r in QUERIES["dedup_simhash"](spark, SF_SMALL).collect()
+    }
+    # per-distinct-token hashes, straight from the primitive
+    tok = (
+        spark.table("documents")
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in tok:
+        by_doc.setdefault(r.doc_id, []).append(r.h)
+    assert set(by_doc) == set(got)
+    for doc_id, hashes in by_doc.items():
+        votes = [0] * 64
+        for h in hashes:
+            for j in range(64):
+                votes[j] += 1 if ((h >> j) & 1 if h >= 0 else ((h + (1 << 64)) >> j) & 1) else -1
+        fp = sum(1 << j for j in range(64) if votes[j] > 0)
+        # Spark's simhash is a signed int64 built by shiftleft sums
+        fp_signed = fp - (1 << 64) if fp >= (1 << 63) else fp
+        band16 = fp >> 48
+        assert got[doc_id] == (fp_signed, band16), doc_id
+
+
+def test_ivf_topk_bounds(spark):
+    """VALUE-level evidence for the rows-only IVF operator: (a) every
+    reported cosine must bit-match the brute-force value for that pair
+    (the distance math is exact; only CANDIDATE pruning approximates),
+    and (b) recall@k vs the exact baseline must clear 0.25 — an honest
+    bound for N_PROBE=3 semantic cells (measured 0.34 at sf0.001 /
+    0.46 at sf0.01), and ~10x above the ~0.02 a broken cell join or
+    ranking bug would score."""
+    ivf = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in QUERIES["ann_ivf_topk"](spark, SF_SMALL).collect()
+    }
+    exact_all = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in QUERIES["ann_cosine_topk"](spark, SF_SMALL).collect()
+    }
+    hits = [p for p in ivf if p in exact_all]
+    for p in hits:
+        assert ivf[p] == exact_all[p], p  # bit-exact distance math
+    assert len(hits) >= 0.25 * len(exact_all), (len(hits), len(exact_all))
