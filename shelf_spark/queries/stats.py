@@ -1417,3 +1417,588 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 model-evaluation tier: exact AUC, KS, gains/lift, calibration
+# ---------------------------------------------------------------------------
+
+#: Shared scored relation (same convention as ml_eval_binary_metrics):
+#: the doc-length score judged against the lang=='en' truth.
+_SQL_SCORED = "SELECT doc_id, n_chars AS score, (lang = 'en') AS y FROM documents"
+
+_D38 = "decimal(38,0)"
+
+
+def _scored(spark: SparkSession) -> DataFrame:
+    return spark.table("documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").alias("y"),
+    )
+
+
+@query(
+    "ml_roc_auc",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    dom AS (
+      SELECT score, count(*) AS nt, count(*) FILTER (WHERE y) AS np
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, nt, np, sum(nt) OVER (ORDER BY score) AS nt_upto
+      FROM dom
+    ),
+    agg AS (
+      SELECT sum(CAST(np AS HUGEINT)
+                 * CAST(2 * (nt_upto - nt) + nt + 1 AS HUGEINT)) AS r2,
+             sum(np) AS p, sum(nt) AS t
+      FROM cum
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos,
+           CAST(t - p AS BIGINT) AS n_neg,
+           {_sql_round_ieee(
+               "CAST(r2 - CAST(p AS HUGEINT) * CAST(p + 1 AS HUGEINT) AS DOUBLE)"
+               " / (2.0 * CAST(p AS DOUBLE) * CAST(t - p AS DOUBLE))", 6)} AS auc
+    FROM agg
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC via the Mann–Whitney midrank identity:
+    AUC = (Σ midranks of positives − P(P+1)/2) / (P·N), ties handled by
+    average ranks — the one-number ranking metric every model gate
+    reports, computed without materializing a single per-row rank.
+
+    Scale shape: the corpus compresses onto the DISTINCT-SCORE domain in
+    one map-side-combined agg; the midrank sum needs only a running
+    count over that domain (distributed prefix sum — no global window,
+    no per-row row_number over 10^12 rows). All moments are exact
+    integers in decimal(38,0) (a 10^12-row corpus pushes rank sums to
+    ~10^24 — past int64, exact in decimal/HUGEINT on both engines); the
+    final AUC is ONE fixed-shape IEEE division, bit-identical across
+    engines."""
+    from .prefix import attach_prefix_sums
+
+    dom = _scored(spark).groupBy("score").agg(
+        F.count("*").alias("nt"),
+        F.count(F.when(F.col("y"), 1)).alias("np"),
+    )
+    dom = attach_prefix_sums(dom, ["score"], ["nt"])
+    contrib = F.col("np").cast(_D38) * (
+        2 * (F.col("nt_upto") - F.col("nt")) + F.col("nt") + 1
+    ).cast(_D38)
+    agg = dom.agg(
+        F.sum(contrib).alias("r2"),
+        F.sum("np").alias("p"),
+        F.sum("nt").alias("t"),
+    )
+    p38 = F.col("p").cast(_D38)
+    auc = _round_ieee(
+        (F.col("r2") - p38 * (p38 + 1)).cast("double")
+        / (F.lit(2.0) * F.col("p").cast("double") * (F.col("t") - F.col("p")).cast("double")),
+        6,
+    )
+    return agg.select(
+        F.col("p").cast("long").alias("n_pos"),
+        (F.col("t") - F.col("p")).cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+@query(
+    "ml_ks_statistic",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    dom AS (
+      SELECT score, count(*) AS nt, count(*) FILTER (WHERE y) AS np
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             sum(np) OVER (ORDER BY score) AS np_upto,
+             sum(nt) OVER (ORDER BY score) AS nt_upto
+      FROM dom
+    ),
+    tot AS (SELECT sum(np) AS p, sum(nt) - sum(np) AS n FROM dom),
+    d AS (
+      SELECT score,
+             abs(CAST(np_upto AS HUGEINT) * CAST(n AS HUGEINT)
+                 - CAST(nt_upto - np_upto AS HUGEINT) * CAST(p AS HUGEINT))
+               AS dist
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(score AS BIGINT) AS at_score,
+           {_sql_round_ieee(
+               "CAST(dist AS DOUBLE) / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE))", 6)}
+             AS ks,
+           CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+    FROM d CROSS JOIN tot
+    ORDER BY dist DESC, score LIMIT 1
+    """,
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation of the score distributions:
+    KS = max_s |CDF_pos(s) − CDF_neg(s)|, with the argmax score — the
+    classic credit-scoring discrimination statistic. The decision path
+    (which score attains the max) is an INTEGER cross-multiplication
+    |np_upto·N − nn_upto·P| (no FP CDF on the comparison), so both
+    engines pick the same argmax even under ties; only the reported KS
+    is one final fixed-shape division.
+
+    Scale shape: identical to ml_roc_auc — one compression agg onto the
+    score domain, distributed prefix sums for both running counts, a
+    1-row broadcast of totals, TakeOrdered(1) for the max (never a
+    global sort)."""
+    from .prefix import attach_prefix_sums
+
+    dom = _scored(spark).groupBy("score").agg(
+        F.count("*").alias("nt"),
+        F.count(F.when(F.col("y"), 1)).alias("np"),
+    )
+    dom = attach_prefix_sums(dom, ["score"], ["nt", "np"])
+    tot = dom.groupBy().agg(
+        F.sum("np").alias("p"), (F.sum("nt") - F.sum("np")).alias("n")
+    )
+    d = dom.crossJoin(F.broadcast(tot)).select(
+        "score",
+        F.abs(
+            F.col("np_upto").cast(_D38) * F.col("n").cast(_D38)
+            - (F.col("nt_upto") - F.col("np_upto")).cast(_D38)
+            * F.col("p").cast(_D38)
+        ).alias("dist"),
+        "p",
+        "n",
+    )
+    ks = _round_ieee(
+        F.col("dist").cast("double")
+        / (F.col("p").cast("double") * F.col("n").cast("double")),
+        6,
+    )
+    return (
+        d.orderBy(F.desc("dist"), "score")
+        .limit(1)
+        .select(
+            F.col("score").cast("long").alias("at_score"),
+            ks.alias("ks"),
+            F.col("p").cast("long").alias("n_pos"),
+            F.col("n").cast("long").alias("n_neg"),
+        )
+    )
+
+
+@query(
+    "ml_lift_deciles",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    tot AS (
+      SELECT count(*) AS n, count(*) FILTER (WHERE y) AS p FROM scored
+    ),
+    rn AS (
+      SELECT y, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ),
+    b AS (
+      SELECT ((rn - 1) * 10) // n AS decile,
+             count(*) AS n_rows, count(*) FILTER (WHERE y) AS n_pos
+      FROM rn CROSS JOIN tot GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n_rows, n_pos,
+             sum(n_pos) OVER (ORDER BY decile) AS pos_upto
+      FROM b
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_rows AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           {_sql_round_ieee(
+               "CAST(pos_upto AS DOUBLE) / CAST(p AS DOUBLE)", 6)} AS capture,
+           {_sql_round_ieee(
+               "CAST(CAST(n_pos AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)"
+               " / CAST(CAST(n_rows AS HUGEINT) * CAST(p AS HUGEINT) AS DOUBLE)",
+               6)} AS lift
+    FROM cum CROSS JOIN tot ORDER BY decile
+    """,
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains / lift table: rank by score descending, cut into 10
+    equal-count deciles, report per-decile positive capture and lift —
+    the campaign-targeting diagnostic behind "the top decile captures
+    34% of responders at 3.4× random". Decile boundaries come from an
+    explicit integer formula ((rank−1)·10 div n) computed identically
+    on both engines — NOT ntile(), whose tie placement is
+    engine-internal; ranking ties break on doc_id, so the whole bucket
+    assignment is deterministic.
+
+    Scale shape: the global rank is a distributed prefix COUNT over
+    (score desc, doc_id) — range-repartitioned running sums, no
+    single-task window over the corpus; per-decile rollup is a 10-group
+    agg, and the cumulative capture runs on the 10-row decile domain.
+    Lift/capture are integer cross-products (decimal(38,0) — exact past
+    int64 at 10^12 rows) with one final fixed-shape division each."""
+    from .prefix import attach_prefix_sums
+
+    sc = _scored(spark).select(
+        "doc_id", "score", "y", (-F.col("score")).alias("neg"), F.lit(1).alias("one")
+    )
+    rn = attach_prefix_sums(sc, ["neg", "doc_id"], ["one"])
+    tot = sc.groupBy().agg(
+        F.count("*").alias("n"), F.count(F.when(F.col("y"), 1)).alias("p")
+    )
+    b = (
+        rn.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((one_upto - 1) * 10) div n").alias("decile"), "y"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("y"), 1)).alias("n_pos"),
+        )
+    )
+    cum = attach_prefix_sums(b, ["decile"], ["n_pos"])
+    capture = _round_ieee(
+        F.col("n_pos_upto").cast("double") / F.col("p").cast("double"), 6
+    )
+    lift = _round_ieee(
+        (F.col("n_pos").cast(_D38) * F.col("n").cast(_D38)).cast("double")
+        / (F.col("n_rows").cast(_D38) * F.col("p").cast(_D38)).cast("double"),
+        6,
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_rows").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            capture.alias("capture"),
+            lift.alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+_CAL_BIN_WIDTH = 100
+_CAL_MAX_BIN = 9
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED})
+    SELECT CAST(least(score // {_CAL_BIN_WIDTH}, {_CAL_MAX_BIN}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+           {_sql_round_ieee(
+               "CAST(sum(score) AS DOUBLE) / count(*)", 6)} AS mean_score,
+           {_sql_round_ieee(
+               "CAST(count(*) FILTER (WHERE y) AS DOUBLE) / count(*)", 6)}
+             AS frac_pos
+    FROM scored GROUP BY 1 ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / calibration table: fixed-width score bins with the
+    observed positive rate per bin — the curve behind a calibration
+    plot (is a 0.8-score actually right 80% of the time?). Counts and
+    score sums are exact integers; the two reported ratios are single
+    fixed-shape divisions.
+
+    Scale shape: ONE map-side-combined aggregate; shuffle volume is the
+    bounded bin grid, never the corpus. No windows, no joins."""
+    sc = _scored(spark)
+    return (
+        sc.groupBy(
+            F.least(
+                F.expr(f"score div {_CAL_BIN_WIDTH}"), F.lit(_CAL_MAX_BIN)
+            ).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count(F.when(F.col("y"), 1)).cast("long").alias("n_pos"),
+            _round_ieee(
+                F.sum("score").cast("double") / F.count("*"), 6
+            ).alias("mean_score"),
+            _round_ieee(
+                F.count(F.when(F.col("y"), 1)).cast("double") / F.count("*"), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r8: chi-square independence, IQR outlier audit, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_chi_square",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS nc FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT lang, sum(nc) AS rl FROM cells GROUP BY 1),
+    cols_ AS (SELECT source, sum(nc) AS cs FROM cells GROUP BY 1),
+    tot AS (SELECT sum(nc) AS n FROM cells),
+    terms AS (
+      SELECT floor(
+               (CAST(CAST(n AS HUGEINT) * CAST(nc AS HUGEINT)
+                     - CAST(rl AS HUGEINT) * CAST(cs AS HUGEINT) AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * CAST(nc AS HUGEINT)
+                       - CAST(rl AS HUGEINT) * CAST(cs AS HUGEINT) AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE))
+               / CAST(n AS DOUBLE)
+               * 1000000.0 + 0.5) AS t6
+      FROM cells
+      JOIN rows_ USING (lang) JOIN cols_ USING (source) CROSS JOIN tot
+    ),
+    dims AS (
+      SELECT count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns,
+             count(*) AS ncells
+      FROM cells
+    )
+    SELECT CAST((SELECT sum(t6) FROM terms) AS DOUBLE) / 1000000.0 AS chi2,
+           CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+           CAST(ncells AS BIGINT) AS n_cells
+    FROM dims
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the lang × source
+    contingency table — the drift/association screen a dataset audit
+    runs between two categorical columns. Each cell's contribution
+    (n·n_ij − r_i·c_j)² / (n·r_i·c_j·n) is evaluated as a FIXED-SHAPE
+    IEEE expression over exact integer moments (HUGEINT/decimal(38,0)
+    cross-products — r_i·c_j reaches ~10^24 at a 10^12-row lake), then
+    quantized onto the 6dp integer grid BEFORE summing, so the
+    cross-cell sum is an exact int64 reduction — order-independent,
+    bit-identical across engines (FP sums over cells would differ in
+    the last ulp by visit order).
+
+    Scale shape: one map-side-combined cell aggregate (shuffle =
+    distinct lang×source pairs, bounded by the category grid), two
+    tiny marginal rollups broadcast back, a 1-row result."""
+    cells = spark.table("documents").groupBy("lang", "source").agg(
+        F.count("*").alias("nc")
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("nc").alias("rl"))
+    cols_ = cells.groupBy("source").agg(F.sum("nc").alias("cs"))
+    tot = cells.groupBy().agg(F.sum("nc").alias("n"))
+    num = (
+        F.col("n").cast(_D38) * F.col("nc").cast(_D38)
+        - F.col("rl").cast(_D38) * F.col("cs").cast(_D38)
+    ).cast("double")
+    term = (
+        num * num
+        / (
+            F.col("n").cast("double")
+            * F.col("rl").cast("double")
+            * F.col("cs").cast("double")
+        )
+        / F.col("n").cast("double")
+    )
+    t6 = F.floor(term * 1000000.0 + F.lit(0.5))
+    terms = (
+        cells.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(t6.alias("t6"), "lang", "source")
+    )
+    agg = terms.agg(
+        F.sum("t6").alias("s6"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+        F.count("*").alias("ncells"),
+    )
+    return agg.select(
+        (F.col("s6").cast("double") / 1000000.0).alias("chi2"),
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        F.col("ncells").cast("long").alias("n_cells"),
+    )
+
+
+@query(
+    "clean_outlier_iqr",
+    oracle="""
+    WITH grid AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, cents, cnt,
+             sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS c_upto
+      FROM grid
+    ),
+    tot AS (SELECT flag, sum(cnt) AS n FROM grid GROUP BY 1),
+    q AS (
+      SELECT c.flag,
+             min(CASE WHEN c_upto >= (n + 3) // 4 THEN cents END) AS q1c,
+             min(CASE WHEN c_upto >= (3 * n + 3) // 4 THEN cents END) AS q3c
+      FROM cum c JOIN tot USING (flag) GROUP BY 1
+    )
+    SELECT g.flag,
+           CAST(q1c AS DOUBLE) / 100.0 AS q1,
+           CAST(q3c AS DOUBLE) / 100.0 AS q3,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(coalesce(sum(cnt) FILTER (
+             WHERE 2 * cents < 2 * q1c - 3 * (q3c - q1c)
+                OR 2 * cents > 2 * q3c + 3 * (q3c - q1c)), 0) AS BIGINT)
+             AS n_outliers
+    FROM grid g JOIN q USING (flag) JOIN tot USING (flag)
+    GROUP BY g.flag, q1c, q3c
+    ORDER BY g.flag
+    """,
+)
+def clean_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per return-flag: exact Q1/Q3 as order
+    statistics on the 2dp price grid, fences at quartile ± 1.5·IQR, and
+    the count of rows outside them — the pre-training outlier screen
+    for a numeric feature. The ENTIRE decision path is integer: cents
+    grid, type-1 (smallest-value-reaching-rank) quartiles via integer
+    rank thresholds, and a ×2 cross-multiplied fence test (2c < 2Q1 −
+    3·IQR avoids the 0.5 fraction) — no float compares anywhere;
+    only the reported quartiles divide down to dollars at the end.
+
+    Scale shape: facts compress onto the (flag × distinct-cents) value
+    grid in one map-side-combined agg; the quartile scan is a
+    PARTITIONED (per-flag) cumulative window over that compressed grid
+    — bounded by distinct prices, never by row count; fences broadcast
+    back to the grid (3-row relation), outlier counting is a second
+    pass over the GRID, not the facts."""
+    grid = spark.table("lineitem").groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("flag").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("c_upto", F.sum("cnt").over(w))
+    tot = grid.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    q = (
+        cum.join(F.broadcast(tot), "flag")
+        .groupBy("flag")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c_upto") >= F.expr("(n + 3) div 4"), F.col("cents")
+                )
+            ).alias("q1c"),
+            F.min(
+                F.when(
+                    F.col("c_upto") >= F.expr("(3 * n + 3) div 4"),
+                    F.col("cents"),
+                )
+            ).alias("q3c"),
+        )
+    )
+    iqr = F.col("q3c") - F.col("q1c")
+    is_out = (2 * F.col("cents") < 2 * F.col("q1c") - 3 * iqr) | (
+        2 * F.col("cents") > 2 * F.col("q3c") + 3 * iqr
+    )
+    return (
+        grid.join(F.broadcast(q), "flag")
+        .join(F.broadcast(tot), "flag")
+        .groupBy("flag", "q1c", "q3c")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.when(is_out, F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "flag",
+            (F.col("q1c").cast("double") / 100.0).alias("q1"),
+            (F.col("q3c").cast("double") / 100.0).alias("q3"),
+            "n",
+            "n_outliers",
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      FILTER (WHERE event_type = 'purchase'), 0) AS v
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, v,
+             sum(v) OVER (ORDER BY day) AS s_upto,
+             row_number() OVER (ORDER BY day) AS k
+      FROM daily
+    ),
+    tot AS (SELECT sum(v) AS t, count(*) AS n FROM daily),
+    d AS (
+      SELECT day,
+             abs(CAST(n AS HUGEINT) * CAST(s_upto AS HUGEINT)
+                 - CAST(k AS HUGEINT) * CAST(t AS HUGEINT)) AS dist
+      FROM cum CROSS JOIN tot
+    )
+    SELECT day AS cp_day,
+           {_sql_round_ieee(
+               "CAST(dist AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 6)}
+             AS cusum_stat,
+           CAST(n AS BIGINT) AS n_days
+    FROM d CROSS JOIN tot
+    ORDER BY dist DESC, day LIMIT 1
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily purchase revenue: the day k
+    maximizing |S_k − k·T/n| (cumulative sum's deviation from the
+    uniform-trend line) — the classic level-shift locator a metrics
+    team runs when "did the launch change revenue?" needs a date, not
+    a feeling. The argmax is decided on the INTEGER cross-product
+    |n·S_k − k·T| (revenue rides the 2dp cents grid; HUGEINT/decimal —
+    n·S_k ≈ 10^22 at a decade × 10^18-cents scale), so both engines
+    pick the same day; only the reported statistic divides down.
+
+    Scale shape: facts compress onto the calendar-day domain in one
+    agg; running sum and day index are ONE distributed prefix pass
+    (two value columns, same exchange); the max is TakeOrdered(1)."""
+    from .prefix import attach_prefix_sums
+
+    daily = spark.table("events").groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("v"),
+    ).withColumn("one", F.lit(1))
+    cum = attach_prefix_sums(daily, ["day"], ["v", "one"])
+    tot = daily.groupBy().agg(F.sum("v").alias("t"), F.count("*").alias("n"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.abs(
+            F.col("n").cast(_D38) * F.col("v_upto").cast(_D38)
+            - F.col("one_upto").cast(_D38) * F.col("t").cast(_D38)
+        ).alias("dist"),
+        "n",
+    )
+    stat = _round_ieee(
+        F.col("dist").cast("double") / F.col("n").cast("double") / 100.0, 6
+    )
+    return (
+        d.orderBy(F.desc("dist"), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("cp_day"),
+            stat.alias("cusum_stat"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+    )
