@@ -631,3 +631,68 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: inter-arrival statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           (floor(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0
+                  * 1000.0 + 0.5) / 1000.0) AS avg_gap_s,
+           CAST(min(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_s,
+           CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics: the gap between a
+    user's consecutive events of the same type — the cadence profile
+    behind rate-limiter tuning and bot detection ("purchases 10 ms
+    apart are not a human"). Gaps are exact integer microseconds (ties
+    broken by event_id, so the lag pairing is deterministic on both
+    engines); min/max are exact-int picks and the mean is one
+    fixed-shape IEEE division rounded to the ms grid.
+
+    Scale shape: ONE hash exchange on (user_id, event_type), one
+    in-partition sort, a running lag — then a map-side-combined
+    aggregate onto the bounded event-type domain. No self-join; the
+    per-user ordering shuffle is the information-theoretic floor for
+    any consecutive-pair statistic."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = spark.table("events").select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    avg_s = F.floor(
+        F.sum("gap_us").cast("double")
+        / F.count("gap_us")
+        / 1000000.0
+        * 1000.0
+        + F.lit(0.5)
+    ) / 1000.0
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            avg_s.alias("avg_gap_s"),
+            (F.min("gap_us").cast("double") / 1000000.0).alias("min_gap_s"),
+            (F.max("gap_us").cast("double") / 1000000.0).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -488,3 +488,117 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_directed_edges"),
         F.expr(_SQL_ASSORT).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: connected components + degree distribution of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: Support floor for the co-purchase item graph: parts co-occurring in
+#: >= this many orders form an edge (prunes the 1-off noise tail that
+#: would otherwise fuse everything into one giant component).
+_MIN_COSUPPORT = 3
+
+_SQL_SUPPORT_EDGES = f"""
+      SELECT p1, p2 FROM pairs GROUP BY p1, p2
+      HAVING count(*) >= {_MIN_COSUPPORT}
+"""
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    supp AS ({_SQL_SUPPORT_EDGES}),
+    edges AS (
+      SELECT p1 AS src, p2 AS dst FROM supp
+      UNION SELECT p2, p1 FROM supp
+    ),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node AS item, min(reach) AS component
+    FROM walk GROUP BY node ORDER BY item
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the strong co-purchase graph (parts
+    co-occurring in ≥{_MIN_COSUPPORT} orders) — the community pass
+    behind "which products form a coherent family", and the graph
+    analogue of the near-dup clustering already proven on documents.
+    Labels are component minima, matching the oracle's
+    transitive-closure min(reach) exactly.
+
+    Scale shape: pairs generate map-side from sorted basket arrays (no
+    self-join); the support filter is one map-side-combined agg that
+    prunes the edge set BEFORE any iteration touches it; components run
+    the alternating large-star/small-star contraction
+    (sampling.star_components — Kiveris SoCC'14, O(log² n) rounds, each
+    one groupBy + one co-partitioned integer join). The oracle's
+    recursive CTE is O(component²) and exists only for the fixture; the
+    Spark side never materializes reachability."""
+    support = (
+        _basket_pairs(spark)
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _MIN_COSUPPORT)
+        .select("p1", "p2")
+    )
+    from .sampling import star_components
+
+    return (
+        star_components(support, "p1", "p2")
+        .select(F.col("node").alias("item"), "component")
+        .orderBy("item")
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    supp AS ({_SQL_SUPPORT_EDGES}),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT p1 AS node, p2 AS nb FROM supp
+        UNION ALL SELECT p2, p1 FROM supp
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the strong co-purchase graph — the
+    power-law sanity check (and skew early-warning: a heavy right tail
+    here is tomorrow's hot key in every graph join).
+
+    Scale shape: one agg for support filtering, one for degrees (edge
+    list → node key), one for the bounded-domain histogram — all
+    map-side-combined; nothing is quadratic, the histogram domain is
+    max-degree-bounded."""
+    support = (
+        _basket_pairs(spark)
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _MIN_COSUPPORT)
+        .select("p1", "p2")
+    )
+    deg = (
+        support.select(F.col("p1").alias("node"))
+        .unionAll(support.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+        .orderBy("degree")
+    )

@@ -926,3 +926,157 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_k_anonymous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: C4/Gopher-style rule filter with drop attribution; l-diversity
+# ---------------------------------------------------------------------------
+
+#: Gopher-style rule bounds (Rae et al. 2021 §A1.1, adapted): min doc
+#: length in words, mean word length band, repetition cap (top token ≤
+#: 20% of tokens), lexical-diversity floor (≥30% distinct).
+_C4_MIN_WORDS = 20
+_C4_WLEN_LO, _C4_WLEN_HI = 3, 10  # mean chars/word, integer-cross-mult'd
+_C4_REP_MAX_X5 = 5  # top-token count × 5 ≤ n_tokens
+_C4_DIV_X10 = 3  # n_distinct × 10 ≥ 3 × n_tokens
+
+
+@query(
+    "filter_c4_style",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd,
+             len(replace(text, ' ', '')) AS nc,
+             list_max(list_transform(
+               list_distinct(string_split(text, ' ')),
+               w -> len(list_filter(string_split(text, ' '), x -> x = w))))
+               AS topc
+      FROM documents
+    ),
+    ruled AS (
+      SELECT source,
+             CASE
+               WHEN nt < {_C4_MIN_WORDS} THEN 'short'
+               WHEN nc < {_C4_WLEN_LO} * nt
+                 OR nc > {_C4_WLEN_HI} * nt THEN 'wordlen'
+               WHEN topc * {_C4_REP_MAX_X5} > nt THEN 'repetitive'
+               WHEN nd * 10 < {_C4_DIV_X10} * nt THEN 'lowdiv'
+               ELSE 'kept'
+             END AS verdict
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE verdict = 'kept') AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE verdict = 'short') AS BIGINT) AS n_drop_short,
+           CAST(count(*) FILTER (WHERE verdict = 'wordlen') AS BIGINT) AS n_drop_wordlen,
+           CAST(count(*) FILTER (WHERE verdict = 'repetitive') AS BIGINT) AS n_drop_repetitive,
+           CAST(count(*) FILTER (WHERE verdict = 'lowdiv') AS BIGINT) AS n_drop_lowdiv
+    FROM ruled GROUP BY source ORDER BY source
+    """,
+)
+def filter_c4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate with first-failing-rule attribution,
+    rolled up per source: short-doc floor, mean-word-length band,
+    repetition cap (top token ≤ 20%), lexical-diversity floor — the
+    rule filter (and its drop ledger, which is what you actually debug)
+    every web-scale corpus pass runs before training. Every rule is an
+    INTEGER cross-multiplication (mean word length as nc ≥ 3·nt, never
+    a float division), so the verdict is exact on both engines.
+
+    Scale shape: map-only feature extraction per doc (token stats from
+    one split; the top-token count is an O(distinct·tokens) in-row
+    higher-order fold — JVM-side, no explode, no shuffle), then ONE
+    map-side-combined rollup onto the bounded source domain."""
+    s = F.split(F.col("text"), " ")
+    nt = F.size(s)
+    nd = F.size(F.array_distinct(s))
+    nc = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    topc = F.array_max(
+        F.transform(
+            F.array_distinct(s),
+            lambda w: F.size(F.filter(s, lambda x: x == w)),
+        )
+    )
+    verdict = (
+        F.when(nt < _C4_MIN_WORDS, "short")
+        .when((nc < _C4_WLEN_LO * nt) | (nc > _C4_WLEN_HI * nt), "wordlen")
+        .when(topc * _C4_REP_MAX_X5 > nt, "repetitive")
+        .when(nd * 10 < _C4_DIV_X10 * nt, "lowdiv")
+        .otherwise("kept")
+    )
+    ruled = spark.table("documents").select("source", verdict.alias("verdict"))
+    cnt = lambda v: F.count(F.when(F.col("verdict") == v, 1)).cast("long")  # noqa: E731
+    return (
+        ruled.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            cnt("kept").alias("n_kept"),
+            cnt("short").alias("n_drop_short"),
+            cnt("wordlen").alias("n_drop_wordlen"),
+            cnt("repetitive").alias("n_drop_repetitive"),
+            cnt("lowdiv").alias("n_drop_lowdiv"),
+        )
+        .orderBy("source")
+    )
+
+
+_L_DIV = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(value / 50) AS BIGINT) AS value_band,
+             count(*) AS grp,
+             count(DISTINCT user_id) AS l
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(count(*) FILTER (WHERE l < {_L_DIV}) AS BIGINT)
+             AS n_violating_classes,
+           CAST(coalesce(sum(grp) FILTER (WHERE l < {_L_DIV}), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           round(CAST(count(*) FILTER (WHERE l >= {_L_DIV}) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS share_l_diverse
+    FROM qi
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l={_L_DIV}) over the same quasi-identifier
+    projection as privacy_k_anonymity: beyond class SIZE, each QI class
+    must contain ≥ l distinct sensitive values (user_id here) — the
+    follow-up check that catches k-anonymous classes where everyone is
+    the same person. Counts are exact ints; one rounded share.
+
+    Scale shape: one aggregate with a distinct-count per QI class
+    (partial+final; the distinct shuffles (QI, user) pairs — bounded by
+    class grid × active users per class), then a 1-row summary."""
+    qi = spark.table("events").groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+    ).agg(
+        F.count("*").alias("grp"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    viol = F.col("l") < _L_DIV
+    return qi.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.count(F.when(viol, 1)).cast("long").alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(viol, F.col("grp"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.count(F.when(~viol, 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("share_l_diverse"),
+    )

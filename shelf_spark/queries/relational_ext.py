@@ -127,3 +127,70 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum_i(F.col("p"), 4).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: storage-bucketed co-located join (the zero-exchange join path)
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+def _bucketed_tag(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dsum_i("o_totalprice", 2)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dimension join over STORAGE-BUCKETED tables — the
+    co-located-join path that removes the join shuffle entirely at
+    100 TB. Both sides are written once as external bucketed tables
+    ({_N_BUCKETS} buckets on the customer key, Spark's
+    HashPartitioning-compatible layout); the join then reads bucket i
+    against bucket i with NO Exchange in the plan
+    (tests/test_plans.py::test_bucketed_join_has_no_exchange pins it).
+    At a real lake this is the difference between shuffling the fact
+    table per join and shuffling it once at WRITE time, amortized over
+    every subsequent join on that key — the standard layout for a fact
+    table joined daily on the same key.
+
+    The bucketed copies are content-equal to the source parquet (same
+    rows, hash-scattered), so the plain-SQL oracle is sound; results
+    are an exact integer-grid revenue rollup per segment.
+    """
+    tag = _bucketed_tag(sf_dir)
+    base = "/tmp/shelf-spark-bucketed"
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"bkt_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                spark.table(name)
+                .write.mode("overwrite")
+                .option("path", f"{base}/{tbl}")
+                .bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(f"bkt_orders_{tag}")
+    c = spark.table(f"bkt_customer_{tag}")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum_i(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )

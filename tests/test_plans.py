@@ -496,3 +496,23 @@ def test_assortativity_single_moment_pass(spark):
     plan = physical_plan(df)
     assert plan.count("Window") == 0, plan
     assert "HashAggregate" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The storage-bucketed join must read bucket-to-bucket: with
+    auto-broadcast off (forcing the sort-merge path a 100 TB fact join
+    takes), the plan may contain NO exchange on the join keys — the
+    shuffle was paid once at write time, not per join."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin" in plan, plan
+    for key in ("o_custkey", "c_custkey"):
+        assert f"Exchange hashpartitioning({key}" not in plan, plan
+    # the only exchanges left belong to the aggregate/sort, not the join
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, join_part
