@@ -57,6 +57,45 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the round) found the window
 #     full — they are local-gate-proved and queue for the r8 window's
 #     first slots.
+#   r08 window (below): anchors first, then the 7 closing-tier r7
+#     operators that missed the r7 window (verdict r7 ask #1) plus
+#     join_cross (stale since its r5 grid touch), then the three
+#     operators whose expressions changed under r8 ADVICE fixes
+#     (bigram guard, lag grid from values, decimal(38,0) ABC cut),
+#     then every NEW r8 operator (anti-join survivors twin, LSH
+#     self-dup value twin, model-eval tier, chi-square/IQR/CUSUM,
+#     graph components/degrees, interarrival, C4 filter, l-diversity,
+#     bucketed co-located join), then belt-and-braces slots on the
+#     oldest (r01–r03) rows.
+_DRIVER_WINDOW_R08 = [
+    "q1_pricing_summary",    # flagship anchor
+    "q3_shipping_priority",  # anchor
+    # closing-tier r7 ops: first-ever driver rows (verdict ask #1)
+    "vectors_abtt_postprocess", "dedup_cross_source_matrix",
+    "graph_assortativity", "mix_source_entropy", "privacy_k_anonymity",
+    "ts_theil_sen_trend", "dq_distribution_drift",
+    "join_cross",            # stale since r5 grid touch
+    # r8 ADVICE fixes changed these expressions
+    "text_pmi_bigrams", "ts_cross_correlation", "agg_abc_classification",
+    # r8 NEW operators
+    "join_anti_survivors", "dedup_minhash_lsh_selfdup",
+    "ml_roc_auc", "ml_ks_statistic", "ml_lift_deciles",
+    "ml_calibration_bins", "stats_chi_square", "clean_outlier_iqr",
+    "ts_changepoint_cusum", "graph_connected_components",
+    "graph_degree_distribution", "events_interarrival_stats",
+    "filter_c4_style", "privacy_l_diversity", "join_bucketed_colocated",
+    # refactor re-proof (shared _minhash_lsh_pairs helper; rows-only)
+    "dedup_minhash_lsh",
+    # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
+    "q5_local_supplier_volume", "q10_returned_items",
+    "q6_forecast_revenue", "q4_order_priority", "q12_ship_lag_buckets",
+    "q14_promo_share", "scan_project_filter", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_semi", "join_anti",
+    "agg_stats", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_pivot", "agg_median_percentile", "sort_topk", "set_union_all",
+    "set_intersect",
+]
+
 _DRIVER_WINDOW_R07 = [
     "q1_pricing_summary",    # flagship anchor
     "q3_shipping_priority",  # anchor
@@ -114,9 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so the driver's 50-row correctness window lands on queries
     whose expressions changed after their last driver row (see
-    _DRIVER_WINDOW_R07 above); the rest follow in registry order.
+    _DRIVER_WINDOW_R08 above); the rest follow in registry order.
     """
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R07 if n in QUERIES}
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R08 if n in QUERIES}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn

@@ -129,6 +129,24 @@ HEADLINE = [
     "privacy_k_anonymity",
     "ts_theil_sen_trend",
     "dq_distribution_drift",
+    # round-8 tier: model-eval family, robust stats, graph communities,
+    # cadence, C4 rule filter, l-diversity, bucketed co-located join,
+    # the LSH self-dup value twin and the anti-join survivors twin
+    "ml_roc_auc",
+    "ml_ks_statistic",
+    "ml_lift_deciles",
+    "ml_calibration_bins",
+    "stats_chi_square",
+    "clean_outlier_iqr",
+    "ts_changepoint_cusum",
+    "graph_connected_components",
+    "graph_degree_distribution",
+    "events_interarrival_stats",
+    "filter_c4_style",
+    "privacy_l_diversity",
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh_selfdup",
+    "join_anti_survivors",
 ]
 
 

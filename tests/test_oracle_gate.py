@@ -104,7 +104,7 @@ def test_driver_window_names_valid():
 
     from shelf_spark.queries import QUERIES
 
-    w = entry_mod._DRIVER_WINDOW_R07
+    w = entry_mod._DRIVER_WINDOW_R08
     assert len(w) == 50
     assert len(set(w)) == 50
     missing = [n for n in w if n not in QUERIES]
