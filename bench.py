@@ -147,6 +147,10 @@ HEADLINE = [
     "join_bucketed_colocated",
     "dedup_minhash_lsh_selfdup",
     "join_anti_survivors",
+    "dq_psi_stability",
+    "stats_welch_ttest",
+    "ml_feature_hashing",
+    "sink_partitioned_pruning",
 ]
 
 
@@ -213,10 +217,12 @@ def main() -> None:
         "n_queries": len(timings),
     }
     # Durable FULL per-query record, committed in-repo (the driver
-    # captures stdout with a bounded tail window).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_local.json"), "w") as fh:
-        fh.write(json.dumps({**base, "queries": timings}) + "\n")
+    # captures stdout with a bounded tail window). Only a full run may
+    # overwrite it — a --pattern subset run would clobber the record.
+    if not args.pattern:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local.json"), "w") as fh:
+            fh.write(json.dumps({**base, "queries": timings}) + "\n")
     # The driver's stdout capture holds ~2.5 KB (evidence: the r6
     # 39-query JSON (~1.4 KB) parsed; the r7 85-query JSON (~2.9 KB)
     # came back head-truncated, parsed:null). Keep the printed line

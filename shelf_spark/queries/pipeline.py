@@ -1080,3 +1080,63 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_l_diverse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8b: hashing-trick feature buckets (portable sha256 hash)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT substr(sha256(w), 1, 1) AS bucket,
+             CASE WHEN substr(sha256(w), 2, 1) < '8' THEN 1 ELSE -1 END
+               AS sign,
+             w
+      FROM tok
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(sign) AS BIGINT) AS signed_sum,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+    FROM hashed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature aggregation (Weinberger et al., ICML'09):
+    every token maps to one of 16 buckets by hash, with a second hash
+    bit giving the ±1 sign that keeps collision noise zero-mean — the
+    fixed-width featurizer that replaces an unbounded vocabulary with a
+    constant-size vector at any corpus scale. The hash is PORTABLE
+    sha256 hex (bucket = first hex char, sign = second hex char < '8'),
+    so both engines compute identical assignments with no
+    engine-specific hash anywhere.
+
+    Scale shape: explode → one map-side-combined aggregate onto the
+    16-bucket domain (the distinct-token count shuffles (bucket, token)
+    pairs — vocabulary-bounded). Unbounded-vocabulary pathologies are
+    exactly what the fixed bucket space removes."""
+    sha = F.sha2(F.col("w"), 256)
+    hashed = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            F.substring(sha, 1, 1).alias("bucket"),
+            F.when(F.substring(sha, 2, 1) < "8", 1).otherwise(-1).alias("sign"),
+            "w",
+        )
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("sign").cast("long").alias("signed_sum"),
+            F.countDistinct("w").cast("long").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )

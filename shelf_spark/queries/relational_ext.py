@@ -194,3 +194,57 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8b: partitioned-layout sink + pruned read (the scan-elimination path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {sql_dsum_i("value", 2)} AS revenue
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY day
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + pruned read — the scan-elimination
+    counterpart of join_bucketed_colocated. Events are written ONCE
+    partitioned by event_type (`/event_type=…/` directories); the query
+    then filters one type and Spark's planner turns the predicate into
+    a PartitionFilter, so non-matching partitions are never opened —
+    at a 100 TB lake this is the difference between scanning 5 TB and
+    scanning 100 TB for the same answer
+    (tests/test_plans.py::test_partitioned_sink_prunes pins the
+    PartitionFilters entry and the pruned file count).
+
+    The partitioned copy is content-equal to the source (same rows,
+    directory-scattered), so the plain-SQL oracle over `events` is
+    sound; the rollup uses the exact integer revenue grid.
+    """
+    import hashlib
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/shelf-spark-partitioned/events_{tag}"
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.table("events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    e = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            dsum_i(F.col("value"), 2).alias("revenue"),
+        )
+        .orderBy("day")
+    )

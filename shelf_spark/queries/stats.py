@@ -2002,3 +2002,210 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8b: PSI stability + Welch's t-test
+# ---------------------------------------------------------------------------
+
+_PSI_BAND = 50
+_PSI_MAX_BAND = 9
+
+
+@query(
+    "dq_psi_stability",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT event_id % 2 AS slice,
+             least(CAST(floor(value / {_PSI_BAND}) AS BIGINT), {_PSI_MAX_BAND})
+               AS band
+      FROM events
+    ),
+    cells AS (
+      SELECT band,
+             count(*) FILTER (WHERE slice = 0) AS ca,
+             count(*) FILTER (WHERE slice = 1) AS cb
+      FROM sliced GROUP BY band
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+    terms AS (
+      SELECT band, ca, cb,
+             CASE WHEN ca > 0 AND cb > 0 THEN
+               floor(
+                 (CAST(CAST(ca AS HUGEINT) * CAST(nb AS HUGEINT)
+                       - CAST(cb AS HUGEINT) * CAST(na AS HUGEINT) AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                 * ln((CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE))
+                      / (CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+                 * 1000000.0 + 0.5)
+             END AS t6
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(coalesce(sum(t6), 0) AS DOUBLE) / 1000000.0 AS psi,
+           CAST(count(*) AS BIGINT) AS n_bands,
+           CAST(count(*) FILTER (WHERE t6 IS NULL) AS BIGINT)
+             AS n_unshared_bands
+    FROM terms
+    """,
+)
+def dq_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two standard audit slices
+    (event_id parity, the dq_distribution_drift convention) over banded
+    event values: PSI = Σ (p_i − q_i)·ln(p_i/q_i) — the drift score
+    model-monitoring gates alarm on (>0.25 = retrain). Each band's term
+    is a fixed-shape IEEE expression over exact integer counts
+    (HUGEINT/decimal(38,0) cross-products), quantized onto the 6dp
+    integer grid BEFORE summation — the cross-band sum is an exact
+    int64 reduction, order-free at any parallelism (the chi-square
+    discipline). Bands empty on either side are excluded and COUNTED
+    (n_unshared_bands), not silently smoothed.
+
+    Scale shape: one map-side-combined aggregate onto the bounded band
+    grid, a 1-row totals broadcast, a grid-sized term map — facts are
+    scanned once."""
+    sliced = spark.table("events").select(
+        (F.col("event_id") % 2).alias("slice"),
+        F.least(
+            F.floor(F.col("value") / _PSI_BAND).cast("long"),
+            F.lit(_PSI_MAX_BAND),
+        ).alias("band"),
+    )
+    cells = sliced.groupBy("band").agg(
+        F.count(F.when(F.col("slice") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("slice") == 1, 1)).alias("cb"),
+    )
+    tot = cells.groupBy().agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    num = (
+        F.col("ca").cast(_D38) * F.col("nb").cast(_D38)
+        - F.col("cb").cast(_D38) * F.col("na").cast(_D38)
+    ).cast("double")
+    ratio = (F.col("ca").cast("double") * F.col("nb").cast("double")) / (
+        F.col("cb").cast("double") * F.col("na").cast("double")
+    )
+    t6 = F.when(
+        (F.col("ca") > 0) & (F.col("cb") > 0),
+        F.floor(
+            num
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            * F.log(ratio)
+            * 1000000.0
+            + F.lit(0.5)
+        ),
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(t6.alias("t6"))
+    return terms.agg(
+        (F.coalesce(F.sum("t6"), F.lit(0)).cast("double") / 1000000.0).alias(
+            "psi"
+        ),
+        F.count("*").cast("long").alias("n_bands"),
+        F.count(F.when(F.col("t6").isNull(), 1)).cast("long").alias(
+            "n_unshared_bands"
+        ),
+    )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS ss
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'purchase' THEN s END) AS s1,
+        max(CASE WHEN event_type = 'purchase' THEN ss END) AS ss1,
+        max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'click' THEN s END) AS s2,
+        max(CASE WHEN event_type = 'click' THEN ss END) AS ss2
+      FROM m
+    ),
+    e AS (
+      SELECT n1, n2,
+        CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+        CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+        (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+          / (n1 - 1) / 10000.0 / n1 AS v1n,
+        (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+          / (n2 - 1) / 10000.0 / n2 AS v2n
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           {_sql_round_ieee("m1 - m2", 6)} AS mean_diff,
+           {_sql_round_ieee("(m1 - m2) / sqrt(v1n + v2n)", 6)} AS t_stat,
+           {_sql_round_ieee(
+               "(v1n + v2n) * (v1n + v2n)"
+               " / (v1n * v1n / (n1 - 1) + v2n * v2n / (n2 - 1))", 2)} AS df
+    FROM e
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean purchase vs click
+    value, with the Welch–Satterthwaite degrees of freedom — the
+    default two-sample mean test (ab_test_proportions covers rates;
+    this covers magnitudes). Moments (n, Σx, Σx²) accumulate as exact
+    scaled ints on the 2dp grid; mean/variance/t/df are one shared
+    fixed-shape IEEE pipeline (sqrt is IEEE-correctly-rounded on both
+    engines), so all three statistics agree bitwise before the
+    defensive rounding.
+
+    Scale shape: ONE map-side-combined two-group moment aggregate over
+    the filtered scan; everything after is 1-row arithmetic."""
+    g = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = (
+        spark.table("events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(g).alias("s"),
+            F.sum(g * g).alias("ss"),
+        )
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    w = m.groupBy().agg(
+        pick("purchase", "n").alias("n1"), pick("purchase", "s").alias("s1"),
+        pick("purchase", "ss").alias("ss1"),
+        pick("click", "n").alias("n2"), pick("click", "s").alias("s2"),
+        pick("click", "ss").alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1") / 100.0
+    m2 = F.col("s2").cast("double") / F.col("n2") / 100.0
+    v1n = (
+        (F.col("ss1").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1"))
+        / (F.col("n1") - 1) / 10000.0 / F.col("n1")
+    )
+    v2n = (
+        (F.col("ss2").cast("double")
+         - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2"))
+        / (F.col("n2") - 1) / 10000.0 / F.col("n2")
+    )
+    e = w.select(
+        "n1", "n2", m1.alias("m1"), m2.alias("m2"),
+        v1n.alias("v1n"), v2n.alias("v2n"),
+    )
+    return e.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        _round_ieee(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        _round_ieee(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1n") + F.col("v2n")),
+            6,
+        ).alias("t_stat"),
+        _round_ieee(
+            (F.col("v1n") + F.col("v2n")) * (F.col("v1n") + F.col("v2n"))
+            / (
+                F.col("v1n") * F.col("v1n") / (F.col("n1") - 1)
+                + F.col("v2n") * F.col("v2n") / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df"),
+    )

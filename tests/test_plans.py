@@ -516,3 +516,15 @@ def test_bucketed_join_has_no_exchange(spark):
     # the only exchanges left belong to the aggregate/sort, not the join
     join_part = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_part, join_part
+
+
+def test_partitioned_sink_prunes(spark):
+    """The event_type predicate must become a PartitionFilter on the
+    partitioned copy — non-matching partitions never open."""
+    df = QUERIES["sink_partitioned_pruning"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    assert "event_type" in plan.split("PartitionFilters:")[1][:200], plan
+    # the pushed partition predicate leaves no event_type filter on data
+    scan = plan[plan.index("FileScan"):]
+    assert "purchase" in scan.split("PartitionFilters:")[1][:200], scan

@@ -165,6 +165,10 @@ HEADLINE = [
     "join_bucketed_colocated",
     "dedup_minhash_lsh_selfdup",
     "join_anti_survivors",
+    "dq_psi_stability",
+    "stats_welch_ttest",
+    "ml_feature_hashing",
+    "sink_partitioned_pruning",
 ]
 
 
