@@ -558,3 +558,75 @@ def test_ivf_topk_bounds(spark):
     for p in hits:
         assert ivf[p] == exact_all[p], p  # bit-exact distance math
     assert len(hits) >= 0.25 * len(exact_all), (len(hits), len(exact_all))
+
+
+def test_roc_auc_matches_naive_rank_formulation(spark):
+    """The compressed-domain midrank AUC must equal the naive per-row
+    average-rank computation on adversarial random data (heavy ties —
+    the case midranks exist for). Reference computed in plain Python."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from shelf_spark.queries.prefix import attach_prefix_sums
+    from shelf_spark.queries.stats import _D38
+    from shelf_spark.queries.num import _round_ieee
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        # scores drawn from a tiny domain => massive ties; labels correlated
+        rows = [
+            (i, rng.randint(0, 5), rng.random() < 0.3 + 0.1 * (i % 3))
+            for i in range(300)
+        ]
+        sc = spark.createDataFrame(rows, "doc_id long, score long, y boolean")
+        dom = sc.groupBy("score").agg(
+            F.count("*").alias("nt"), F.count(F.when(F.col("y"), 1)).alias("np")
+        )
+        dom = attach_prefix_sums(dom, ["score"], ["nt"])
+        contrib = F.col("np").cast(_D38) * (
+            2 * (F.col("nt_upto") - F.col("nt")) + F.col("nt") + 1
+        ).cast(_D38)
+        agg = dom.agg(
+            F.sum(contrib).alias("r2"), F.sum("np").alias("p"), F.sum("nt").alias("t")
+        ).first()
+        p, n = int(agg.p), int(agg.t) - int(agg.p)
+        auc_spark = (int(agg.r2) - p * (p + 1)) / (2.0 * p * n)
+
+        # naive reference: average ranks over the sorted rows
+        scores = sorted((s, y) for _, s, y in rows)
+        ranks: dict[int, list[int]] = {}
+        for idx, (s, _) in enumerate(scores, start=1):
+            ranks.setdefault(s, []).append(idx)
+        midrank = {s: sum(r) / len(r) for s, r in ranks.items()}
+        r_pos = sum(midrank[s] for s, y in scores if y)
+        auc_ref = (r_pos - p * (p + 1) / 2) / (p * n)
+        assert abs(auc_spark - auc_ref) < 1e-12, (seed, auc_spark, auc_ref)
+
+
+def test_lift_deciles_bucket_formula_matches_row_number(spark):
+    """The distributed decile assignment ((rank-1)*10 div n) must equal
+    a direct row_number()-based bucketing on random data with ties."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W2
+
+    from shelf_spark.queries.prefix import attach_prefix_sums
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 9)) for i in range(137)]
+    sc = spark.createDataFrame(rows, "doc_id long, score long").select(
+        "doc_id", "score", (-F.col("score")).alias("neg"), F.lit(1).alias("one")
+    )
+    rn = attach_prefix_sums(sc, ["neg", "doc_id"], ["one"])
+    n = len(rows)
+    got = {
+        r.doc_id: (r.one_upto - 1) * 10 // n for r in rn.collect()
+    }
+    w = W2.orderBy(F.desc("score"), "doc_id")
+    want = {
+        r.doc_id: (r.rn - 1) * 10 // n
+        for r in sc.select("doc_id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
