@@ -29,13 +29,20 @@ def write_bucketed(
     num_buckets: int,
     sort_keys: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally per-bucket-sorted)
-    managed table. Joins/aggregations on ``bucket_keys`` between tables
-    with identical bucketing then plan without an Exchange."""
+    table. Joins/aggregations on ``bucket_keys`` between tables with
+    identical bucketing then plan without an Exchange. With ``path`` the
+    table is EXTERNAL (data at ``path``, only metadata in the catalog) —
+    callers that may run under a caller-owned session (whose managed
+    warehouse could point anywhere, e.g. the process cwd) should pass an
+    explicit path."""
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_keys)
     if sort_keys:
         writer = writer.sortBy(*sort_keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 

@@ -169,19 +169,16 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, hash-scattered), so the plain-SQL oracle is sound; results
     are an exact integer-grid revenue rollup per segment.
     """
+    from ..optimize import write_bucketed
+
     tag = _bucketed_tag(sf_dir)
     base = "/tmp/shelf-spark-bucketed"
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tbl = f"bkt_{name}_{tag}"
         if not spark.catalog.tableExists(tbl):
-            (
-                spark.table(name)
-                .write.mode("overwrite")
-                .option("path", f"{base}/{tbl}")
-                .bucketBy(_N_BUCKETS, key)
-                .sortBy(key)
-                .format("parquet")
-                .saveAsTable(tbl)
+            write_bucketed(
+                spark.table(name), tbl, [key], _N_BUCKETS,
+                sort_keys=[key], path=f"{base}/{tbl}",
             )
     o = spark.table(f"bkt_orders_{tag}")
     c = spark.table(f"bkt_customer_{tag}")
