@@ -85,7 +85,7 @@ _DRIVER_WINDOW_R08 = [
     "graph_degree_distribution", "events_interarrival_stats",
     "filter_c4_style", "privacy_l_diversity", "join_bucketed_colocated",
     "dq_psi_stability", "stats_welch_ttest", "ml_feature_hashing",
-    "sink_partitioned_pruning",
+    "sink_partitioned_pruning", "sql_recursive_cte",
     # refactor re-proof (shared _minhash_lsh_pairs helper; rows-only)
     "dedup_minhash_lsh",
     # belt-and-braces: oldest (r01–r03) driver rows, re-proved current
@@ -94,7 +94,6 @@ _DRIVER_WINDOW_R08 = [
     "q14_promo_share", "scan_project_filter", "join_left_outer",
     "join_right_outer", "join_full_outer", "join_semi", "join_anti",
     "agg_stats", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_pivot",
 ]
 
 _DRIVER_WINDOW_R07 = [

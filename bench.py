@@ -151,6 +151,7 @@ HEADLINE = [
     "stats_welch_ttest",
     "ml_feature_hashing",
     "sink_partitioned_pruning",
+    "sql_recursive_cte",
 ]
 
 

@@ -80,3 +80,66 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(1000)
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: recursive CTE (Spark 4 WITH RECURSIVE — hop-bounded BFS)
+# ---------------------------------------------------------------------------
+
+_RCTE_MAX_HOPS = 4
+
+#: One SQL text, two engines: the dialect subset here (joins, GROUP BY,
+#: HAVING, UNION ALL, WITH RECURSIVE) parses and evaluates identically
+#: on Spark 4 and DuckDB, so the oracle IS the implementation modulo
+#: the engine. Seed = the max-degree hub (ties to the smallest id); hop bound
+#: guarantees termination on both engines.
+_RCTE_SQL = f"""
+    WITH RECURSIVE
+    baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    supp AS (
+      SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 3
+    ),
+    edges AS (
+      SELECT p1 AS src, p2 AS dst FROM supp
+      UNION ALL SELECT p2, p1 FROM supp
+    ),
+    seed AS (
+      SELECT src AS s FROM edges
+      GROUP BY src ORDER BY count(*) DESC, src LIMIT 1
+    ),
+    walk(node, hops) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < {_RCTE_MAX_HOPS}
+    )
+    SELECT node AS item, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM walk GROUP BY node ORDER BY item
+"""
+
+
+@query("sql_recursive_cte", oracle=_RCTE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded BFS over the strong co-purchase graph via Spark 4's
+    `WITH RECURSIVE` — the recursive-query surface (reachability, BOM
+    explosion, org rollups) that closed the last classic SQL gap
+    between Spark and single-node engines. The SAME SQL text runs on
+    both engines (the oracle is literally the implementation string),
+    so parity covers parsing, recursion semantics (UNION ALL + hop
+    guard), and the aggregation epilogue.
+
+    Scale shape: Spark executes the recursion as an iterative loop
+    (UnionLoopExec) — each step is one co-partitioned join of the
+    frontier against the edge relation, and the {_RCTE_MAX_HOPS}-hop
+    bound caps plan depth; frontier dedup happens in the final
+    GROUP BY. For UNBOUNDED reachability at 100 TB the star-contraction
+    operator (graph_connected_components) remains the right tool —
+    O(log² n) rounds vs O(diameter); this entry pins the SQL surface
+    itself."""
+    return spark.sql(_RCTE_SQL)
