@@ -124,22 +124,66 @@ _RCTE_SQL = f"""
 """
 
 
+#: The recursive fragment alone, over a pre-materialized edge view —
+#: Spark's UnionLoop re-evaluates non-recursive CTEs referenced inside
+#: the loop body on EVERY iteration, so feeding it the raw pair
+#: derivation re-runs the basket join per hop (measured 10.5 s at
+#: sf0.1; 2.6 s with the edges pinned first — the residual is the
+#: one-time pair derivation itself).
+_RCTE_WALK_SQL = f"""
+    WITH RECURSIVE
+    seed AS (
+      SELECT src AS s FROM rcte_edges
+      GROUP BY src ORDER BY count(*) DESC, src LIMIT 1
+    ),
+    walk(node, hops) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN rcte_edges e ON e.src = w.node
+      WHERE w.hops < {_RCTE_MAX_HOPS}
+    )
+    SELECT node AS item, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM walk GROUP BY node ORDER BY item
+"""
+
+
 @query("sql_recursive_cte", oracle=_RCTE_SQL)
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-bounded BFS over the strong co-purchase graph via Spark 4's
     `WITH RECURSIVE` — the recursive-query surface (reachability, BOM
     explosion, org rollups) that closed the last classic SQL gap
-    between Spark and single-node engines. The SAME SQL text runs on
-    both engines (the oracle is literally the implementation string),
-    so parity covers parsing, recursion semantics (UNION ALL + hop
-    guard), and the aggregation epilogue.
+    between Spark and single-node engines. The recursive fragment
+    (seed, UNION ALL walk, hop guard, aggregation epilogue) is the
+    SAME SQL text the DuckDB oracle runs, so recursion-semantics
+    parity is covered by the value hash.
 
-    Scale shape: Spark executes the recursion as an iterative loop
-    (UnionLoopExec) — each step is one co-partitioned join of the
-    frontier against the edge relation, and the {_RCTE_MAX_HOPS}-hop
-    bound caps plan depth; frontier dedup happens in the final
-    GROUP BY. For UNBOUNDED reachability at 100 TB the star-contraction
+    Scale shape: the edge relation is derived ONCE and pinned
+    (localCheckpoint) before entering the loop — Spark's UnionLoopExec
+    re-evaluates non-recursive CTEs inside the loop body per
+    iteration, so an unpinned edge derivation would re-run the basket
+    join every hop (measured: 10.5 s → 2.6 s at sf0.1 from this pin
+    alone; the residual is the one-time pair derivation). Each step is then one co-partitioned join of the frontier
+    against the pinned edges; the {_RCTE_MAX_HOPS}-hop bound caps plan
+    depth. For UNBOUNDED reachability at 100 TB the star-contraction
     operator (graph_connected_components) remains the right tool —
     O(log² n) rounds vs O(diameter); this entry pins the SQL surface
     itself."""
-    return spark.sql(_RCTE_SQL)
+    from pyspark.sql import functions as F
+
+    pairs = spark.sql(
+        """
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 3
+        """
+    )
+    edges = pairs.selectExpr("p1 AS src", "p2 AS dst").unionAll(
+        pairs.selectExpr("p2 AS src", "p1 AS dst")
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("rcte_edges")
+    return spark.sql(_RCTE_WALK_SQL)
