@@ -218,9 +218,11 @@ def main() -> None:
         "n_queries": len(timings),
     }
     # Durable FULL per-query record, committed in-repo (the driver
-    # captures stdout with a bounded tail window). Only a full run may
-    # overwrite it — a --pattern subset run would clobber the record.
-    if not args.pattern:
+    # captures stdout with a bounded tail window). Only a full
+    # default-methodology run may overwrite it — a --pattern subset or a
+    # --session-every isolation run would clobber the steady-state
+    # record with different-methodology timings.
+    if not args.pattern and not args.session_every:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as fh:
             fh.write(json.dumps({**base, "queries": timings}) + "\n")

@@ -680,7 +680,11 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (us - F.lag(us).over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
     avg_s = F.floor(
-        F.sum("gap_us").cast("double")
+        # decimal(38,0) accumulator: per-(user,type) gap sums telescope
+        # to (last−first), but summed over ~1e9 users × multi-year
+        # spans the per-type total passes 9.2e18 µs — Spark's non-ANSI
+        # long sum would wrap silently; DuckDB's promotes to HUGEINT.
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
         / F.count("gap_us")
         / 1000000.0
         * 1000.0

@@ -505,6 +505,19 @@ _SQL_SUPPORT_EDGES = f"""
 """
 
 
+def _support_edges(spark: SparkSession) -> DataFrame:
+    """The strong co-purchase edge set (support ≥ _MIN_COSUPPORT) —
+    shared by components, degree distribution, and the recursive-CTE
+    SQL twin so all three always describe the SAME graph."""
+    return (
+        _basket_pairs(spark)
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _MIN_COSUPPORT)
+        .select("p1", "p2")
+    )
+
+
 @query(
     "graph_connected_components",
     oracle=f"""
@@ -541,13 +554,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy + one co-partitioned integer join). The oracle's
     recursive CTE is O(component²) and exists only for the fixture; the
     Spark side never materializes reachability."""
-    support = (
-        _basket_pairs(spark)
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= _MIN_COSUPPORT)
-        .select("p1", "p2")
-    )
+    support = _support_edges(spark)
     from .sampling import star_components
 
     return (
@@ -583,13 +590,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     list → node key), one for the bounded-domain histogram — all
     map-side-combined; nothing is quadratic, the histogram domain is
     max-degree-bounded."""
-    support = (
-        _basket_pairs(spark)
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= _MIN_COSUPPORT)
-        .select("p1", "p2")
-    )
+    support = _support_edges(spark)
     deg = (
         support.select(F.col("p1").alias("node"))
         .unionAll(support.select(F.col("p2").alias("node")))

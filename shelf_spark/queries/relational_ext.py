@@ -136,10 +136,27 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_BUCKETS = 8
 
 
-def _bucketed_tag(sf_dir: str) -> str:
+def _layout_tag(sf_dir: str, *tables: str) -> str:
+    """Cache tag for derived /tmp layouts (bucketed, partitioned):
+    source PATH plus each source table's mtime, so a fixture
+    regenerated in place yields a NEW tag and the stale copy is never
+    served (it would value-mismatch the oracle, which reads the fresh
+    parquet directly). Known limitation: two processes building the
+    same tag concurrently race on the /tmp write; the driver and the
+    gate are single-process, and a torn copy fails loudly at read."""
     import hashlib
+    import os
 
-    return hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    from ..data import table_path
+
+    parts = [sf_dir]
+    for t in tables:
+        p = table_path(sf_dir, t)
+        try:
+            parts.append(f"{t}:{os.stat(p).st_mtime_ns}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:10]
 
 
 @query(
@@ -171,7 +188,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..optimize import write_bucketed
 
-    tag = _bucketed_tag(sf_dir)
+    tag = _layout_tag(sf_dir, "orders", "customer")
     base = "/tmp/shelf-spark-bucketed"
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tbl = f"bkt_{name}_{tag}"
@@ -223,11 +240,10 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory-scattered), so the plain-SQL oracle over `events` is
     sound; the rollup uses the exact integer revenue grid.
     """
-    import hashlib
-
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/shelf-spark-partitioned/events_{tag}"
     import os
+
+    tag = _layout_tag(sf_dir, "events")
+    path = f"/tmp/shelf-spark-partitioned/events_{tag}"
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (

@@ -91,19 +91,18 @@ _RCTE_MAX_HOPS = 4
 #: One SQL text, two engines: the dialect subset here (joins, GROUP BY,
 #: HAVING, UNION ALL, WITH RECURSIVE) parses and evaluates identically
 #: on Spark 4 and DuckDB, so the oracle IS the implementation modulo
-#: the engine. Seed = the max-degree hub (ties to the smallest id); hop bound
-#: guarantees termination on both engines.
+#: the engine. Seed = the max-degree hub (ties to the smallest id); hop
+#: bound guarantees termination on both engines. The graph definition
+#: (baskets → pairs → support filter) is imported from graph.py so this
+#: twin can never drift from the graph the components/degree operators
+#: describe.
+from .graph import _SQL_BASKETS, _SQL_PAIRS, _SQL_SUPPORT_EDGES  # noqa: E402
+
 _RCTE_SQL = f"""
     WITH RECURSIVE
-    baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
-      SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
-      FROM baskets a JOIN baskets b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    supp AS (
-      SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 3
-    ),
+    baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    supp AS ({_SQL_SUPPORT_EDGES}),
     edges AS (
       SELECT p1 AS src, p2 AS dst FROM supp
       UNION ALL SELECT p2, p1 FROM supp
@@ -169,19 +168,9 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (graph_connected_components) remains the right tool —
     O(log² n) rounds vs O(diameter); this entry pins the SQL surface
     itself."""
-    from pyspark.sql import functions as F
+    from .graph import _support_edges
 
-    pairs = spark.sql(
-        """
-        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        pairs AS (
-          SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
-          FROM baskets a JOIN baskets b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        )
-        SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 3
-        """
-    )
+    pairs = _support_edges(spark)
     edges = pairs.selectExpr("p1 AS src", "p2 AS dst").unionAll(
         pairs.selectExpr("p2 AS src", "p1 AS dst")
     ).localCheckpoint()

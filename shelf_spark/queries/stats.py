@@ -1642,7 +1642,9 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "score", "y", (-F.col("score")).alias("neg"), F.lit(1).alias("one")
     )
     rn = attach_prefix_sums(sc, ["neg", "doc_id"], ["one"])
-    tot = sc.groupBy().agg(
+    # totals from RN (attach_prefix_sums' checkpointed relation keeps all
+    # of sc's columns) — aggregating raw `sc` would re-scan documents.
+    tot = rn.groupBy().agg(
         F.count("*").alias("n"), F.count(F.when(F.col("y"), 1)).alias("p")
     )
     b = (
@@ -1805,12 +1807,17 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(t6.alias("t6"), "lang", "source")
     )
-    agg = terms.agg(
-        F.sum("t6").alias("s6"),
+    # dims come from CELLS, not from the joined terms: the null-rejecting
+    # inner joins above drop any cell with a NULL lang/source, while the
+    # oracle's dims CTE counts every cell — with a nullable category the
+    # two would disagree on n_cells even though both sides (equally)
+    # exclude null cells from the chi² sum via the null-rejecting join.
+    dims = cells.agg(
         F.countDistinct("lang").alias("nl"),
         F.countDistinct("source").alias("ns"),
         F.count("*").alias("ncells"),
     )
+    agg = terms.agg(F.sum("t6").alias("s6")).crossJoin(F.broadcast(dims))
     return agg.select(
         (F.col("s6").cast("double") / 1000000.0).alias("chi2"),
         ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
@@ -1981,7 +1988,10 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     ).withColumn("one", F.lit(1))
     cum = attach_prefix_sums(daily, ["day"], ["v", "one"])
-    tot = daily.groupBy().agg(F.sum("v").alias("t"), F.count("*").alias("n"))
+    # totals from CUM (attach_prefix_sums' checkpointed domain), not from
+    # `daily` — aggregating the raw relation would re-run the full events
+    # scan+agg a second time per execution.
+    tot = cum.groupBy().agg(F.sum("v").alias("t"), F.count("*").alias("n"))
     d = cum.crossJoin(F.broadcast(tot)).select(
         "day",
         F.abs(
@@ -2164,8 +2174,13 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(g).alias("s"),
-            F.sum(g * g).alias("ss"),
+            # decimal(38,0) accumulators: g ≈ 5e6 on the 2dp grid, so a
+            # 10^12-row group pushes Σg to ~5e18 (int64 edge) and Σg²
+            # past it entirely; Spark's non-ANSI long sum would wrap
+            # silently while the oracle's DuckDB sum promotes to
+            # HUGEINT — the module's decimal-moment discipline applies.
+            F.sum(g.cast(_D38)).alias("s"),
+            F.sum((g * g).cast(_D38)).alias("ss"),
         )
     )
     pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731

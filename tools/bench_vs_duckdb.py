@@ -76,6 +76,17 @@ def main() -> None:
 
     spark_bench = json.load(open(args.bench_json))
     spark_q = spark_bench["queries"]
+    # The comparison is only meaningful same-scale: refuse to mix a
+    # BENCH_local.json recorded at one sf with DuckDB runs at another.
+    import re
+
+    m = re.search(r"sf([0-9.]+)", args.sf)
+    duck_sf = float(m.group(1)) if m else None
+    if duck_sf is not None and spark_bench.get("sf") not in (None, duck_sf):
+        sys.exit(
+            f"sf mismatch: {args.bench_json} was recorded at "
+            f"sf={spark_bench.get('sf')} but --sf points at sf={duck_sf}"
+        )
 
     con = duckdb.connect()
     for t in TABLES:
