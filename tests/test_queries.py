@@ -630,3 +630,65 @@ def test_lift_deciles_bucket_formula_matches_row_number(spark):
         for r in sc.select("doc_id", F.row_number().over(w).alias("rn")).collect()
     }
     assert got == want
+
+
+def test_ks_statistic_matches_brute_force(spark):
+    """The prefix-sum KS (integer cross-multiplied argmax) must equal a
+    brute-force scan over every threshold on random tied data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from shelf_spark.queries.prefix import attach_prefix_sums
+    from shelf_spark.queries.stats import _D38
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 7), rng.random() < 0.4) for i in range(400)]
+    sc = spark.createDataFrame(rows, "doc_id long, score long, y boolean")
+    dom = sc.groupBy("score").agg(
+        F.count("*").alias("nt"), F.count(F.when(F.col("y"), 1)).alias("np")
+    )
+    dom = attach_prefix_sums(dom, ["score"], ["nt", "np"])
+    tot = dom.groupBy().agg(
+        F.sum("np").alias("p"), (F.sum("nt") - F.sum("np")).alias("n")
+    )
+    d = dom.crossJoin(F.broadcast(tot)).select(
+        "score",
+        F.abs(
+            F.col("np_upto").cast(_D38) * F.col("n").cast(_D38)
+            - (F.col("nt_upto") - F.col("np_upto")).cast(_D38)
+            * F.col("p").cast(_D38)
+        ).alias("dist"),
+        "p",
+        "n",
+    )
+    top = d.orderBy(F.desc("dist"), "score").limit(1).first()
+    # brute force in python
+    p = sum(1 for _, _, y in rows if y)
+    n = len(rows) - p
+    best = (-1, None)
+    for s in sorted({r[1] for r in rows}):
+        cp = sum(1 for _, sc_, y in rows if sc_ <= s and y)
+        cn = sum(1 for _, sc_, y in rows if sc_ <= s and not y)
+        dist = abs(cp * n - cn * p)
+        if dist > best[0]:
+            best = (dist, s)
+    assert (int(top.dist), top.score) == best, (top, best)
+
+
+def test_layout_tag_changes_when_fixture_regenerated(tmp_path):
+    """The /tmp layout cache key must change when a source table is
+    rewritten in place — a stale bucketed/partitioned copy would
+    value-mismatch the oracle (which reads the fresh parquet)."""
+    import os
+    import shutil
+    import time
+
+    from shelf_spark.queries.relational_ext import _layout_tag
+
+    sf = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{sf}/events.parquet")
+    t1 = _layout_tag(sf, "events")
+    assert t1 == _layout_tag(sf, "events")  # stable while untouched
+    os.utime(f"{sf}/events.parquet", ns=(time.time_ns(), time.time_ns() + 1))
+    assert _layout_tag(sf, "events") != t1
