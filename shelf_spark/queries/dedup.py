@@ -615,3 +615,92 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_shingles") >= 5)
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8c: incremental batch dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+#: doc_id % _INCR_MOD == 0 plays the "new batch"; the rest is the
+#: already-ingested corpus (same split convention as text_decontaminate's
+#: held-out benchmark).
+_INCR_MOD = 3
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS fp FROM documents
+      WHERE doc_id % {_INCR_MOD} <> 0
+    ),
+    batch AS (
+      SELECT doc_id, source, sha256(text) AS fp FROM documents
+      WHERE doc_id % {_INCR_MOD} = 0
+    ),
+    flagged AS (
+      SELECT b.doc_id, b.source, b.fp,
+             (c.fp IS NOT NULL) AS dup_vs_corpus,
+             row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+      FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE dup_vs_corpus) AS BIGINT)
+             AS n_dup_vs_corpus,
+           CAST(count(*) FILTER (WHERE NOT dup_vs_corpus AND rn > 1)
+                AS BIGINT) AS n_dup_within_batch,
+           CAST(count(*) FILTER (WHERE NOT dup_vs_corpus AND rn = 1)
+                AS BIGINT) AS n_accepted
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new batch is admitted against the
+    EXISTING corpus's fingerprint set (drop anything already ingested),
+    then deduped within itself (keep-first by doc_id) — the shape every
+    recurring crawl/ingest pipeline runs, where re-fingerprinting the
+    whole lake per batch would be quadratic over time. The per-source
+    admission ledger (new / dup-vs-corpus / dup-within-batch /
+    accepted) is the audit artifact.
+
+    Scale shape: the corpus side reduces to DISTINCT 32-byte digests
+    (one agg — in production this is the incrementally-maintained
+    fingerprint table, not a rescan); the batch joins it on the digest
+    (AQE broadcasts the smaller side), and within-batch keep-first is
+    one digest-keyed window over the BATCH only. Nothing shuffles
+    document bodies; per-batch cost is batch-sized, not lake-sized."""
+    d = spark.table("documents")
+    fp = F.sha2(F.col("text"), 256)
+    corpus = (
+        d.filter(F.col("doc_id") % _INCR_MOD != 0)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = d.filter(F.col("doc_id") % _INCR_MOD == 0).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        batch.join(corpus, "fp", "left")
+        .withColumn("dup_vs_corpus", F.coalesce(F.col("in_corpus"), F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    fresh = ~F.col("dup_vs_corpus")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            F.count(F.when(F.col("dup_vs_corpus"), 1)).cast("long").alias(
+                "n_dup_vs_corpus"
+            ),
+            F.count(F.when(fresh & (F.col("rn") > 1), 1)).cast("long").alias(
+                "n_dup_within_batch"
+            ),
+            F.count(F.when(fresh & (F.col("rn") == 1), 1)).cast("long").alias(
+                "n_accepted"
+            ),
+        )
+        .orderBy("source")
+    )

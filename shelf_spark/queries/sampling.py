@@ -649,3 +649,67 @@ def mix_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy",
         "normalized_entropy",
     )
+
+
+# ---------------------------------------------------------------------------
+# r8c: temporal split with embargo (purged time-series split)
+# ---------------------------------------------------------------------------
+
+_TSPLIT_CUT = "2024-01-20 00:00:00"
+_TSPLIT_EMBARGO_DAYS = 3
+
+
+@query(
+    "sample_temporal_split_embargo",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CASE
+               WHEN ts <  TIMESTAMP '{_TSPLIT_CUT}' THEN 'train'
+               WHEN ts <  TIMESTAMP '{_TSPLIT_CUT}'
+                          + INTERVAL {_TSPLIT_EMBARGO_DAYS} DAY THEN 'embargo'
+               ELSE 'test'
+             END AS split,
+             user_id, ts
+      FROM events
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
+           CAST(max(date_trunc('day', ts)) AS DATE) AS last_day
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+)
+def sample_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split: train strictly before the cutoff, test
+    strictly after a {_TSPLIT_EMBARGO_DAYS}-day embargo window, and the
+    embargo rows themselves QUARANTINED and counted — the
+    leakage-guarded split (de Prado's purged CV) a time-series model
+    must use instead of a hash split when labels depend on
+    near-future events. The audit row per split (counts, distinct
+    users, day range) is the release gate's evidence that no test row
+    predates train's horizon.
+
+    Scale shape: one map-only CASE label + one map-side-combined
+    aggregate onto the 3-row split domain (the distinct-user count
+    shuffles (split, user) pairs, user-bounded). Timestamps compare as
+    exact instants; no sampling, no windows."""
+    cut = F.lit(_TSPLIT_CUT).cast("timestamp")
+    cut_end = F.timestamp_add("DAY", F.lit(_TSPLIT_EMBARGO_DAYS), cut)
+    split = (
+        F.when(F.col("ts") < cut, "train")
+        .when(F.col("ts") < cut_end, "embargo")
+        .otherwise("test")
+    )
+    return (
+        spark.table("events")
+        .select(split.alias("split"), "user_id", "ts")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.to_date(F.min(F.date_trunc("day", "ts"))).alias("first_day"),
+            F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day"),
+        )
+        .orderBy("split")
+    )

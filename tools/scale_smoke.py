@@ -170,6 +170,8 @@ HEADLINE = [
     "ml_feature_hashing",
     "sink_partitioned_pruning",
     "sql_recursive_cte",
+    "sample_temporal_split_embargo",
+    "dedup_incremental_batch",
 ]
 
 
