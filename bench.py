@@ -154,6 +154,8 @@ HEADLINE = [
     "sql_recursive_cte",
     "sample_temporal_split_embargo",
     "dedup_incremental_batch",
+    "dedup_containment_ngram",
+    "ts_seasonal_decompose",
 ]
 
 

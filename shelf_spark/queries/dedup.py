@@ -704,3 +704,164 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: asymmetric containment dedup (quote / subset-document detection)
+# ---------------------------------------------------------------------------
+
+#: Containment threshold: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+_CONTAIN_T = 0.9
+#: doc_id offset for the injected truncated-quote harness (distinct from
+#: _SELFDUP_OFFSET; collisions would fail the oracle, not hide).
+_QUOTE_OFFSET = 200_000_000
+#: Every (doc_id % _QUOTE_MOD == 0) document donates a truncated copy.
+_QUOTE_MOD = 5
+
+#: Shared truncation semantics: the quote keeps the first
+#: greatest(3, floor(n_words/3)) words of its donor.
+_SQL_QUOTE = f"""
+      SELECT doc_id + {_QUOTE_OFFSET} AS doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1,
+                 greatest(3, CAST(floor(len(string_split(text, ' ')) / 3)
+                                  AS INT))), ' ') AS text
+      FROM documents WHERE doc_id % {_QUOTE_MOD} = 0
+"""
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_SQL_QUOTE}
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+               ELSE [text] END)) AS shingle
+      FROM corpus
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_in, doc_out,
+           round(CAST(n_common AS DOUBLE) / si.n_sh, 6) AS containment,
+           round(CAST(n_common AS DOUBLE)
+                 / (si.n_sh + so.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes si ON si.doc_id = doc_in
+    JOIN sizes so ON so.doc_id = doc_out
+    WHERE CAST(n_common AS DOUBLE) / si.n_sh >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment dedup: find ordered pairs where
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ {_CONTAIN_T} — document A is
+    (near-)contained in B. This is the duplication class symmetric
+    Jaccard MISSES: a quote, excerpt, or boilerplate-wrapped copy of a
+    long document has C ≈ 1 but J ≈ |A|/|B| (far below any usable
+    Jaccard threshold when B is much longer). Crawl pipelines dedup on
+    containment to drop quoted/excerpted republications.
+
+    The fixture has near-dup pairs but no true subset documents, so —
+    following the `dedup_minhash_lsh_selfdup` harness pattern — the
+    corpus is `documents` plus an injected truncated quote (the first
+    third of every fifth document, re-keyed (+{_QUOTE_OFFSET})); a
+    quote's shingles are a strict subset of its donor's, so the
+    operator must recover every quote→donor pair with containment
+    exactly 1.0 while their reported Jaccard (~0.33) sits far below
+    the 0.5 near-dup threshold — the result VALUE-documents the
+    asymmetry. The brute-force oracle is the naive inverted-index
+    join.
+
+    Scale shape: the inner (contained) side is prefix-filtered exactly
+    as in `jaccard_pairs_exact` — C(A→B) ≥ t forces a common shingle
+    inside A's ⌈(1-t)·|A|⌉+1 globally-rarest shingles — so candidates
+    come from joining those short rare prefixes against the full
+    posting lists, with the size guard |B| ≥ t·|A| applied before
+    verification (containment admits no upper size bound on B, so only
+    the inner side prunes: the standard overlap-join asymmetry, cf.
+    Bayardo WWW'07 §3). Verification meets the pinned shingle arrays
+    only per candidate pair via `array_intersect`; document bodies
+    never shuffle."""
+    d = spark.table("documents")
+    words = _words()
+    k_keep = F.greatest(
+        F.lit(3), F.floor(F.size(words) / F.lit(3))
+    ).cast("int")
+    quotes = d.filter(F.col("doc_id") % _QUOTE_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_QUOTE_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, k_keep)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(quotes)
+
+    sets = (
+        _spread(corpus)
+        .select("doc_id", _shingles(_words()).alias("sh_set"))
+        .localCheckpoint(eager=False)
+    )
+    sh = sets.select(
+        "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("shingle")
+    )
+    # Global rarity + per-doc rank, one token-stream shuffle (same
+    # window-inside-the-exchange layout as jaccard_pairs_exact).
+    ranked = sh.withColumn(
+        "df", F.count("*").over(W.partitionBy("shingle"))
+    ).withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_sh") - F.ceil(F.lit(_CONTAIN_T) * F.col("n_sh")) + 1
+    ).select(
+        F.col("doc_id").alias("doc_in"),
+        "shingle",
+        F.col("n_sh").alias("n_in"),
+    )
+    cand = (
+        prefix.join(
+            sh.select(
+                F.col("doc_id").alias("doc_out"),
+                "shingle",
+                F.col("n_sh").alias("n_out"),
+            ),
+            ["shingle"],
+        )
+        .filter(
+            (F.col("doc_in") != F.col("doc_out"))
+            # |A∩B| ≤ |B|, so C ≥ t forces |B| ≥ t·|A| (the only size
+            # bound containment admits — no upper bound on B).
+            & (F.col("n_out") >= F.ceil(F.lit(_CONTAIN_T) * F.col("n_in")))
+        )
+        .select("doc_in", "doc_out")
+        .distinct()
+    )
+    A = sets.select(F.col("doc_id").alias("doc_in"), F.col("sh_set").alias("set_in"))
+    B = sets.select(F.col("doc_id").alias("doc_out"), F.col("sh_set").alias("set_out"))
+    n_common = F.size(F.array_intersect(F.col("set_in"), F.col("set_out")))
+    containment = n_common.cast("double") / F.size("set_in")
+    jaccard = n_common.cast("double") / (
+        F.size("set_in") + F.size("set_out") - n_common
+    )
+    return (
+        cand.join(A, "doc_in")
+        .join(B, "doc_out")
+        .filter(containment >= _CONTAIN_T)
+        .select(
+            "doc_in",
+            "doc_out",
+            F.round(containment, 6).alias("containment"),
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+    )

@@ -2224,3 +2224,108 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: seasonal decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT day, rev_c,
+             CAST(dayofweek(day) AS INT) AS dow,
+             sum(rev_c)  OVER w AS s7,
+             count(*)    OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dow_avg AS (
+      SELECT CAST(dayofweek(day) AS INT) AS dow,
+             sum(rev_c) AS sd, count(*) AS nd
+      FROM daily GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev_c) AS st, count(*) AS nt FROM daily)
+    SELECT w.day, w.dow,
+           round(w.rev_c / 100.0, 6)                             AS revenue,
+           round(w.s7 / (100.0 * w.c7), 6)                       AS trend_7d,
+           round(d.sd / (100.0 * d.nd)
+                 - t.st / (100.0 * t.nt), 6)                     AS seasonal_dow,
+           round(w.rev_c / 100.0
+                 - w.s7 / (100.0 * w.c7)
+                 - (d.sd / (100.0 * d.nd)
+                    - t.st / (100.0 * t.nt)), 6)                 AS residual
+    FROM win w JOIN dow_avg d ON d.dow = w.dow CROSS JOIN tot t
+    ORDER BY w.day
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: revenue = trend (centered 7-day moving average) + seasonal
+    (day-of-week mean deviation from the global mean) + residual — the
+    standard pre-model step for anomaly baselining and forecasting
+    (the moving-average decomposition underlying STL).
+
+    Exactness: daily revenue is summed on an integer cents grid, so
+    the 7-day window sum and the day-of-week / global sums are exact
+    integers in BOTH engines; every double is then derived from those
+    integers by the same expression tree, making trend/seasonal/
+    residual bit-reproducible (rounded 6dp for belt and braces).
+
+    Scale shape: one map-side-combined aggregate compresses facts onto
+    the calendar-day domain (~2.4k rows here; thousands at any
+    horizon); the 7-row frame runs as a constant-key window over that
+    compressed domain (the prefix.py idiom — bounded by calendar, not
+    data), and the day-of-week/global means join back as 7-row/1-row
+    broadcasts. Fact rows are touched exactly once."""
+    daily = (
+        spark.table("orders")
+        .groupBy(F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    # Spark dayofweek is 1(Sun)–7(Sat); DuckDB's is 0(Sun)–6(Sat).
+    dow = (F.dayofweek("day") - F.lit(1)).cast("int")
+    const = F.pmod(F.unix_date(F.col("day")), F.lit(1))
+    w7 = W.partitionBy(const).orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "rev_c",
+        dow.alias("dow"),
+        F.sum("rev_c").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    dow_avg = daily.groupBy(dow.alias("dow")).agg(
+        F.sum("rev_c").alias("sd"), F.count("*").alias("nd")
+    )
+    tot = daily.agg(F.sum("rev_c").alias("st"), F.count("*").alias("nt"))
+    trend = F.col("s7") / (F.lit(100.0) * F.col("c7"))
+    seasonal = F.col("sd") / (F.lit(100.0) * F.col("nd")) - F.col("st") / (
+        F.lit(100.0) * F.col("nt")
+    )
+    return (
+        win.join(F.broadcast(dow_avg), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "dow",
+            F.round(F.col("rev_c") / 100.0, 6).alias("revenue"),
+            F.round(trend, 6).alias("trend_7d"),
+            F.round(seasonal, 6).alias("seasonal_dow"),
+            F.round(F.col("rev_c") / 100.0 - trend - seasonal, 6).alias(
+                "residual"
+            ),
+        )
+        .orderBy("day")
+    )
