@@ -156,6 +156,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "dedup_containment_ngram",
     "ts_seasonal_decompose",
+    "ann_pq_topk",
 ]
 
 

@@ -1005,3 +1005,169 @@ def vectors_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: product-quantization ANN (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+#: PQ config over the 64-dim fixture: 8 subspaces × 8 dims, 16 centroids
+#: each → a vector compresses to 8 4-bit codes (4 bytes vs 256 bytes of
+#: float32 — the 64× memory story that makes billion-vector search fit).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+PQ_LLOYD_ITERS = 2
+PQ_RERANK_POOL = 50
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("ann_pq_topk")  # PQ-ADC candidate generation is approximate → rows-only
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace k-means codebooks → 4-bit
+    codes → asymmetric-distance (ADC) candidate scan → exact cosine
+    rerank of the top-{PQ_RERANK_POOL} pool.
+
+    This is the memory-compression leg of the ANN triad (IVF prunes
+    WHICH vectors are scanned, LSH buckets candidates, PQ shrinks WHAT
+    a scan reads): the corpus lives as {PQ_M} 4-bit codes per vector
+    ({PQ_M * PQ_K} lookup entries per query replace the full float
+    read), so a 100 TB float corpus scans as ~1.6 TB of codes, and the
+    full vectors are touched only for the Q×{PQ_RERANK_POOL} rerank
+    pool.
+
+    Distributed layout: codebook training is {PQ_LLOYD_ITERS} Lloyd
+    iterations per subspace, seeded deterministically (xxhash64 rank
+    init), with assignment as a broadcast join against the
+    {PQ_M}×{PQ_K}-row codebook and centroid recompute as a
+    per-dimension aggregate — the codebook relation never exceeds 128
+    rows and is localCheckpoint-pinned per iteration (the PageRank/PCA
+    loop idiom). ADC joins the exploded code stream against the
+    broadcast per-query lookup table and partial-aggregates map-side,
+    so the only shuffle carries (q_id, vec_id, partial-sum) rows.
+    Approximate by construction → rows-only driver check; the
+    VALUE-level evidence is the pinned recall@{TOP_K} bound against
+    `ann_cosine_topk`'s exact output in tests/test_queries.py."""
+    v = (
+        spark.table("embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    # (vec_id, m, subvec): the m-th contiguous 8-dim slice of each vector.
+    sub = v.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col("vec"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+            )
+        ).alias("m", "subvec"),
+    ).localCheckpoint(eager=False)
+
+    # Deterministic seeded init: per subspace, the K lowest-hash vectors
+    # donate their subvectors as starting centroids.
+    rn = F.row_number().over(
+        W.partitionBy("m").orderBy(F.xxhash64(F.lit(71), "vec_id"), "vec_id")
+    )
+    cents = (
+        sub.withColumn("rn", rn)
+        .filter(F.col("rn") <= PQ_K)
+        .select("m", (F.col("rn") - 1).alias("cid"), F.col("subvec").alias("cvec"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(PQ_LLOYD_ITERS):
+        assign = (
+            sub.join(F.broadcast(cents), "m")
+            .withColumn("d2", _l2sq(F.col("subvec"), F.col("cvec")))
+            .withColumn(
+                "arn",
+                F.row_number().over(
+                    W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+                ),
+            )
+            .filter(F.col("arn") == 1)
+        )
+        cents = (
+            assign.select("m", "cid", F.posexplode("subvec").alias("dim", "val"))
+            .groupBy("m", "cid", "dim")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs")
+            )
+            .select(
+                "m",
+                "cid",
+                F.transform(F.col("pairs"), lambda s: s.getField("cval")).alias(
+                    "cvec"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # Final encoding: nearest centroid per (vector, subspace).
+    codes = (
+        sub.join(F.broadcast(cents), "m")
+        .withColumn("d2", _l2sq(F.col("subvec"), F.col("cvec")))
+        .withColumn(
+            "arn",
+            F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d2", "cid")),
+        )
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    # Per-query ADC lookup table: L2² from each query subvector to every
+    # centroid — Q×M×K rows, broadcast.
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("subvec").alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(cents), "m").select(
+        "q_id", "m", "cid", _l2sq(F.col("qsub"), F.col("cvec")).alias("d2")
+    )
+    # ADC scan: code stream ⋈ broadcast LUT, map-side partial sums; the
+    # shuffle carries (q_id, vec_id) partials only.
+    approx = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").alias("adist"))
+    )
+    pool = (
+        approx.withColumn(
+            "prn",
+            F.row_number().over(W.partitionBy("q_id").orderBy("adist", "vec_id")),
+        )
+        .filter(F.col("prn") <= PQ_RERANK_POOL)
+        .select("q_id", "vec_id")
+    )
+    # Exact cosine rerank over the Q×pool candidates only.
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        v.join(F.broadcast(pool), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_vec"), F.col("vec"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
