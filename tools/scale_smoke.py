@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_containment_ngram",
     "ts_seasonal_decompose",
     "ann_pq_topk",
+    "pack_sequences_ffd",
 ]
 
 
