@@ -58,8 +58,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     full — they are local-gate-proved and queue for the r8 window's
 #     first slots.
 #   r08 NOTE: sample_temporal_split_embargo, dedup_incremental_batch,
-#     dedup_containment_ngram, ts_seasonal_decompose, ann_pq_topk, and
-#     pack_sequences_ffd
+#     dedup_containment_ngram, ts_seasonal_decompose, ann_pq_topk,
+#     pack_sequences_ffd, and rollup_quantile_histogram
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (value-exact), queued for the r9 window's
 #     first slots per the established rotation discipline.

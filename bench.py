@@ -158,6 +158,7 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "ann_pq_topk",
     "pack_sequences_ffd",
+    "rollup_quantile_histogram",
 ]
 
 

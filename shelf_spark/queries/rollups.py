@@ -212,3 +212,145 @@ def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: mergeable quantile-histogram rollup
+# ---------------------------------------------------------------------------
+
+#: Histogram bin width in cents ($500): lineitem prices span ~$900–$105k,
+#: so the bin domain is ~210 rows — bounded by the price domain, not data.
+_QH_BIN_CENTS = 50_000
+_QH_QUANTILES = (50, 95, 99)
+
+
+@query(
+    "rollup_quantile_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        / {_QH_BIN_CENTS}) AS BIGINT) AS bin
+      FROM lineitem
+    ),
+    mh AS (SELECT month, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    mcum AS (
+      SELECT month, bin,
+             sum(c) OVER (PARTITION BY month ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY month) AS total
+      FROM mh
+    ),
+    mq AS (
+      SELECT 'month' AS grain, month,
+             CAST(max(total) AS BIGINT) AS n_rows,
+             {', '.join(
+                 f"(min(CASE WHEN 100 * cum >= {q} * total THEN bin END) + 1)"
+                 f" * {_QH_BIN_CENTS} / 100.0 AS p{q}_ub"
+                 for q in _QH_QUANTILES)}
+      FROM mcum GROUP BY month
+    ),
+    acum AS (
+      SELECT bin,
+             sum(c) OVER (ORDER BY bin) AS cum,
+             sum(c) OVER () AS total
+      FROM (SELECT bin, sum(c) AS c FROM mh GROUP BY bin) t
+    ),
+    aq AS (
+      SELECT 'all' AS grain, CAST(NULL AS DATE) AS month,
+             CAST(max(total) AS BIGINT) AS n_rows,
+             {', '.join(
+                 f"(min(CASE WHEN 100 * cum >= {q} * total THEN bin END) + 1)"
+                 f" * {_QH_BIN_CENTS} / 100.0 AS p{q}_ub"
+                 for q in _QH_QUANTILES)}
+      FROM acum
+    )
+    SELECT * FROM mq UNION ALL SELECT * FROM aq
+    ORDER BY grain, month
+    """,
+)
+def rollup_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summaries: per-day price histograms on an exact
+    integer-cents grid roll up day → month → ALL by summing bin counts
+    — the mergeable-sketch pattern (KLL/t-digest's role) made exact by
+    a domain-bounded bin vector, so a 100 TB lake maintains percentile
+    rollups incrementally without ever rescanning history. Quantile
+    read-out per grain: the smallest bin whose cumulative count covers
+    q% (integer cross-multiply, no FP), reported as the bin's upper
+    bound in dollars.
+
+    The merged≡direct property IS the correctness check: Spark builds
+    month from per-day partials and ALL from month partials, while the
+    oracle computes every grain directly from the facts — the gate's
+    value-hash match proves the merge is lossless (exact integer
+    counts on a fixed bin grid commute with re-aggregation; the same
+    algebra as `incr_merge_partials`, extended to a distribution
+    summary).
+
+    Scale shape: facts reduce map-side to (day, bin) counts (bin
+    domain ~210 rows per day — bounded by the price domain); every
+    later stage touches only partials. Cumulative read-out windows run
+    per grain key over ≤210-row bin vectors (the ALL grain uses the
+    constant-key idiom over one bounded vector)."""
+    li = spark.table("lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    day = (
+        li.select(
+            F.to_date(F.date_trunc("day", "l_shipdate")).alias("day"),
+            F.floor(cents / _QH_BIN_CENTS).cast("long").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    month = (
+        day.groupBy(
+            F.to_date(F.date_trunc("month", "day")).alias("month"), "bin"
+        ).agg(F.sum("c").alias("c"))
+    )
+    allg = month.groupBy("bin").agg(F.sum("c").alias("c"))
+
+    def readout(hist: DataFrame, key, grain: str) -> DataFrame:
+        part = [key] if key else [F.pmod(F.col("bin"), F.lit(1))]
+        cum = F.sum("c").over(
+            W.partitionBy(*part).orderBy("bin").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        total = F.sum("c").over(W.partitionBy(*part))
+        rows = hist.select(
+            *([key] if key else []),
+            "bin",
+            cum.alias("cum"),
+            total.alias("total"),
+        )
+        aggs = [F.max("total").cast("long").alias("n_rows")] + [
+            (
+                (
+                    F.min(
+                        F.when(
+                            F.lit(100) * F.col("cum") >= F.lit(q) * F.col("total"),
+                            F.col("bin"),
+                        )
+                    )
+                    + 1
+                )
+                * _QH_BIN_CENTS
+                / 100.0
+            ).alias(f"p{q}_ub")
+            for q in _QH_QUANTILES
+        ]
+        if key:
+            out = rows.groupBy(key).agg(*aggs)
+        else:
+            out = rows.groupBy().agg(*aggs).withColumn(
+                "month", F.lit(None).cast("date")
+            )
+        return out.select(
+            F.lit(grain).alias("grain"),
+            "month",
+            "n_rows",
+            *[f"p{q}_ub" for q in _QH_QUANTILES],
+        )
+
+    mq = readout(month, "month", "month")
+    aq = readout(allg, None, "all")
+    return mq.unionByName(aq).orderBy("grain", "month")
