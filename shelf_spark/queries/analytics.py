@@ -1185,3 +1185,184 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_months")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: Bradley–Terry preference strengths (MM algorithm, Hunter 2004)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 3
+
+
+def _sql_bt_iter(k: int) -> str:
+    """One unrolled Bradley–Terry MM update in DuckDB SQL: per-item
+    denominator Σⱼ nᵢⱼ/(pᵢ+pⱼ) with 9dp-rounded terms summed in DECIMAL
+    (order-free), pᵢ ← Wᵢ/denᵢ, then normalize to Σp = 1 on the same
+    grid — the PCA unrolled-iteration discipline."""
+    return f"""
+    d{k} AS (
+      SELECT m.i AS brand,
+             CAST(sum(CAST(round(m.n / (pi.p + pj.p), 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS den
+      FROM m
+        JOIN p{k - 1} pi ON pi.brand = m.i
+        JOIN p{k - 1} pj ON pj.brand = m.j
+      GROUP BY m.i
+    ), raw{k} AS (
+      SELECT w.brand, w.wins / d.den AS pr
+      FROM wtot w JOIN d{k} d ON d.brand = w.brand
+    ), s{k} AS (
+      SELECT CAST(sum(CAST(round(pr, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+      FROM raw{k}
+    ), p{k} AS (
+      SELECT brand, round(pr / s.s, 9) AS p FROM raw{k} CROSS JOIN s{k} s
+    )"""
+
+
+@query(
+    "pref_bradley_terry",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey, p_brand,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    duel AS (
+      SELECT a.p_brand AS wb, b.p_brand AS lb
+      FROM per_order a
+      JOIN per_order b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      WHERE a.q > b.q
+    ),
+    wmat AS (SELECT wb, lb, count(*) AS w FROM duel GROUP BY 1, 2),
+    m AS (
+      SELECT i, j, CAST(sum(n) AS DOUBLE) AS n FROM (
+        SELECT wb AS i, lb AS j, w AS n FROM wmat
+        UNION ALL
+        SELECT lb AS i, wb AS j, w AS n FROM wmat
+      ) GROUP BY 1, 2
+    ),
+    wtot AS (
+      SELECT i AS brand, CAST(coalesce(sum(w), 0) AS DOUBLE) AS wins
+      FROM m LEFT JOIN wmat ON wmat.wb = m.i AND wmat.lb = m.j
+      GROUP BY 1
+    ),
+    p0 AS (SELECT brand, 1.0 AS p FROM wtot),
+    {",".join(_sql_bt_iter(k) for k in range(1, _BT_ITERS + 1))}
+    SELECT p.brand,
+           CAST(w.wins AS BIGINT) AS wins,
+           round(p.p, 6) AS strength,
+           CAST(row_number() OVER (ORDER BY p.p DESC, p.brand) AS BIGINT)
+             AS rnk
+    FROM p{_BT_ITERS} p JOIN wtot w ON w.brand = p.brand
+    ORDER BY rnk
+    """,
+)
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths from pairwise duels via
+    {_BT_ITERS} MM iterations (Hunter, "MM algorithms for generalized
+    Bradley-Terry models", Ann. Statist. 2004) — the aggregation step
+    every preference-data / RLHF pipeline runs to turn noisy pairwise
+    comparisons into a consistent item ranking. Duels here: within an
+    order, brand A beats brand B when A's total quantity (integer-grid
+    exact) is strictly larger — ~25 brands, dense comparison matrix.
+
+    Engine-exact iteration trajectory: each MM denominator
+    Σⱼ nᵢⱼ/(pᵢ+pⱼ) rounds its terms to a 9dp grid and sums in
+    DECIMAL(28,9) (order-free), the update is a single division, and
+    the Σp=1 renormalization reuses the same grid — DuckDB replays the
+    identical unrolled updates and the value-hash matches bitwise (the
+    PCA/k-means discipline applied to an MM fixed-point loop).
+
+    Scale shape: facts reduce to the per-(order, brand) quantity table
+    (one map-side-combined agg), duels to the brand×brand win matrix
+    (≤K² rows for K items — domain-bounded, like the Markov transition
+    matrix); each MM iteration is two broadcast joins and one K-keyed
+    aggregate over that matrix. Fact data is scanned once; iterations
+    touch only K²-bounded state. At RLHF scale (K ~ 10⁴ models/
+    responses, 10⁹ comparisons) the same shape holds: one reduce to
+    the win matrix, then K²-bounded iterations."""
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    pt = spark.table("part").select("p_partkey", "p_brand")
+    per_order = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q")
+        )
+    )
+    a, b = per_order.alias("a"), per_order.alias("b")
+    duel = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p_brand") != F.col("b.p_brand"))
+        & (F.col("a.q") > F.col("b.q")),
+    ).select(F.col("a.p_brand").alias("wb"), F.col("b.p_brand").alias("lb"))
+    wmat = duel.groupBy("wb", "lb").agg(F.count("*").alias("w"))
+    m = (
+        wmat.select(F.col("wb").alias("i"), F.col("lb").alias("j"), F.col("w").alias("n"))
+        .unionAll(
+            wmat.select(
+                F.col("lb").alias("i"), F.col("wb").alias("j"), F.col("w").alias("n")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("double").alias("n"))
+        .localCheckpoint(eager=False)  # K²-bounded state reused per iteration
+    )
+    wtot = (
+        m.join(
+            wmat,
+            (F.col("wb") == F.col("i")) & (F.col("lb") == F.col("j")),
+            "left",
+        )
+        .groupBy(F.col("i").alias("brand"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("double").alias("wins"))
+        .localCheckpoint(eager=False)
+    )
+    p = wtot.select("brand", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        den = (
+            m.join(
+                F.broadcast(p.select(F.col("brand").alias("i"), F.col("p").alias("pi"))),
+                "i",
+            )
+            .join(
+                F.broadcast(p.select(F.col("brand").alias("j"), F.col("p").alias("pj"))),
+                "j",
+            )
+            .groupBy(F.col("i").alias("brand"))
+            .agg(
+                F.sum(
+                    F.round(F.col("n") / (F.col("pi") + F.col("pj")), 9).cast(
+                        "decimal(28,9)"
+                    )
+                )
+                .cast("double")
+                .alias("den")
+            )
+        )
+        raw = wtot.join(den, "brand").select(
+            "brand", (F.col("wins") / F.col("den")).alias("pr")
+        )
+        s = raw.agg(
+            F.sum(F.round("pr", 9).cast("decimal(28,9)")).cast("double").alias("s")
+        )
+        p = raw.crossJoin(F.broadcast(s)).select(
+            "brand", F.round(F.col("pr") / F.col("s"), 9).alias("p")
+        )
+    # K-bounded domain (≤25 brands): constant-key window (prefix.py idiom).
+    w_rank = W.partitionBy(F.pmod(F.col("wins").cast("long"), F.lit(1))).orderBy(
+        F.desc("p"), "brand"
+    )
+    return (
+        p.join(wtot, "brand")
+        .select(
+            "brand",
+            F.col("wins").cast("long").alias("wins"),
+            F.round("p", 6).alias("strength"),
+            F.row_number().over(w_rank).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )

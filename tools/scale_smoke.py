@@ -177,6 +177,7 @@ HEADLINE = [
     "ann_pq_topk",
     "pack_sequences_ffd",
     "rollup_quantile_histogram",
+    "pref_bradley_terry",
 ]
 
 
