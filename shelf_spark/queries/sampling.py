@@ -713,3 +713,121 @@ def sample_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: greedy k-center coreset (farthest-point traversal, Gonzalez 1985)
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+
+
+def _sql_kc_dist(vec_a: str, vec_b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({vec_a}, {vec_b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _sql_kc_iter(k: int) -> str:
+    """One unrolled farthest-point step in DuckDB SQL: fold the new
+    center into every row's min-distance, then take the deterministic
+    argmax (ties → lower vec_id) as the next center."""
+    return f"""
+    d{k - 1} AS (
+      SELECT d.vec_id, d.vec,
+             least(d.md, {_sql_kc_dist("d.vec", "c.vec")}) AS md
+      FROM d{k - 2} d CROSS JOIN c{k} c
+    ), c{k + 1} AS (
+      SELECT vec_id, vec, md FROM d{k - 1}
+      ORDER BY md DESC, vec_id LIMIT 1
+    )"""
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, vec, CAST(NULL AS DOUBLE) AS md FROM v WHERE vec_id = 0),
+    d0 AS (
+      SELECT v.vec_id, v.vec, {_sql_kc_dist("v.vec", "c.vec")} AS md
+      FROM v CROSS JOIN c1 c
+    ),
+    c2 AS (SELECT vec_id, vec, md FROM d0 ORDER BY md DESC, vec_id LIMIT 1),
+    {",".join(_sql_kc_iter(k) for k in range(2, _KC_K))}
+    SELECT CAST(r AS BIGINT) AS center_rank, vec_id,
+           round(sqrt(md), 6) AS radius
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT {k} AS r, vec_id, md FROM c{k}" for k in range(1, _KC_K + 1))}
+    )
+    ORDER BY center_rank
+    """,
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus: farthest-point
+    traversal (Gonzalez 1985, the classic 2-approximation) — the
+    diversity-maximizing subset selector data-curation pipelines use
+    to seed clustering, pick annotation batches, or cap redundant
+    regions of embedding space. Each selected center's `radius` is the
+    corpus coverage radius of the PREVIOUS center set (the distance
+    that made it the farthest point), so the output doubles as the
+    coverage-vs-k curve.
+
+    Engine-exact without any decimal grid: the trajectory does only
+    per-row list-order distance folds, `least` merges, and
+    deterministic argmax picks (ties → lower vec_id) — no cross-row
+    FP summation exists to reorder, so the unrolled DuckDB oracle
+    replays it bitwise.
+
+    Scale shape: k scans of the corpus, each a broadcast of ONE
+    64-float center + a narrow map updating the running min-distance,
+    followed by TakeOrderedAndProject (per-partition top-1, no global
+    sort). Nothing shuffles; state is k vectors. The min-distance
+    column rides the corpus relation and is checkpoint-pinned per
+    step, so lineage stays flat at any k."""
+    v = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c = v.filter(F.col("vec_id") == 0).select(
+        "vec_id", "vec", F.lit(None).cast("double").alias("md")
+    )
+    picks = [c.select(F.lit(1).cast("long").alias("center_rank"), "vec_id", "md")]
+    d = v.crossJoin(
+        F.broadcast(c.select(F.col("vec").alias("cvec")))
+    ).select("vec_id", "vec", sqdist(F.col("vec"), F.col("cvec")).alias("md"))
+    for k in range(2, _KC_K + 1):
+        c = d.orderBy(F.desc("md"), "vec_id").limit(1)
+        picks.append(
+            c.select(F.lit(k).cast("long").alias("center_rank"), "vec_id", "md")
+        )
+        if k < _KC_K:
+            d = (
+                d.crossJoin(F.broadcast(c.select(F.col("vec").alias("cvec"))))
+                .select(
+                    "vec_id",
+                    "vec",
+                    F.least(
+                        F.col("md"), sqdist(F.col("vec"), F.col("cvec"))
+                    ).alias("md"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out.select(
+        "center_rank", "vec_id", F.round(F.sqrt("md"), 6).alias("radius")
+    ).orderBy("center_rank")

@@ -178,6 +178,7 @@ HEADLINE = [
     "pack_sequences_ffd",
     "rollup_quantile_histogram",
     "pref_bradley_terry",
+    "sample_kcenter_coreset",
 ]
 
 
