@@ -1197,25 +1197,22 @@ _BT_ITERS = 3
 def _sql_bt_iter(k: int) -> str:
     """One unrolled Bradley–Terry MM update in DuckDB SQL: per-item
     denominator Σⱼ nᵢⱼ/(pᵢ+pⱼ) with 9dp-rounded terms summed in DECIMAL
-    (order-free), pᵢ ← Wᵢ/denᵢ, then normalize to Σp = 1 on the same
-    grid — the PCA unrolled-iteration discipline."""
+    (order-free), then pᵢ ← round(Wᵢ/denᵢ, 9) — the PCA
+    unrolled-iteration discipline. Normalization happens ONCE after the
+    last iteration (BT is scale-invariant, so skipping the per-round
+    renormalization changes only the running scale, deterministically
+    on both engines)."""
     return f"""
-    d{k} AS (
+    p{k} AS (
       SELECT m.i AS brand,
-             CAST(sum(CAST(round(m.n / (pi.p + pj.p), 9) AS DECIMAL(28,9)))
-                  AS DOUBLE) AS den
+             round(w.wins /
+                   CAST(sum(CAST(round(m.n / (pi.p + pj.p), 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE), 9) AS p
       FROM m
         JOIN p{k - 1} pi ON pi.brand = m.i
         JOIN p{k - 1} pj ON pj.brand = m.j
-      GROUP BY m.i
-    ), raw{k} AS (
-      SELECT w.brand, w.wins / d.den AS pr
-      FROM wtot w JOIN d{k} d ON d.brand = w.brand
-    ), s{k} AS (
-      SELECT CAST(sum(CAST(round(pr, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
-      FROM raw{k}
-    ), p{k} AS (
-      SELECT brand, round(pr / s.s, 9) AS p FROM raw{k} CROSS JOIN s{k} s
+        JOIN wtot w ON w.brand = m.i
+      GROUP BY m.i, w.wins
     )"""
 
 
@@ -1249,13 +1246,19 @@ def _sql_bt_iter(k: int) -> str:
       GROUP BY 1
     ),
     p0 AS (SELECT brand, 1.0 AS p FROM wtot),
-    {",".join(_sql_bt_iter(k) for k in range(1, _BT_ITERS + 1))}
+    {",".join(_sql_bt_iter(k) for k in range(1, _BT_ITERS + 1))},
+    s AS (
+      SELECT CAST(sum(CAST(round(p, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+      FROM p{_BT_ITERS}
+    )
     SELECT p.brand,
            CAST(w.wins AS BIGINT) AS wins,
-           round(p.p, 6) AS strength,
+           round(round(p.p / s.s, 9), 6) AS strength,
            CAST(row_number() OVER (ORDER BY p.p DESC, p.brand) AS BIGINT)
              AS rnk
-    FROM p{_BT_ITERS} p JOIN wtot w ON w.brand = p.brand
+    FROM p{_BT_ITERS} p
+    JOIN wtot w ON w.brand = p.brand
+    CROSS JOIN s
     ORDER BY rnk
     """,
 )
@@ -1270,27 +1273,35 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exact iteration trajectory: each MM denominator
     Σⱼ nᵢⱼ/(pᵢ+pⱼ) rounds its terms to a 9dp grid and sums in
-    DECIMAL(28,9) (order-free), the update is a single division, and
-    the Σp=1 renormalization reuses the same grid — DuckDB replays the
-    identical unrolled updates and the value-hash matches bitwise (the
-    PCA/k-means discipline applied to an MM fixed-point loop).
+    DECIMAL(28,9) (order-free), and the update is a single 9dp-rounded
+    division. BT is scale-invariant, so the Σp=1 normalization runs
+    ONCE after the last round (same grid) instead of per round —
+    DuckDB replays the identical unrolled updates and the value-hash
+    matches bitwise (the PCA/k-means discipline applied to an MM
+    fixed-point loop).
 
     Scale shape: facts reduce to the per-(order, brand) quantity table
     (one map-side-combined agg), duels to the brand×brand win matrix
     (≤K² rows for K items — domain-bounded, like the Markov transition
-    matrix); each MM iteration is two broadcast joins and one K-keyed
-    aggregate over that matrix. Fact data is scanned once; iterations
-    touch only K²-bounded state. At RLHF scale (K ~ 10⁴ models/
-    responses, 10⁹ comparisons) the same shape holds: one reduce to
-    the win matrix, then K²-bounded iterations."""
+    matrix); each MM iteration is then ONE K-keyed aggregate over that
+    matrix (per-item wins ride along as a broadcast literal map — the
+    Markov driver-side-by-design precedent for domain-bounded state).
+    Fact data is scanned once; iterations touch only K²-bounded state.
+    At RLHF scale (K ~ 10⁴ models/responses, 10⁹ comparisons) the same
+    shape holds: one reduce to the win matrix, then K²-bounded
+    iterations (a K ≫ map-literal catalog keeps wins as a broadcast
+    join instead)."""
     li = spark.table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     pt = spark.table("part").select("p_partkey", "p_brand")
+    # Pinned: both duel sides read this aggregate (without it the
+    # lineitem⋈part agg runs twice — the jaccard_pairs_exact rationale).
     per_order = (
         li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy("l_orderkey", "p_brand")
         .agg(
             F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q")
         )
+        .localCheckpoint()
     )
     a, b = per_order.alias("a"), per_order.alias("b")
     duel = a.join(
@@ -1309,7 +1320,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i", "j")
         .agg(F.sum("n").cast("double").alias("n"))
-        .localCheckpoint(eager=False)  # K²-bounded state reused per iteration
+        .localCheckpoint()  # K²-bounded state, materialized once per run
     )
     wtot = (
         m.join(
@@ -1319,11 +1330,18 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("i").alias("brand"))
         .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("double").alias("wins"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
+    )
+    # wins is K-bounded (≤25 brands) — collect once into a literal map so
+    # each MM round is ONE K-keyed aggregate (the Markov `states.count()`
+    # driver-side-by-design precedent; K² facts never leave executors).
+    wins_rows = wtot.collect()
+    wins_map = F.create_map(
+        *[F.lit(x) for r in wins_rows for x in (r["brand"], r["wins"])]
     )
     p = wtot.select("brand", F.lit(1.0).alias("p"))
     for _ in range(_BT_ITERS):
-        den = (
+        p = (
             m.join(
                 F.broadcast(p.select(F.col("brand").alias("i"), F.col("p").alias("pi"))),
                 "i",
@@ -1342,16 +1360,17 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("den")
             )
+            .select(
+                "brand",
+                F.round(wins_map[F.col("brand")] / F.col("den"), 9).alias("p"),
+            )
         )
-        raw = wtot.join(den, "brand").select(
-            "brand", (F.col("wins") / F.col("den")).alias("pr")
-        )
-        s = raw.agg(
-            F.sum(F.round("pr", 9).cast("decimal(28,9)")).cast("double").alias("s")
-        )
-        p = raw.crossJoin(F.broadcast(s)).select(
-            "brand", F.round(F.col("pr") / F.col("s"), 9).alias("p")
-        )
+    s = p.agg(
+        F.sum(F.round("p", 9).cast("decimal(28,9)")).cast("double").alias("s")
+    )
+    p = p.crossJoin(F.broadcast(s)).select(
+        "brand", F.round(F.col("p") / F.col("s"), 9).alias("pn"), F.col("p")
+    )
     # K-bounded domain (≤25 brands): constant-key window (prefix.py idiom).
     w_rank = W.partitionBy(F.pmod(F.col("wins").cast("long"), F.lit(1))).orderBy(
         F.desc("p"), "brand"
@@ -1361,7 +1380,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "brand",
             F.col("wins").cast("long").alias("wins"),
-            F.round("p", 6).alias("strength"),
+            F.round("pn", 6).alias("strength"),
             F.row_number().over(w_rank).cast("long").alias("rnk"),
         )
         .orderBy("rnk")
