@@ -1229,3 +1229,116 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "packer int, bin_id bigint, n_docs bigint, bin_tokens bigint, "
         "fill_rate double",
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: Dunning log-likelihood-ratio collocations
+# ---------------------------------------------------------------------------
+
+_LLR_MIN_COUNT = 5
+_LLR_TOP_K = 20
+
+#: Shannon x·ln(x) with the 0·ln0 = 0 convention, as shared SQL text so
+#: both engines evaluate the IDENTICAL expression tree.
+def _sql_xlogx(k: str) -> str:
+    return f"(CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE) * ln(CAST({k} AS DOUBLE)) ELSE 0.0 END)"
+
+
+#: Dunning (1993) G²: 2·(Σ xlogx(cell) − Σ xlogx(row) − Σ xlogx(col)
+#: + xlogx(N)) over the 2×2 bigram contingency table — one fixed-order
+#: per-row expression on exact integer counts, no cross-row FP summation.
+_SQL_LLR = (
+    "round(2.0 * ("
+    + " + ".join(
+        _sql_xlogx(k)
+        for k in ("c12", "c1 - c12", "c2 - c12", "n_big - c1 - c2 + c12")
+    )
+    + f" + {_sql_xlogx('n_big')}"
+    + f" - {_sql_xlogx('c1')} - {_sql_xlogx('n_big - c1')}"
+    + f" - {_sql_xlogx('c2')} - {_sql_xlogx('n_big - c2')}"
+    + "), 6)"
+)
+
+
+@query(
+    "text_collocation_llr",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), pairs AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2
+      FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i) s
+    ), big AS (
+      SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), rowm AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+    colm AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY 1),
+    n AS (SELECT sum(c12) AS n_big FROM big),
+    joined AS (
+      SELECT big.w1, big.w2, c12, c1, c2, n_big
+      FROM big
+        JOIN rowm ON rowm.w1 = big.w1
+        JOIN colm ON colm.w2 = big.w2
+        CROSS JOIN n
+      WHERE c12 >= {_LLR_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, {_SQL_LLR} AS llr
+    FROM joined
+    ORDER BY llr DESC, w1, w2 LIMIT {_LLR_TOP_K}
+    """,
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LLR_TOP_K} collocations by Dunning's log-likelihood ratio
+    (Dunning, "Accurate Methods for the Statistics of Surprise and
+    Coincidence", CL 1993) — the statistically-sound complement to PMI
+    for phrase mining: G² scores the full 2×2 bigram contingency table,
+    so it does NOT over-reward rare pairs the way raw PMI does (the
+    hapax problem PMI handles with a count floor) and remains valid at
+    very skewed margins.
+
+    Scale shape: identical to `text_pmi_bigrams` — map-side
+    adjacent-pair zip (no self-join), partial+final hash aggs for the
+    bigram table and its row/col margins, word-keyed margin joins (AQE
+    broadcasts when the vocabulary fits), a 1-row total broadcast, and
+    TakeOrderedAndProject for the top-k. The G² expression itself is
+    shared SQL text on exact integer counts (xlogx terms in one fixed
+    per-row tree, no cross-row FP sums), so both engines produce
+    identical IEEE doubles."""
+    arrs = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    big = (
+        arrs.filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("arr") - 2),
+                    lambda i: F.struct(
+                        F.col("arr")[i].alias("w1"),
+                        F.col("arr")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)  # feeds margins AND the scored join
+    )
+    rowm = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    colm = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = big.agg(F.sum("c12").alias("n_big"))
+    return (
+        big.filter(F.col("c12") >= _LLR_MIN_COUNT)
+        .join(rowm, "w1")
+        .join(colm, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.expr(_SQL_LLR).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(_LLR_TOP_K)
+    )

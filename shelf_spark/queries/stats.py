@@ -2329,3 +2329,186 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: Benjamini–Hochberg FDR over a family of two-sample tests
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.10
+_BH_CUT = "2024-01-16 00:00:00"
+
+#: Two-sided normal tail p = erfc(|z|/√2) via the Abramowitz–Stegun
+#: 7.1.26 rational approximation (|ε| < 1.5e-7) — neither engine ships
+#: erf, so the SAME expression text runs on both (only abs/exp/sqrt),
+#: and the 9dp round absorbs exp's 1-ulp libm differences.
+def _sql_pnorm2(z: str) -> str:
+    t = f"(1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    poly = (
+        f"(((((1.061405429 * {t} - 1.453152027) * {t}) + 1.421413741) * {t}"
+        f" - 0.284496736) * {t} + 0.254829592) * {t}"
+    )
+    return (
+        f"round({poly} * exp(-(abs({z}) / sqrt(2.0)) * (abs({z}) / sqrt(2.0))), 9)"
+    )
+
+
+_SQL_BH_Z = "(m1 - m2) / sqrt(v1n + v2n)"
+
+
+@query(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE ts <  TIMESTAMP '{_BH_CUT}') AS n1,
+             count(*) FILTER (WHERE ts >= TIMESTAMP '{_BH_CUT}') AS n2,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               FILTER (WHERE ts < TIMESTAMP '{_BH_CUT}') AS s1,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               FILTER (WHERE ts >= TIMESTAMP '{_BH_CUT}') AS s2,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT))
+               FILTER (WHERE ts < TIMESTAMP '{_BH_CUT}') AS ss1,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT))
+               FILTER (WHERE ts >= TIMESTAMP '{_BH_CUT}') AS ss2
+      FROM events GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, n1, n2,
+             CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+             CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1) / 10000.0 / n1 AS v1n,
+             (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+               / (n2 - 1) / 10000.0 / n2 AS v2n
+      FROM m
+    ),
+    p AS (
+      SELECT event_type, n1, n2,
+             round({_SQL_BH_Z}, 6) AS z,
+             {_sql_pnorm2(_SQL_BH_Z)} AS p_value
+      FROM e
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p_value, event_type) AS rnk,
+             count(*) OVER () AS m_tests
+      FROM p
+    ),
+    k AS (
+      SELECT *,
+             max(CASE WHEN p_value <= {_BH_ALPHA} * rnk / m_tests
+                      THEN rnk ELSE 0 END) OVER () AS kstar
+      FROM r
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_early,
+           CAST(n2 AS BIGINT) AS n_late, z, p_value,
+           CAST(rnk AS BIGINT) AS rnk,
+           round({_BH_ALPHA} * rnk / m_tests, 6) AS bh_critical,
+           (rnk <= kstar) AS significant
+    FROM k ORDER BY rnk
+    """,
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a family of two-sample z
+    tests (early vs late mean event value per event type) — the
+    multiple-testing correction every experimentation platform applies
+    before declaring winners across many simultaneous metrics. Output
+    is the full BH ledger: each test's z, p, rank, critical value
+    α·k/m, and the step-up significance decision (all tests at rank ≤
+    k* where k* is the largest k with p₍ₖ₎ ≤ α·k/m).
+
+    Cross-engine exactness: moments accumulate on the integer cents
+    grid (the Welch discipline); the normal tail probability uses the
+    Abramowitz–Stegun 7.1.26 erfc approximation — neither engine ships
+    erf, so the IDENTICAL expression text (abs/exp/sqrt only) runs on
+    both via `F.expr`, with a 9dp round absorbing exp's 1-ulp libm
+    spread; BH comparisons then operate on those identical 9dp grids.
+
+    Scale shape: one map-side-combined conditional aggregate onto the
+    test-family domain (m rows — bounded by the metric catalog, not
+    data); ranking and the step-up max run as constant-key windows
+    over those m rows. At a 10⁴-metric platform scale the same single
+    fact pass holds."""
+    cut = F.lit(_BH_CUT).cast("timestamp")
+    early = F.col("ts") < cut
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    e = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(early, 1)).alias("n1"),
+            F.count(F.when(~early, 1)).alias("n2"),
+            F.sum(F.when(early, cents)).alias("s1"),
+            F.sum(F.when(~early, cents)).alias("s2"),
+            F.sum(F.when(early, cents * cents)).alias("ss1"),
+            F.sum(F.when(~early, cents * cents)).alias("ss2"),
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            (F.col("s1").cast("double") / F.col("n1") / 100.0).alias("m1"),
+            (F.col("s2").cast("double") / F.col("n2") / 100.0).alias("m2"),
+            (
+                (
+                    F.col("ss1").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+                )
+                / (F.col("n1") - 1)
+                / 10000.0
+                / F.col("n1")
+            ).alias("v1n"),
+            (
+                (
+                    F.col("ss2").cast("double")
+                    - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
+                )
+                / (F.col("n2") - 1)
+                / 10000.0
+                / F.col("n2")
+            ).alias("v2n"),
+        )
+    )
+    p = e.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(F.expr(_SQL_BH_Z), 6).alias("z"),
+        F.expr(_sql_pnorm2(_SQL_BH_Z)).alias("p_value"),
+    )
+    # m-bounded test family: constant-key windows (prefix.py idiom).
+    const = F.pmod(F.col("n1").cast("long"), F.lit(1))
+    r = p.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy(const).orderBy("p_value", "event_type"))
+        .alias("rnk"),
+        F.count("*").over(W.partitionBy(const)).alias("m_tests"),
+    )
+    k = r.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_value")
+                <= F.lit(_BH_ALPHA) * F.col("rnk") / F.col("m_tests"),
+                F.col("rnk"),
+            ).otherwise(F.lit(0))
+        )
+        .over(W.partitionBy(const))
+        .alias("kstar"),
+    )
+    return k.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_early"),
+        F.col("n2").cast("long").alias("n_late"),
+        "z",
+        "p_value",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.round(F.lit(_BH_ALPHA) * F.col("rnk") / F.col("m_tests"), 6).alias(
+            "bh_critical"
+        ),
+        (F.col("rnk") <= F.col("kstar")).alias("significant"),
+    ).orderBy("rnk")

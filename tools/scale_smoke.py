@@ -179,6 +179,8 @@ HEADLINE = [
     "rollup_quantile_histogram",
     "pref_bradley_terry",
     "sample_kcenter_coreset",
+    "stats_benjamini_hochberg",
+    "text_collocation_llr",
 ]
 
 
