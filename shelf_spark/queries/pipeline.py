@@ -1342,3 +1342,156 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("llr"), "w1", "w2")
         .limit(_LLR_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: multinomial Naive Bayes language classifier (train + score)
+# ---------------------------------------------------------------------------
+
+#: Train on odd doc_ids, score the evens (held-out split convention).
+_NB_TRAIN_MOD = 2
+
+
+@query(
+    "ml_naive_bayes_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % {_NB_TRAIN_MOD} = 1),
+    cwc AS (SELECT lang, w, count(*) AS c FROM train GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS t FROM train GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM train),
+    prior AS (
+      SELECT lang, count(DISTINCT doc_id) AS nd FROM train GROUP BY 1
+    ),
+    ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM train),
+    pr AS (
+      SELECT p.lang,
+             round(ln(CAST(p.nd AS DOUBLE) / n.n), 12) AS lp
+      FROM prior p CROSS JOIN ndocs n
+    ),
+    dw AS (
+      SELECT doc_id, lang AS true_lang, w, count(*) AS cnt
+      FROM tok WHERE doc_id % {_NB_TRAIN_MOD} = 0 GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT dw.doc_id, dw.true_lang, dw.w, dw.cnt, t.lang, t.t, v.v
+      FROM dw CROSS JOIN tot t CROSS JOIN vocab v
+    ),
+    terms AS (
+      SELECT g.doc_id, g.true_lang, g.lang,
+             CAST(round(g.cnt * round(ln((coalesce(cwc.c, 0) + 1.0)
+                                         / (g.t + g.v)), 12), 12)
+                  AS DECIMAL(28,12)) AS term
+      FROM grid g
+        LEFT JOIN cwc ON cwc.lang = g.lang AND cwc.w = g.w
+    ),
+    scores AS (
+      SELECT s.doc_id, s.true_lang, s.lang,
+             CAST(sum(s.term) AS DOUBLE) + pr.lp AS score
+      FROM terms s JOIN pr ON pr.lang = s.lang
+      GROUP BY s.doc_id, s.true_lang, s.lang, pr.lp
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rnk
+      FROM scores
+    )
+    SELECT doc_id, true_lang, lang AS predicted_lang,
+           (lang = true_lang) AS correct,
+           round(score, 6) AS score
+    FROM ranked WHERE rnk = 1 ORDER BY doc_id
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification, trained and
+    scored in one plan: word-class counts with Laplace smoothing from
+    the odd-doc_id half, argmax posterior over the even half — the
+    classical supervised counterpart of the heuristic `text_lang_id`,
+    and the shape of every counting-based quality/topic/language
+    classifier a corpus pipeline trains on labeled slices.
+
+    Cross-engine exactness: every log-likelihood rounds onto the 12dp
+    grid, per-word terms scale by exact integer counts and re-round,
+    and per-(doc, class) scores sum those grid terms in DECIMAL(28,12)
+    — order-free, so the argmax compares identical doubles on both
+    engines (ties break by class name).
+
+    Scale shape: training is two token-keyed hash aggs (word-class
+    counts + class totals — partial+final, never a collect: the model
+    IS a DataFrame); scoring joins the test docs' (doc, word, count)
+    relation against the model on the word key (AQE broadcasts a
+    bounded vocabulary; an unbounded one stays a shuffle join), with
+    the K-class grid as a broadcast cross — cost is test-tokens × K.
+    The argmax is a doc-keyed window. Both halves scan the corpus
+    once."""
+    tok = spark.table("documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    train = tok.filter(F.col("doc_id") % _NB_TRAIN_MOD == 1)
+    cwc = train.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    tot = train.groupBy("lang").agg(F.count("*").alias("t"))
+    vocab = train.agg(F.countDistinct("w").alias("v"))
+    prior = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
+    ndocs = train.agg(F.countDistinct("doc_id").alias("n"))
+    pr = prior.crossJoin(F.broadcast(ndocs)).select(
+        "lang",
+        F.round(F.log(F.col("nd").cast("double") / F.col("n")), 12).alias("lp"),
+    )
+    dw = (
+        tok.filter(F.col("doc_id") % _NB_TRAIN_MOD == 0)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = dw.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(vocab))
+    terms = grid.join(
+        cwc.select("lang", "w", "c"), ["lang", "w"], "left"
+    ).select(
+        "doc_id",
+        "true_lang",
+        "lang",
+        F.round(
+            F.col("cnt")
+            * F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("t") + F.col("v"))
+                ),
+                12,
+            ),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    scores = (
+        terms.groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("term").cast("double").alias("s"))
+        .join(F.broadcast(pr), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (F.col("s") + F.col("lp")).alias("score"),
+        )
+    )
+    ranked = scores.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("predicted_lang"),
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )

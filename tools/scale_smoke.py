@@ -181,6 +181,8 @@ HEADLINE = [
     "sample_kcenter_coreset",
     "stats_benjamini_hochberg",
     "text_collocation_llr",
+    "graph_kcore",
+    "ml_naive_bayes_langid",
 ]
 
 
