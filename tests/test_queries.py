@@ -764,3 +764,124 @@ def test_pack_sequences_ffd_invariants(spark):
             got_bins[p],
             opt_lb,
         )
+
+
+def test_benjamini_hochberg_matches_python_stepup(spark):
+    """The BH step-up decision must equal a plain-Python reference run
+    on the operator's own p-values: sort ascending, find the largest k
+    with p_(k) <= alpha*k/m, flag exactly ranks 1..k. Validates the
+    window/argmax logic independently of the SQL oracle (which shares
+    the query's structure)."""
+    from shelf_spark.queries.stats import _BH_ALPHA
+
+    rows = QUERIES["stats_benjamini_hochberg"](spark, SF_SMALL).collect()
+    m = len(rows)
+    assert m >= 3
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    assert [r.rnk for r in by_rank] == list(range(1, m + 1))
+    # p-values must be ascending in rank
+    ps = [r.p_value for r in by_rank]
+    assert ps == sorted(ps)
+    kstar = 0
+    for k in range(1, m + 1):
+        if ps[k - 1] <= _BH_ALPHA * k / m:
+            kstar = k
+    for r in by_rank:
+        assert r.significant == (r.rnk <= kstar), (r.rnk, kstar)
+        assert r.bh_critical == round(_BH_ALPHA * r.rnk / m, 6)
+
+
+def test_kcore_matches_python_peeling(spark):
+    """graph_kcore must equal a plain-Python peeling reference built
+    from the same support-2 edge set (via DuckDB on the raw parquet),
+    run to CONVERGENCE — proving the fixed 4 rounds reach the true
+    2-core on the fixture, not just a prefix of the peeling."""
+    import duckdb
+
+    from shelf_spark.queries.graph import _KCORE_K, _KCORE_MIN_SUPPORT
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    edges = set(
+        map(
+            tuple,
+            con.execute(f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM baskets a JOIN baskets b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        supp AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2
+                 HAVING count(*) >= {_KCORE_MIN_SUPPORT})
+        SELECT p1, p2 FROM supp
+        """).fetchall(),
+        )
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:  # peel to convergence
+        drop = {n for n, ns in adj.items() if len(ns) < _KCORE_K}
+        changed = bool(drop)
+        for n in drop:
+            for nb in adj.pop(n):
+                if nb in adj:
+                    adj[nb].discard(n)
+    expected = {n: len(ns) for n, ns in adj.items() if ns}
+    got = {
+        r.item: r.core_degree
+        for r in QUERIES["graph_kcore"](spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    """Every predicted label must equal a plain-Python multinomial NB
+    (Counter-based counts, math.log scores) on the same split — the
+    whole train+score plan re-derived outside both engines."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    cwc, tot, nd = defaultdict(Counter), Counter(), Counter()
+    vocab = set()
+    n_train = 0
+    for doc_id, lang, text in docs:
+        ws = text.split(" ")
+        if doc_id % 2 == 1:
+            cwc[lang].update(ws)
+            tot[lang] += len(ws)
+            vocab.update(ws)
+            nd[lang] += 1
+            n_train += 1
+    v = len(vocab)
+    expected = {}
+    for doc_id, lang, text in docs:
+        if doc_id % 2 == 1:
+            continue
+        best = None
+        for c in sorted(tot):
+            lp = round(math.log(nd[c] / n_train), 12)
+            s = 0.0
+            for w, cnt in Counter(text.split(" ")).items():
+                s += round(
+                    cnt * round(math.log((cwc[c][w] + 1.0) / (tot[c] + v)), 12),
+                    12,
+                )
+            score = s + lp
+            if best is None or score > best[0]:
+                best = (score, c)
+        expected[doc_id] = best[1]
+    got = {
+        r.doc_id: r.predicted_lang
+        for r in QUERIES["ml_naive_bayes_langid"](spark, SF_SMALL).collect()
+    }
+    assert got == expected
