@@ -165,6 +165,7 @@ HEADLINE = [
     "text_collocation_llr",
     "graph_kcore",
     "ml_naive_bayes_langid",
+    "events_window_funnel",
 ]
 
 

@@ -700,3 +700,134 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: window funnel (time-bounded funnel depth, ClickHouse windowFunnel)
+# ---------------------------------------------------------------------------
+
+_WF_STEPS = ("view", "click", "purchase")
+_WF_HOURS = 24
+
+
+@query(
+    "events_window_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+    ),
+    nc AS (
+      SELECT *,
+             min(CASE WHEN event_type = '{_WF_STEPS[1]}' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click
+      FROM e
+    ),
+    np AS (
+      SELECT user_id, ts AS click_ts,
+             min(CASE WHEN event_type = '{_WF_STEPS[2]}' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase
+      FROM e
+      QUALIFY event_type = '{_WF_STEPS[1]}'
+    ),
+    lv AS (
+      SELECT v.user_id,
+             1
+             + CASE WHEN v.next_click <= v.ts + INTERVAL {_WF_HOURS} HOUR
+                    THEN 1 ELSE 0 END
+             + CASE WHEN v.next_click <= v.ts + INTERVAL {_WF_HOURS} HOUR
+                     AND p.next_purchase <= v.ts + INTERVAL {_WF_HOURS} HOUR
+                    THEN 1 ELSE 0 END AS lvl
+      FROM nc v
+      LEFT JOIN np p
+        ON p.user_id = v.user_id AND p.click_ts = v.next_click
+      WHERE v.event_type = '{_WF_STEPS[0]}'
+    ),
+    best AS (SELECT user_id, max(lvl) AS lvl FROM lv GROUP BY user_id)
+    SELECT u.user_id,
+           CAST(coalesce(b.lvl, 0) AS BIGINT) AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN best b ON b.user_id = u.user_id
+    ORDER BY u.user_id
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel depth per user (ClickHouse `windowFunnel`
+    semantics, {_WF_HOURS}h window): the deepest
+    {" → ".join(_WF_STEPS)} chain that starts at some view and
+    completes within the window — unlike `events_funnel`, which chains
+    each user's GLOBAL first events with no time bound, this scores
+    every candidate chain start and takes the best, the form
+    product-analytics stacks actually ship.
+
+    Chain resolution without self-joins: each event's next-click is a
+    strict-suffix min over the user's (ts, event_id)-ordered stream
+    (one user-keyed window pass), each click's next-purchase likewise;
+    a view then reaches its chain's purchase through ONE user+ts
+    equi-join back to the click row (the timestamp IS the join key —
+    the as-of rewrite idiom). Timestamps compare as raw instants
+    (interval arithmetic, sub-second preserved), exact on both
+    engines; levels are integers.
+
+    Scale shape: two sort-within-partition window passes inside one
+    user_id exchange + one user+ts equi-join + a user-keyed max —
+    the sessionization cost envelope; skewed users split by AQE."""
+    e = spark.table("events").select("user_id", "event_id", "ts", "event_type")
+    suffix = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nc = e.withColumn(
+        "next_click",
+        F.min(F.when(F.col("event_type") == _WF_STEPS[1], F.col("ts"))).over(
+            suffix
+        ),
+    )
+    np_ = (
+        nc.withColumn(
+            "next_purchase",
+            F.min(
+                F.when(F.col("event_type") == _WF_STEPS[2], F.col("ts"))
+            ).over(suffix),
+        )
+        .filter(F.col("event_type") == _WF_STEPS[1])
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("click_ts"),
+            "next_purchase",
+        )
+    )
+    horizon = F.col("ts") + F.expr(f"INTERVAL {_WF_HOURS} HOURS")
+    step2 = F.col("next_click") <= horizon
+    step3 = step2 & (F.col("next_purchase") <= horizon)
+    lv = (
+        nc.filter(F.col("event_type") == _WF_STEPS[0])
+        .join(
+            np_,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("click_ts") == F.col("next_click")),
+            "left",
+        )
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(step2, 1).otherwise(0)
+                + F.when(step3, 1).otherwise(0)
+            ).alias("lvl"),
+        )
+    )
+    best = lv.groupBy("user_id").agg(F.max("lvl").alias("lvl"))
+    users = e.select("user_id").distinct()
+    return (
+        users.join(best, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("lvl"), F.lit(0)).cast("long").alias("funnel_level"),
+        )
+        .orderBy("user_id")
+    )
