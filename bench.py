@@ -166,6 +166,7 @@ HEADLINE = [
     "graph_kcore",
     "ml_naive_bayes_langid",
     "events_window_funnel",
+    "events_markov_attribution",
 ]
 
 

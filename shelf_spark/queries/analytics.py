@@ -1385,3 +1385,269 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_MRA_HOPS = 8
+_MRA_START, _MRA_CONV, _MRA_NULL = "__START__", "__CONV__", "__NULL__"
+
+
+def _sql_mra_iter(h: int) -> str:
+    """One value-iteration hop for ALL chain variants at once:
+    v_h(s) = Σ_t p(s,t)·v_{h-1}(t), 12dp-grid terms summed in DECIMAL;
+    the absorbing CONV row (v = 1) is re-seeded per variant."""
+    return f"""
+    v{h} AS (
+      SELECT e.variant, e.src AS state,
+             CAST(sum(CAST(round(e.p * v.v, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS v
+      FROM edges_all e
+        JOIN v{h - 1} v ON v.variant = e.variant AND v.state = e.dst
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT variant, '{_MRA_CONV}', 1.0 FROM variants
+    )"""
+
+
+@query(
+    "events_markov_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, min(rn) AS rp FROM seq
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    states AS (
+      SELECT s.user_id, s.rn, c.rp,
+             CASE WHEN s.event_type = 'purchase'
+                  THEN '{_MRA_CONV}' ELSE s.event_type END AS st
+      FROM seq s LEFT JOIN conv c USING (user_id)
+      WHERE c.rp IS NULL OR s.rn <= c.rp
+    ),
+    hop AS (
+      SELECT *,
+             lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+      FROM states
+    ),
+    trans AS (
+      SELECT '{_MRA_START}' AS src, st AS dst FROM hop WHERE rn = 1
+      UNION ALL
+      SELECT st, nxt FROM hop WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT st, '{_MRA_NULL}' FROM hop WHERE nxt IS NULL AND rp IS NULL
+    ),
+    cnt AS (SELECT src, dst, count(*) AS n FROM trans GROUP BY 1, 2),
+    probs AS (
+      SELECT src, dst,
+             round(CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY src), 12) AS p
+      FROM cnt
+    ),
+    channels AS (
+      SELECT DISTINCT src AS ch FROM probs WHERE src <> '{_MRA_START}'
+    ),
+    variants AS (
+      SELECT '__FULL__' AS variant
+      UNION ALL SELECT ch FROM channels
+    ),
+    edges_all AS (
+      SELECT v.variant, p.src, p.dst, p.p
+      FROM probs p CROSS JOIN variants v
+      WHERE v.variant = '__FULL__'
+         OR (p.src <> v.variant AND p.dst <> v.variant)
+    ),
+    v0 AS (SELECT variant, '{_MRA_CONV}' AS state, 1.0 AS v FROM variants),
+    {",".join(_sql_mra_iter(h) for h in range(1, _MRA_HOPS + 1))},
+    pf AS (
+      SELECT v FROM v{_MRA_HOPS}
+      WHERE variant = '__FULL__' AND state = '{_MRA_START}'
+    ),
+    res AS (
+      SELECT variant AS channel, coalesce(v, 0.0) AS conv_without
+      FROM channels
+      LEFT JOIN v{_MRA_HOPS}
+        ON variant = ch AND state = '{_MRA_START}'
+    ),
+    re AS (
+      SELECT channel, conv_without,
+             round(1.0 - conv_without / pf.v, 9) AS removal_effect
+      FROM res CROSS JOIN pf
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(round(removal_effect, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS t
+      FROM re
+    )
+    SELECT re.channel,
+           round((SELECT v FROM pf), 6) AS conv_prob_full,
+           round(conv_without, 6) AS conv_prob_without,
+           round(removal_effect, 6) AS removal_effect,
+           round(CASE WHEN tot.t = 0 THEN 0.0
+                      ELSE removal_effect / tot.t END, 6)
+             AS attribution_share
+    FROM re CROSS JOIN tot
+    ORDER BY re.channel
+    """,
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al., "Mapping
+    the customer journey", IJRM 2016): each user's journey — event
+    types up to the first purchase (CONV) or its unconverted end
+    (NULL) — feeds a first-order transition matrix; a channel's credit
+    is its REMOVAL EFFECT, 1 − P(conversion | chain with that channel
+    deleted)/P(conversion | full chain), normalized into attribution
+    shares. The principled upgrade over `events_attribution_last_touch`
+    heuristics, and the model marketing-mix stacks actually run.
+
+    Conversion probabilities are {_MRA_HOPS}-hop value iterations
+    v_h(s) = Σ p(s,t)·v_{{h-1}}(t) from START with CONV absorbing at 1
+    — i.e. P(convert within {_MRA_HOPS} transitions), a fixed horizon
+    both engines execute identically (12dp-grid terms, DECIMAL sums;
+    transition probs are exact integer ratios on the 12dp grid).
+
+    Scale shape: ONE user-keyed window pass builds transitions (the
+    sessionization envelope); everything after runs on the K²-bounded
+    matrix. All K+1 chain variants (full + each removal) evaluate in
+    ONE variant-tagged relation — (K+1)·K² rows — so the {_MRA_HOPS}
+    hops cost {_MRA_HOPS} joined aggregates total, not per variant.
+    At a 10²-channel stack that relation is ~10⁶ rows; facts are
+    never rescanned."""
+    seq = spark.table("events").select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("rp"))
+    )
+    states = (
+        seq.join(conv, "user_id", "left")
+        .filter(F.col("rp").isNull() | (F.col("rn") <= F.col("rp")))
+        .select(
+            "user_id",
+            "rn",
+            "rp",
+            F.when(F.col("event_type") == "purchase", _MRA_CONV)
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+    )
+    hop = states.withColumn(
+        "nxt", F.lead("st").over(W.partitionBy("user_id").orderBy("rn"))
+    )
+    trans = (
+        hop.filter(F.col("rn") == 1).select(
+            F.lit(_MRA_START).alias("src"), F.col("st").alias("dst")
+        )
+        .unionAll(
+            hop.filter(F.col("nxt").isNotNull()).select(
+                F.col("st").alias("src"), F.col("nxt").alias("dst")
+            )
+        )
+        .unionAll(
+            hop.filter(F.col("nxt").isNull() & F.col("rp").isNull()).select(
+                F.col("st").alias("src"), F.lit(_MRA_NULL).alias("dst")
+            )
+        )
+    )
+    probs = (
+        trans.groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "p",
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(W.partitionBy("src")),
+                12,
+            ),
+        )
+        .select("src", "dst", "p")
+        .localCheckpoint()  # K²-bounded; every variant/hop reads this
+    )
+    channels = probs.filter(F.col("src") != _MRA_START).select(
+        F.col("src").alias("ch")
+    ).distinct()
+    variants = (
+        spark.range(1)
+        .select(F.lit("__FULL__").alias("variant"))
+        .unionAll(channels.select(F.col("ch").alias("variant")))
+        .localCheckpoint()
+    )
+    edges_all = (
+        probs.crossJoin(F.broadcast(variants))
+        .filter(
+            (F.col("variant") == "__FULL__")
+            | ((F.col("src") != F.col("variant")) & (F.col("dst") != F.col("variant")))
+        )
+        .select("variant", "src", "dst", "p")
+        .localCheckpoint()
+    )
+    conv_rows = variants.select(
+        "variant", F.lit(_MRA_CONV).alias("state"), F.lit(1.0).alias("v")
+    )
+    v = conv_rows
+    for _ in range(_MRA_HOPS):
+        v = (
+            edges_all.join(
+                F.broadcast(v.withColumnRenamed("state", "dst")),
+                ["variant", "dst"],
+            )
+            .groupBy("variant", F.col("src").alias("state"))
+            .agg(
+                F.sum(F.round(F.col("p") * F.col("v"), 12).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("v")
+            )
+            .unionAll(conv_rows)
+        )
+    starts = v.filter(F.col("state") == _MRA_START)
+    pf = starts.filter(F.col("variant") == "__FULL__").select(
+        F.col("v").alias("pfull")
+    )
+    res = (
+        channels.join(
+            starts.select(F.col("variant").alias("ch"), "v"), "ch", "left"
+        )
+        .select(
+            F.col("ch").alias("channel"),
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("conv_without"),
+        )
+        .crossJoin(F.broadcast(pf))
+        .withColumn(
+            "removal_effect",
+            F.round(1.0 - F.col("conv_without") / F.col("pfull"), 9),
+        )
+    )
+    tot = res.agg(
+        F.sum(F.round("removal_effect", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("t")
+    )
+    return (
+        res.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round("pfull", 6).alias("conv_prob_full"),
+            F.round("conv_without", 6).alias("conv_prob_without"),
+            F.round("removal_effect", 6).alias("removal_effect"),
+            F.round(
+                F.when(F.col("t") == 0, 0.0).otherwise(
+                    F.col("removal_effect") / F.col("t")
+                ),
+                6,
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
