@@ -62,7 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     pack_sequences_ffd, rollup_quantile_histogram, pref_bradley_terry,
 #     sample_kcenter_coreset, stats_benjamini_hochberg,
 #     text_collocation_llr, graph_kcore, ml_naive_bayes_langid,
-#     events_window_funnel, and events_markov_attribution
+#     events_window_funnel, events_markov_attribution,
+#     dq_expectation_suite, and stream_dq_expectations
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (value-exact), queued for the r9 window's
 #     first slots per the established rotation discipline.

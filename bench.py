@@ -167,6 +167,8 @@ HEADLINE = [
     "ml_naive_bayes_langid",
     "events_window_funnel",
     "events_markov_attribution",
+    "dq_expectation_suite",
+    "stream_dq_expectations",
 ]
 
 

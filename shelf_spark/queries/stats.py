@@ -2512,3 +2512,79 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("rnk") <= F.col("kstar")).alias("significant"),
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# r8d: declarative data-quality expectation suite
+# ---------------------------------------------------------------------------
+
+#: (rule name, violation predicate as shared SQL text). Mixed by design:
+#: some rules pass and some FAIL on the fixture, so the suite's both
+#: branches are exercised (no vacuous all-pass evidence).
+_DQ_RULES = (
+    ("orderkey_not_null", "l_orderkey IS NULL"),
+    ("linenumber_positive", "l_linenumber < 1"),
+    ("quantity_between_1_50", "l_quantity < 1 OR l_quantity > 50"),
+    ("quantity_between_1_40", "l_quantity < 1 OR l_quantity > 40"),
+    ("discount_between_0_10pct", "l_discount < 0 OR l_discount > 0.10"),
+    ("returnflag_in_set", "l_returnflag NOT IN ('R', 'A', 'N')"),
+    ("extendedprice_under_50k", "l_extendedprice >= 50000"),
+)
+
+
+@query(
+    "dq_expectation_suite",
+    oracle=f"""
+    WITH agg AS (
+      SELECT count(*) AS n_checked,
+             {", ".join(
+                 f"count(*) FILTER (WHERE {pred}) AS v{i}"
+                 for i, (_, pred) in enumerate(_DQ_RULES))}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS rule, CAST(n_checked AS BIGINT) AS n_checked,
+                   CAST(v{i} AS BIGINT) AS n_violations,
+                   round(CAST(v{i} AS DOUBLE) / n_checked, 6)
+                     AS violation_rate,
+                   (v{i} = 0) AS passed
+            FROM agg'''
+        for i, (name, _) in enumerate(_DQ_RULES))}
+    ORDER BY rule
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the
+    Great-Expectations / dbt-test shape): a rule catalog — not-null,
+    positivity, range bounds, accepted sets, business thresholds —
+    evaluated over the fact table in ONE scan, emitting the per-rule
+    audit ledger (checked/violations/rate/pass) a release gate
+    consumes. Complements `dq_profile` (descriptive stats) with
+    ASSERTIONS; rules are deliberately mixed pass/fail on the fixture
+    so both branches carry evidence.
+
+    Scale shape: every rule is a conditional count folded into one
+    partial+final aggregate — adding a rule adds one counter, never a
+    scan; the ledger explodes from the 1-row aggregate map-side. The
+    rule predicates are shared SQL text (`F.expr`), so both engines
+    evaluate identical expression trees."""
+    agg = spark.table("lineitem").agg(
+        F.count("*").alias("n_checked"),
+        *[
+            F.count(F.when(F.expr(pred), 1)).alias(f"v{i}")
+            for i, (_, pred) in enumerate(_DQ_RULES)
+        ],
+    )
+    rows = None
+    for i, (name, _) in enumerate(_DQ_RULES):
+        r = agg.select(
+            F.lit(name).alias("rule"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col(f"v{i}").cast("long").alias("n_violations"),
+            F.round(
+                F.col(f"v{i}").cast("double") / F.col("n_checked"), 6
+            ).alias("violation_rate"),
+            (F.col(f"v{i}") == 0).alias("passed"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("rule")

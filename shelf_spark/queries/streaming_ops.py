@@ -431,3 +431,113 @@ def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         S.daily_ohlc(stream), "q_stream_ohlc", output_mode="complete"
     )
+
+
+#: Streaming DQ rules over events: mixed pass/fail on the fixture
+#: (23 values ≥ 300 at sf0.01), so both ledger branches carry evidence.
+_SDQ_RULES = (
+    ("value_not_null", "value IS NULL"),
+    ("value_non_negative", "value < 0"),
+    (
+        "type_in_catalog",
+        "event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error')",
+    ),
+    ("value_under_300", "value >= 300"),
+)
+
+
+@query(
+    "stream_dq_expectations",
+    oracle=f"""
+    WITH agg AS (
+      SELECT count(*) AS n_checked,
+             {", ".join(
+                 f"count(*) FILTER (WHERE {pred}) AS v{i}"
+                 for i, (_, pred) in enumerate(_SDQ_RULES))}
+      FROM events
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS rule, CAST(n_checked AS BIGINT) AS n_checked,
+                   CAST(v{i} AS BIGINT) AS n_violations,
+                   round(CAST(v{i} AS DOUBLE) / n_checked, 6)
+                     AS violation_rate,
+                   (v{i} = 0) AS passed
+            FROM agg'''
+        for i, (name, _) in enumerate(_SDQ_RULES))}
+    ORDER BY rule
+    """,
+)
+def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-quality gate: every micro-batch of the event
+    stream is scored against the expectation catalog via
+    ``foreachBatch``, committing an idempotent per-batch ledger
+    (rule, checked, violations) to its own ``b{{batch_id}}`` directory
+    — the continuous-ingest twin of `dq_expectation_suite`, i.e. the
+    circuit-breaker a streaming pipeline consults before publishing a
+    batch downstream. Violation counts are ADDITIVE, so the summed
+    ledger equals the batch computation for ANY micro-batch split —
+    which is exactly what the full DuckDB value-hash oracle checks.
+
+    Scale shape: per batch, one conditional-count aggregate (a rule =
+    one counter, never a second scan); the cross-batch merge sums
+    R-row ledgers. Long-running jobs keep the same loop with a real
+    trigger; the per-batch overwrite commit makes at-least-once replay
+    safe (the CDC-upsert discipline)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    sink = tempfile.mkdtemp(prefix="shelf-stream-dq-")
+    checkpoint = tempfile.mkdtemp(prefix="shelf-stream-dq-ckpt-")
+
+    def score_batch(batch_df, batch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count("*").alias("n_checked"),
+            *[
+                F.count(F.when(F.expr(pred), 1)).alias(f"v{i}")
+                for i, (_, pred) in enumerate(_SDQ_RULES)
+            ],
+        )
+        rows = None
+        for i, (name, _) in enumerate(_SDQ_RULES):
+            r = agg.select(
+                F.lit(name).alias("rule"),
+                F.col("n_checked").cast("long").alias("n_checked"),
+                F.col(f"v{i}").cast("long").alias("n_violations"),
+            )
+            rows = r if rows is None else rows.unionAll(r)
+        rows.write.mode("overwrite").parquet(os.path.join(sink, f"b{batch_id}"))
+
+    q = S.foreach_batch_upsert(stream, checkpoint, score_batch)
+    q.awaitTermination()
+    parts = [
+        os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("b")
+    ]
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "rule string, n_checked bigint, n_violations bigint, "
+            "violation_rate double, passed boolean",
+        )
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("rule")
+        .agg(
+            F.sum("n_checked").cast("long").alias("n_checked"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+        .select(
+            "rule",
+            "n_checked",
+            "n_violations",
+            F.round(
+                F.col("n_violations").cast("double") / F.col("n_checked"), 6
+            ).alias("violation_rate"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )

@@ -185,6 +185,7 @@ HEADLINE = [
     "ml_naive_bayes_langid",
     "events_window_funnel",
     "events_markov_attribution",
+    "dq_expectation_suite",
 ]
 
 
