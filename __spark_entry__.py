@@ -63,7 +63,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sample_kcenter_coreset, stats_benjamini_hochberg,
 #     text_collocation_llr, graph_kcore, ml_naive_bayes_langid,
 #     events_window_funnel, events_markov_attribution,
-#     dq_expectation_suite, and stream_dq_expectations
+#     dq_expectation_suite, stream_dq_expectations,
+#     clean_rare_category_collapse, and events_retention_halflife
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (value-exact), queued for the r9 window's
 #     first slots per the established rotation discipline.

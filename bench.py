@@ -169,6 +169,8 @@ HEADLINE = [
     "events_markov_attribution",
     "dq_expectation_suite",
     "stream_dq_expectations",
+    "clean_rare_category_collapse",
+    "events_retention_halflife",
 ]
 
 

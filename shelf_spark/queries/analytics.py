@@ -1651,3 +1651,122 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: retention decay fit (churn half-life)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_retention_halflife",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    ),
+    offs AS (
+      SELECT CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS w,
+             count(DISTINCT a.user_id) AS n_w
+      FROM activity a JOIN firsts USING (user_id)
+      GROUP BY 1
+    ),
+    base AS (SELECT n_w AS n0 FROM offs WHERE w = 0),
+    pts AS (
+      SELECT w,
+             round(ln(CAST(n_w AS DOUBLE) / n0), 12) AS lr
+      FROM offs CROSS JOIN base
+    ),
+    moms AS (
+      SELECT count(*) AS n,
+             sum(w) AS sw,
+             sum(w * w) AS sww,
+             CAST(sum(CAST(round(lr, 12) AS DECIMAL(28,12))) AS DOUBLE) AS slr,
+             CAST(sum(CAST(round(w * lr, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS swlr
+      FROM pts
+    ),
+    fit AS (
+      SELECT n,
+             (n * swlr - sw * slr) / (n * sww - sw * sw) AS b,
+             (slr - (n * swlr - sw * slr) / (n * sww - sw * sw) * sw)
+               / n AS a
+      FROM moms
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_points,
+           CAST(b0.n0 AS BIGINT) AS cohort_users,
+           round(f.b, 6) AS slope,
+           round(f.a, 6) AS intercept,
+           round(-ln(2.0) / f.b, 6) AS half_life_weeks
+    FROM fit f CROSS JOIN base b0
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn half-life from the aggregate retention curve: weekly
+    retention rates r_w (distinct users active w weeks after their
+    cohort week, over the week-0 base) fit to an exponential decay by
+    log-linear OLS — the one-number churn summary (weeks to lose half
+    the actives) a growth team tracks on top of the full
+    `events_retention_cohorts` triangle.
+
+    Exactness: retention counts are integers; each ln(r_w) rounds onto
+    the 12dp grid, the OLS moments sum those grid terms in
+    DECIMAL(28,12) (w is an exact small integer, so w-weighted terms
+    re-round onto the grid), and slope/intercept/half-life are fixed
+    expression trees on those exact-derived doubles — identical IEEE
+    results on both engines.
+
+    Scale shape: the cohort/activity join is `events_retention_cohorts`'
+    user-keyed envelope; everything after runs on the week-offset
+    domain (a handful of rows at any horizon — calendar-bounded)."""
+    e = spark.table("events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    offs = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("n_w"))
+    )
+    base = offs.filter(F.col("w") == 0).select(F.col("n_w").alias("n0"))
+    pts = offs.crossJoin(F.broadcast(base)).select(
+        "w",
+        "n0",
+        F.round(F.log(F.col("n_w").cast("double") / F.col("n0")), 12).alias(
+            "lr"
+        ),
+    )
+    moms = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.round("lr", 12).cast("decimal(28,12)")).cast("double").alias("slr"),
+        F.sum(F.round(F.col("w") * F.col("lr"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("swlr"),
+        F.max("n0").alias("n0"),
+    )
+    b = (F.col("n") * F.col("swlr") - F.col("sw") * F.col("slr")) / (
+        F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")
+    )
+    a = (F.col("slr") - b * F.col("sw")) / F.col("n")
+    return moms.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("n0").cast("long").alias("cohort_users"),
+        F.round(b, 6).alias("slope"),
+        F.round(a, 6).alias("intercept"),
+        F.round(-F.log(F.lit(2.0)) / b, 6).alias("half_life_weeks"),
+    )

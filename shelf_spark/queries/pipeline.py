@@ -1495,3 +1495,66 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: rare-category collapse (cardinality capping for feature prep)
+# ---------------------------------------------------------------------------
+
+_RARE_MIN_SUPPORT = 5
+_RARE_OTHER = "__OTHER__"
+
+
+@query(
+    "clean_rare_category_collapse",
+    oracle=f"""
+    WITH cat AS (
+      SELECT source || '/' || lang AS category FROM documents
+    ),
+    counts AS (SELECT category, count(*) AS c FROM cat GROUP BY 1),
+    mapped AS (
+      SELECT CASE WHEN c >= {_RARE_MIN_SUPPORT} THEN category
+                  ELSE '{_RARE_OTHER}' END AS category_out,
+             category, c
+      FROM counts
+    )
+    SELECT category_out,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_source_categories
+    FROM mapped GROUP BY 1 ORDER BY category_out
+    """,
+)
+def clean_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse: composite (source/lang) categories with
+    support below {_RARE_MIN_SUPPORT} fold into a single
+    '{_RARE_OTHER}' bucket — the cardinality cap every feature
+    pipeline applies before one-hot/target encoding so unseen or
+    near-empty categories cannot leak noise into a model (and the
+    vocabulary-OOV bucketing shape in token pipelines). Output is the
+    recoded distribution audit: surviving categories keep their own
+    row; the OTHER row reports how many raw categories it absorbed.
+    The fixture splits 42 kept / 55 collapsed at sf0.01 — both
+    branches carry evidence.
+
+    Scale shape: one hash agg to category counts (category-domain-
+    bounded), a map-side CASE recode, one re-agg on the recoded key.
+    Facts are scanned once; in a pipeline the kept-category list is
+    the broadcast dictionary downstream encoders join against."""
+    cat = spark.table("documents").select(
+        F.concat_ws("/", "source", "lang").alias("category")
+    )
+    counts = cat.groupBy("category").agg(F.count("*").alias("c"))
+    mapped = counts.select(
+        F.when(F.col("c") >= _RARE_MIN_SUPPORT, F.col("category"))
+        .otherwise(F.lit(_RARE_OTHER))
+        .alias("category_out"),
+        "c",
+    )
+    return (
+        mapped.groupBy("category_out")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_source_categories"),
+        )
+        .orderBy("category_out")
+    )

@@ -186,6 +186,8 @@ HEADLINE = [
     "events_window_funnel",
     "events_markov_attribution",
     "dq_expectation_suite",
+    "clean_rare_category_collapse",
+    "events_retention_halflife",
 ]
 
 
