@@ -1471,14 +1471,20 @@ def _sql_mra_iter(h: int) -> str:
       WHERE variant = '__FULL__' AND state = '{_MRA_START}'
     ),
     res AS (
-      SELECT variant AS channel, coalesce(v, 0.0) AS conv_without
+      -- ch, not variant: on the null-extended side of this LEFT JOIN a
+      -- channel disconnected from START within the horizon would get a
+      -- NULL name while Spark keeps the real one
+      SELECT ch AS channel, coalesce(v, 0.0) AS conv_without
       FROM channels
       LEFT JOIN v{_MRA_HOPS}
         ON variant = ch AND state = '{_MRA_START}'
     ),
     re AS (
+      -- nullif mirrors Spark's try_divide: a chain with no conversion
+      -- reachable within the horizon nulls out on both engines
       SELECT channel, conv_without,
-             round(1.0 - conv_without / pf.v, 9) AS removal_effect
+             round(1.0 - conv_without / nullif(pf.v, 0), 9)
+               AS removal_effect
       FROM res CROSS JOIN pf
     ),
     tot AS (
@@ -1627,7 +1633,9 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(pf))
         .withColumn(
             "removal_effect",
-            F.round(1.0 - F.col("conv_without") / F.col("pfull"), 9),
+            F.round(
+                1.0 - F.try_divide(F.col("conv_without"), F.col("pfull")), 9
+            ),
         )
     )
     tot = res.agg(
@@ -1691,17 +1699,19 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     ),
     fit AS (
+      -- nullif mirrors Spark's non-ANSI divide-by-zero → NULL (DuckDB's
+      -- raw IEEE division would return inf/nan on a 1-point curve)
       SELECT n,
-             (n * swlr - sw * slr) / (n * sww - sw * sw) AS b,
-             (slr - (n * swlr - sw * slr) / (n * sww - sw * sw) * sw)
-               / n AS a
+             (n * swlr - sw * slr) / nullif(n * sww - sw * sw, 0) AS b,
+             (slr - (n * swlr - sw * slr) / nullif(n * sww - sw * sw, 0)
+                    * sw) / n AS a
       FROM moms
     )
     SELECT CAST(f.n AS BIGINT) AS n_points,
            CAST(b0.n0 AS BIGINT) AS cohort_users,
            round(f.b, 6) AS slope,
            round(f.a, 6) AS intercept,
-           round(-ln(2.0) / f.b, 6) AS half_life_weeks
+           round(-ln(2.0) / nullif(f.b, 0), 6) AS half_life_weeks
     FROM fit f CROSS JOIN base b0
     """,
 )
@@ -1759,8 +1769,12 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("swlr"),
         F.max("n0").alias("n0"),
     )
-    b = (F.col("n") * F.col("swlr") - F.col("sw") * F.col("slr")) / (
-        F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")
+    # try_divide mirrors the oracle's nullif guards: a 1-point curve
+    # (or flat slope) yields NULL on both engines instead of an ANSI
+    # divide-by-zero error here vs an IEEE inf there.
+    b = F.try_divide(
+        F.col("n") * F.col("swlr") - F.col("sw") * F.col("slr"),
+        F.col("n") * F.col("sww") - F.col("sw") * F.col("sw"),
     )
     a = (F.col("slr") - b * F.col("sw")) / F.col("n")
     return moms.select(
@@ -1768,5 +1782,7 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("long").alias("cohort_users"),
         F.round(b, 6).alias("slope"),
         F.round(a, 6).alias("intercept"),
-        F.round(-F.log(F.lit(2.0)) / b, 6).alias("half_life_weeks"),
+        F.round(F.try_divide(-F.log(F.lit(2.0)), b), 6).alias(
+            "half_life_weeks"
+        ),
     )

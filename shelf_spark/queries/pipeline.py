@@ -1540,8 +1540,11 @@ def clean_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded), a map-side CASE recode, one re-agg on the recoded key.
     Facts are scanned once; in a pipeline the kept-category list is
     the broadcast dictionary downstream encoders join against."""
+    # F.concat (NULL-propagating, matching SQL ||), NOT concat_ws (which
+    # skips NULLs): a NULL source/lang must land in the same NULL bucket
+    # on both engines.
     cat = spark.table("documents").select(
-        F.concat_ws("/", "source", "lang").alias("category")
+        F.concat(F.col("source"), F.lit("/"), F.col("lang")).alias("category")
     )
     counts = cat.groupBy("category").agg(F.count("*").alias("c"))
     mapped = counts.select(

@@ -2390,6 +2390,10 @@ _SQL_BH_Z = "(m1 - m2) / sqrt(v1n + v2n)"
              round({_SQL_BH_Z}, 6) AS z,
              {_sql_pnorm2(_SQL_BH_Z)} AS p_value
       FROM e
+      -- a test needs >=2 samples per side: below that the variance is
+      -- 0/0 and the engines' NULL/inf and NULL-ordering semantics
+      -- diverge (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST)
+      WHERE n1 >= 2 AND n2 >= 2
     ),
     r AS (
       SELECT *,
@@ -2472,7 +2476,9 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v2n"),
         )
     )
-    p = e.select(
+    # >=2 samples per side, mirroring the oracle: degenerate variances
+    # would hit engine-divergent NULL/inf and NULL-ordering semantics.
+    p = e.filter((F.col("n1") >= 2) & (F.col("n2") >= 2)).select(
         "event_type",
         "n1",
         "n2",
@@ -2532,6 +2538,22 @@ _DQ_RULES = (
 )
 
 
+def dq_ledger_rows(agg: DataFrame, rules) -> DataFrame:
+    """Explode a one-row conditional-count aggregate (n_checked, v0..vN)
+    into the R-row (rule, n_checked, n_violations) ledger — shared by
+    the batch suite and the streaming gate so the ledger shape can
+    never drift between them."""
+    rows = None
+    for i, (name, _) in enumerate(rules):
+        r = agg.select(
+            F.lit(name).alias("rule"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col(f"v{i}").cast("long").alias("n_violations"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
 @query(
     "dq_expectation_suite",
     oracle=f"""
@@ -2575,16 +2597,16 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (_, pred) in enumerate(_DQ_RULES)
         ],
     )
-    rows = None
-    for i, (name, _) in enumerate(_DQ_RULES):
-        r = agg.select(
-            F.lit(name).alias("rule"),
-            F.col("n_checked").cast("long").alias("n_checked"),
-            F.col(f"v{i}").cast("long").alias("n_violations"),
+    return (
+        dq_ledger_rows(agg, _DQ_RULES)
+        .select(
+            "rule",
+            "n_checked",
+            "n_violations",
             F.round(
-                F.col(f"v{i}").cast("double") / F.col("n_checked"), 6
+                F.col("n_violations").cast("double") / F.col("n_checked"), 6
             ).alias("violation_rate"),
-            (F.col(f"v{i}") == 0).alias("passed"),
+            (F.col("n_violations") == 0).alias("passed"),
         )
-        rows = r if rows is None else rows.unionAll(r)
-    return rows.orderBy("rule")
+        .orderBy("rule")
+    )

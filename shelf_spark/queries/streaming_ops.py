@@ -494,6 +494,8 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = tempfile.mkdtemp(prefix="shelf-stream-dq-")
     checkpoint = tempfile.mkdtemp(prefix="shelf-stream-dq-ckpt-")
 
+    from .stats import dq_ledger_rows
+
     def score_batch(batch_df, batch_id: int) -> None:
         agg = batch_df.agg(
             F.count("*").alias("n_checked"),
@@ -502,15 +504,9 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, (_, pred) in enumerate(_SDQ_RULES)
             ],
         )
-        rows = None
-        for i, (name, _) in enumerate(_SDQ_RULES):
-            r = agg.select(
-                F.lit(name).alias("rule"),
-                F.col("n_checked").cast("long").alias("n_checked"),
-                F.col(f"v{i}").cast("long").alias("n_violations"),
-            )
-            rows = r if rows is None else rows.unionAll(r)
-        rows.write.mode("overwrite").parquet(os.path.join(sink, f"b{batch_id}"))
+        dq_ledger_rows(agg, _SDQ_RULES).write.mode("overwrite").parquet(
+            os.path.join(sink, f"b{batch_id}")
+        )
 
     q = S.foreach_batch_upsert(stream, checkpoint, score_batch)
     q.awaitTermination()

@@ -186,6 +186,7 @@ HEADLINE = [
     "events_window_funnel",
     "events_markov_attribution",
     "dq_expectation_suite",
+    "stream_dq_expectations",
     "clean_rare_category_collapse",
     "events_retention_halflife",
 ]
