@@ -520,3 +520,168 @@ def inverted_index(docs: DataFrame) -> DataFrame:
             ).alias("postings"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: hybrid retrieval fusion (reciprocal rank fusion)
+# ---------------------------------------------------------------------------
+
+#: RRF constant (Cormack et al., SIGIR 2009) and per-ranker candidate cap.
+_RRF_K = 60
+_RRF_CAP = 100
+_RRF_TOP = 20
+#: vec_id 0's embedding plays the semantic query.
+_RRF_QVEC = 0
+
+
+@query(
+    "ann_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), corpus AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM tok
+      WHERE word IN {_QUERY_TERMS!r} GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM tok
+      WHERE word IN {_QUERY_TERMS!r} GROUP BY word
+    ), term_scores AS (
+      SELECT doc_id,
+             {{score}} AS s
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ), bm AS (
+      SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM term_scores GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT {_RRF_CAP}
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, vec,
+             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+      FROM v
+    ), q AS (SELECT vec, nrm FROM vn WHERE vec_id = {_RRF_QVEC}),
+    cos AS (
+      SELECT vn.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(q.vec, vn.vec),
+                                     p -> p[1] * p[2])) / (q.nrm * vn.nrm)
+               AS cosine
+      FROM vn CROSS JOIN q
+      ORDER BY cosine DESC, doc_id LIMIT {_RRF_CAP}
+    ), sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_sem
+      FROM cos
+    )
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           CAST(l.r_lex AS BIGINT) AS r_lex,
+           CAST(s.r_sem AS BIGINT) AS r_sem,
+           round(coalesce(1.0 / ({_RRF_K} + l.r_lex), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + s.r_sem), 0.0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """.format(
+        score=_sql_round_ieee(
+            "(ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)"
+            " / (CAST(df AS DOUBLE) + 0.5) + 1.0))"
+            f" * (CAST(tf AS DOUBLE) * {_K1 + 1.0})"
+            f" / (CAST(tf AS DOUBLE) + {_K1} * ((1.0 - {_B})"
+            f" + {_B} * (CAST(dl AS DOUBLE)"
+            " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))",
+            6,
+        )
+    ),
+)
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack/Clarke/
+    Buettcher, SIGIR 2009): the BM25 lexical ranking and the cosine
+    semantic ranking each nominate their top-{_RRF_CAP} candidates,
+    and documents are fused by Σ 1/({_RRF_K}+rank) — the standard
+    RAG-stack merge of keyword and embedding retrieval, robust to the
+    two scorers' incomparable scales because only RANKS enter the sum.
+
+    Exactness: ranks are integers from deterministic (score, doc_id)
+    orderings — BM25 scores live on the 6dp grid, cosines are
+    identical list-order folds — and the RRF sum is two fixed-shape
+    rational terms, rounded 6dp.
+
+    Scale shape: each ranker caps candidates FIRST via
+    TakeOrderedAndProject (per-partition heaps, no global sort) —
+    corpus-sized work is the two scoring passes already proven
+    separately (`text_bm25_rank`, `ann_cosine_topk`); ranking then
+    runs as constant-key windows over the {_RRF_CAP}-row capped
+    relations (cap-bounded, not data-bounded), and the fusion is a
+    {_RRF_CAP}-row full outer join."""
+    from .vectors import _as_double, _dot, _norm
+
+    d = spark.table("documents")
+    tok = _tokens(spark).filter(F.col("word").isin(*_QUERY_TERMS))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    bm = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", _bm25_term_score().alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("s").cast(_DEC6)).cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_CAP)
+    )
+    const = F.pmod(F.col("doc_id"), F.lit(1))
+    lex = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy(const).orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    vn = (
+        spark.table("embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    q = vn.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm")
+    )
+    cos = (
+        vn.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("q_vec"), F.col("vec"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(_RRF_CAP)
+    )
+    sem = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy(const).orderBy(F.desc("cosine"), "doc_id"))
+        .cast("long")
+        .alias("r_sem"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_sem")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_sem", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_TOP)
+    )

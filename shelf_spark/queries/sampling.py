@@ -831,3 +831,131 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "center_rank", "vec_id", F.round(F.sqrt("md"), 6).alias("radius")
     ).orderBy("center_rank")
+
+
+# ---------------------------------------------------------------------------
+# r8d: dedup-aware (leakage-safe) train/valid split
+# ---------------------------------------------------------------------------
+
+
+#: Re-key offset for the injected-duplicate corpus (the selfdup harness
+#: pattern): the fixture has near-dups but NO exact dups, so without
+#: injection both leak counters would be a vacuous 0-vs-0.
+_DSPLIT_OFFSET = 300_000_000
+
+
+@query(
+    "sample_dedup_aware_split",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DSPLIT_OFFSET}, text FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, sha256(text) AS fingerprint FROM corpus
+    ),
+    assign AS (
+      SELECT doc_id, fingerprint,
+             CASE WHEN substr(sha256(fingerprint), 1, 4) < '{SAMPLE_50PCT}'
+                  THEN 'train' ELSE 'valid' END AS split,
+             CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)
+                       < '{SAMPLE_50PCT}'
+                  THEN 'train' ELSE 'valid' END AS naive_split
+      FROM fp
+    ),
+    leak AS (
+      SELECT CAST(count(*) FILTER (WHERE n_split > 1) AS BIGINT) AS leaked,
+             CAST(count(*) FILTER (WHERE n_naive > 1) AS BIGINT)
+               AS leaked_naive
+      FROM (
+        SELECT fingerprint,
+               count(DISTINCT split) AS n_split,
+               count(DISTINCT naive_split) AS n_naive
+        FROM assign GROUP BY fingerprint
+      )
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_clusters,
+           leak.leaked AS cross_split_clusters,
+           leak.leaked_naive AS cross_split_clusters_naive
+    FROM assign CROSS JOIN leak
+    GROUP BY split, leak.leaked, leak.leaked_naive
+    ORDER BY split
+    """,
+)
+def sample_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid split: documents are assigned by the
+    hash of their content FINGERPRINT, not their id, so every
+    exact-duplicate cluster lands wholly on one side — the split
+    discipline an eval pipeline needs before trusting held-out
+    numbers (id-hash splits put copies of the same document in both
+    train and valid, silently inflating eval). The audit output
+    carries the proof: `cross_split_clusters` is COMPUTED (not
+    assumed) and must be 0, next to the naive id-hash split's leaked
+    count on the same corpus — the comparison IS the evidence the fix
+    matters. The fixture has no EXACT dups (only near-dups), so the
+    corpus is `documents` UNION a re-keyed copy (the selfdup harness
+    pattern): every document then has an exact duplicate under a
+    different id, the content-hash split provably co-locates all of
+    them (0), and the id-hash split leaks ~half (≫0).
+
+    Scale shape: one digest map pass, the split label is a pure
+    function of the 32-byte fingerprint (no join, no cluster table to
+    build — unlike generic group-split designs the grouping key IS
+    content), one fingerprint-keyed agg for the leak audit, one split
+    agg. At 100 TB: two digest-keyed exchanges, document bodies never
+    shuffle. Near-dup-safe variants swap the fingerprint for a
+    cluster id from `dedup_near_dup_clusters` — the same shape with
+    one extra join."""
+    d = spark.table("documents")
+    corpus = d.select("doc_id", "text").unionAll(
+        d.select(
+            (F.col("doc_id") + F.lit(_DSPLIT_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    fp = corpus.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("fingerprint")
+    )
+    assign = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.when(
+            _hash_bucket(F.col("fingerprint")) < SAMPLE_50PCT, F.lit("train")
+        )
+        .otherwise(F.lit("valid"))
+        .alias("split"),
+        F.when(_hash_bucket(F.col("doc_id")) < SAMPLE_50PCT, F.lit("train"))
+        .otherwise(F.lit("valid"))
+        .alias("naive_split"),
+    )
+    leak = (
+        assign.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("split").alias("n_split"),
+            F.countDistinct("naive_split").alias("n_naive"),
+        )
+        .agg(
+            F.count(F.when(F.col("n_split") > 1, 1)).cast("long").alias("leaked"),
+            F.count(F.when(F.col("n_naive") > 1, 1))
+            .cast("long")
+            .alias("leaked_naive"),
+        )
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("fingerprint").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.col("leaked").alias("cross_split_clusters"),
+            F.col("leaked_naive").alias("cross_split_clusters_naive"),
+        )
+        .orderBy("split")
+    )

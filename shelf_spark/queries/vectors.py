@@ -1171,3 +1171,132 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: Matryoshka truncation evaluation
+# ---------------------------------------------------------------------------
+
+#: Truncated prefix length evaluated against the full 64 dims.
+MRL_DIMS = 16
+
+
+@query(
+    "vectors_matryoshka_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+             list_transform(embedding[1:{MRL_DIMS}],
+                            x -> CAST(x AS DOUBLE)) AS tvec
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, vec, tvec,
+             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm,
+             sqrt(list_sum(list_transform(tvec, x -> x * x))) AS tnrm
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id AS q_id, vec AS q_vec, tvec AS q_tvec,
+             nrm AS q_nrm, tnrm AS q_tnrm
+      FROM n WHERE vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+      SELECT q_id, n.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q_vec, n.vec),
+                                     p -> p[1] * p[2])) / (q_nrm * n.nrm)
+               AS cos_full,
+             list_sum(list_transform(list_zip(q_tvec, n.tvec),
+                                     p -> p[1] * p[2])) / (q_tnrm * n.tnrm)
+               AS cos_trunc
+      FROM q CROSS JOIN n
+      WHERE n.vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_full DESC, neighbor_id)
+               AS r_full,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_trunc DESC, neighbor_id)
+               AS r_trunc
+      FROM pairs
+    )
+    SELECT q_id,
+           CAST(count(*) FILTER (WHERE r_full <= {TOP_K}
+                                   AND r_trunc <= {TOP_K}) AS BIGINT)
+             AS n_overlap,
+           round(CAST(count(*) FILTER (WHERE r_full <= {TOP_K}
+                                         AND r_trunc <= {TOP_K}) AS DOUBLE)
+                 / {TOP_K}, 6) AS recall_at_{TOP_K}
+    FROM ranked GROUP BY q_id ORDER BY q_id
+    """,
+)
+def vectors_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022): per query, how much of
+    the full-{64}-dim exact top-{TOP_K} neighborhood survives when
+    vectors are truncated to their first {MRL_DIMS} dims — the
+    decision metric for shipping shortened embeddings (4× less
+    memory/bandwidth) in a tiered retrieval stack, and the
+    quantitative guard before enabling a truncated first-pass index.
+
+    Exactness: both rankings come from identical list-order cosine
+    folds with deterministic (score, id) tie-breaks; the overlap is
+    an integer and recall a fixed integer ratio.
+
+    Scale shape: the corpus is scanned ONCE carrying both
+    representations (the truncated slice is a free projection);
+    queries broadcast; per-query ranking is the `ann_cosine_topk`
+    window envelope run over the same single shuffle (two window
+    functions, one exchange)."""
+    v = (
+        spark.table("embeddings")
+        .select(
+            "vec_id",
+            _as_double(F.col("embedding")).alias("vec"),
+            _as_double(F.slice(F.col("embedding"), 1, MRL_DIMS)).alias("tvec"),
+        )
+        .withColumn("nrm", _norm(F.col("vec")))
+        .withColumn("tnrm", _norm(F.col("tvec")))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("tvec").alias("q_tvec"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("tnrm").alias("q_tnrm"),
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cos_full"
+        ),
+        (
+            _dot(F.col("q_tvec"), F.col("tvec"))
+            / (F.col("q_tnrm") * F.col("tnrm"))
+        ).alias("cos_trunc"),
+    )
+    ranked = pairs.select(
+        "q_id",
+        "neighbor_id",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.desc("cos_full"), "neighbor_id"))
+        .alias("r_full"),
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.desc("cos_trunc"), "neighbor_id"))
+        .alias("r_trunc"),
+    )
+    hit = (F.col("r_full") <= TOP_K) & (F.col("r_trunc") <= TOP_K)
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_overlap"),
+            F.round(
+                F.count(F.when(hit, 1)).cast("double") / TOP_K, 6
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+        .orderBy("q_id")
+    )

@@ -189,6 +189,9 @@ HEADLINE = [
     "stream_dq_expectations",
     "clean_rare_category_collapse",
     "events_retention_halflife",
+    "ann_hybrid_rrf",
+    "sample_dedup_aware_split",
+    "vectors_matryoshka_eval",
 ]
 
 
