@@ -65,8 +65,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_window_funnel, events_markov_attribution,
 #     dq_expectation_suite, stream_dq_expectations,
 #     clean_rare_category_collapse, events_retention_halflife,
-#     ann_hybrid_rrf, sample_dedup_aware_split, and
-#     vectors_matryoshka_eval
+#     ann_hybrid_rrf, sample_dedup_aware_split, vectors_matryoshka_eval,
+#     privacy_dp_count_release, and ml_linear_attribution
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (value-exact), queued for the r9 window's
 #     first slots per the established rotation discipline.

@@ -1561,3 +1561,89 @@ def clean_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category_out")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: differentially-private count release (Laplace mechanism plumbing)
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = 1.0
+_DP_SEED = "dp-release-1"
+
+
+@query(
+    "privacy_dp_count_release",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n_true FROM documents GROUP BY lang
+    ),
+    u AS (
+      SELECT lang, n_true,
+             CAST(CAST('0x' || substr(sha256('{_DP_SEED}-' || lang), 1, 4)
+                       AS INTEGER) AS DOUBLE) / 65536.0 AS uu
+      FROM c
+    ),
+    lap AS (
+      SELECT lang, n_true,
+             CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END
+             * (1.0 / {_DP_EPSILON})
+             * ln(1.0 - 2.0 * least(abs(uu - 0.5), 0.499984741))
+               AS noise
+      FROM u
+    )
+    SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+           round(noise, 6) AS noise,
+           round(n_true + noise, 6) AS released_count,
+           CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM lap ORDER BY lang
+    """,
+)
+def privacy_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (Dwork et al. 2006): per-language
+    document counts perturbed with Laplace(1/ε) noise via the inverse
+    CDF — completing the privacy trio (k-anonymity suppresses,
+    l-diversity audits, DP *releases*). The uniform draw is a seeded
+    content hash, making the run DETERMINISTIC for the correctness
+    gate and reproducible audits; a production release swaps the hash
+    for a CSPRNG draw — the distributed plumbing (per-group noise, no
+    collect, sensitivity-1 count queries) is what this operator pins,
+    not the entropy source. True counts ride along because this is an
+    engine test surface, not a privacy boundary.
+
+    Exactness: the inverse-CDF expression (sign · (1/ε) ·
+    ln(1 − 2|u−½|), |u−½| clamped below ½ so the u=½ lattice point
+    cannot produce ln(0)) is a fixed tree on exact integer-ratio
+    inputs — identical IEEE doubles on both engines, 6dp-rounded.
+
+    Scale shape: one map-side-combined count onto the group domain,
+    then a map-only noise expression per group row. Adding DP to any
+    registered aggregate is this same per-output-row map."""
+    c = spark.table("documents").groupBy("lang").agg(
+        F.count("*").alias("n_true")
+    )
+    uu = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(f"{_DP_SEED}-"), F.col("lang")), 256),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 65536.0
+    )
+    noise = (
+        F.when(uu < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * (1.0 / _DP_EPSILON)
+        * F.log(
+            1.0 - 2.0 * F.least(F.abs(uu - 0.5), F.lit(0.499984741))
+        )
+    )
+    return c.select(
+        "lang",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 6).alias("released_count"),
+        F.lit(float(_DP_EPSILON)).alias("epsilon"),
+    ).orderBy("lang")

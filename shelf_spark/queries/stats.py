@@ -2610,3 +2610,187 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: global feature attribution for a linear surrogate (mean-|SHAP|)
+# ---------------------------------------------------------------------------
+
+_ATTR_D38 = "DECIMAL(38,0)"
+
+
+@query(
+    "ml_linear_attribution",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(x1 AS {_ATTR_D38})) AS DOUBLE) AS sx1,
+             CAST(sum(CAST(x2 AS {_ATTR_D38})) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(y  AS {_ATTR_D38})) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 * x1 AS {_ATTR_D38})) AS DOUBLE) AS sx1x1,
+             CAST(sum(CAST(x1 * x2 AS {_ATTR_D38})) AS DOUBLE) AS sx1x2,
+             CAST(sum(CAST(x2 * x2 AS {_ATTR_D38})) AS DOUBLE) AS sx2x2,
+             CAST(sum(CAST(x1 * y  AS {_ATTR_D38})) AS DOUBLE) AS sx1y,
+             CAST(sum(CAST(x2 * y  AS {_ATTR_D38})) AS DOUBLE) AS sx2y,
+             CAST(sum(CAST(y  * y  AS {_ATTR_D38})) AS DOUBLE) AS syy
+      FROM g
+    ),
+    cm AS (
+      SELECT n,
+             sx1x1 - sx1 * sx1 / n AS c11,
+             sx1x2 - sx1 * sx2 / n AS c12,
+             sx2x2 - sx2 * sx2 / n AS c22,
+             sx1y  - sx1 * sy  / n AS c1y,
+             sx2y  - sx2 * sy  / n AS c2y,
+             syy   - sy  * sy  / n AS cyy,
+             sx1, sx2
+      FROM m
+    ),
+    beta AS (
+      SELECT n, sx1, sx2, c1y, c2y, cyy,
+             (c22 * c1y - c12 * c2y) / nullif(c11 * c22 - c12 * c12, 0) AS b1,
+             (c11 * c2y - c12 * c1y) / nullif(c11 * c22 - c12 * c12, 0) AS b2
+      FROM cm
+    ),
+    dev AS (
+      SELECT CAST(sum(CAST(abs(b.n * g.x1 - CAST(b.sx1 AS BIGINT))
+                           AS {_ATTR_D38})) AS DOUBLE) AS d1,
+             CAST(sum(CAST(abs(b.n * g.x2 - CAST(b.sx2 AS BIGINT))
+                           AS {_ATTR_D38})) AS DOUBLE) AS d2
+      FROM g CROSS JOIN beta b
+    )
+    SELECT f.feature,
+           round(f.beta, 6) AS beta,
+           round(f.mac, 6) AS mean_abs_contribution,
+           round((b.b1 * b.c1y + b.b2 * b.c2y) / nullif(b.cyy, 0), 6) AS r2
+    FROM beta b CROSS JOIN dev d
+    CROSS JOIN LATERAL (
+      SELECT 'l_quantity' AS feature, b.b1 AS beta,
+             abs(b.b1) * d.d1 / (CAST(b.n AS DOUBLE) * b.n) / 100.0 AS mac
+      UNION ALL
+      SELECT 'l_discount', b.b2,
+             abs(b.b2) * d.d2 / (CAST(b.n AS DOUBLE) * b.n) / 100.0
+    ) f
+    ORDER BY f.feature
+    """,
+)
+def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global feature attribution for a linear surrogate model: fit
+    extendedprice ~ (quantity, discount) by closed-form 2-feature OLS,
+    then report each feature's mean |SHAP| — for a linear model the
+    SHAP value is exactly βⱼ·(xⱼ − mean(xⱼ)), so the global score is
+    |βⱼ|·mean|xⱼ − x̄ⱼ| (Lundberg & Lee 2017, linear case) — the
+    model-debugging readout feature platforms publish next to the
+    model card, plus the fit's R².
+
+    Exactness: all raw moments accumulate integer cent products in
+    DECIMAL(38,0) (the ABC overflow-carrier discipline — Σx·y reaches
+    ~3e16 at sf0.1 and would wrap int64 three decades up); the mean
+    absolute deviation avoids off-grid centering entirely via
+    Σ|n·xᵢ − Σx| (exact integers), and the normal-equation solve is a
+    fixed expression tree on those exact-derived doubles with
+    nullif/try_divide degeneracy guards.
+
+    Scale shape: two map-side-combined fact passes (moments, then
+    deviations against the broadcast fit) — no per-row output, no
+    shuffle beyond the 1-row aggregates. A d-feature version is the
+    same two passes with a d×d normal matrix solved driver-side
+    (d²-bounded, the Markov/BT precedent)."""
+    g = spark.table("lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    ).localCheckpoint(eager=False)  # two passes: moments + deviations
+    d38 = _ATTR_D38
+    m = g.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x1").cast(d38)).cast("double").alias("sx1"),
+        F.sum(F.col("x2").cast(d38)).cast("double").alias("sx2"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(d38)).cast("double").alias("sx1x1"),
+        F.sum((F.col("x1") * F.col("x2")).cast(d38)).cast("double").alias("sx1x2"),
+        F.sum((F.col("x2") * F.col("x2")).cast(d38)).cast("double").alias("sx2x2"),
+        F.sum((F.col("x1") * F.col("y")).cast(d38)).cast("double").alias("sx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(d38)).cast("double").alias("sx2y"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cm = m.select(
+        "n",
+        "sx1",
+        "sx2",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n).alias("c11"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n).alias("c12"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n).alias("c22"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / n).alias("c1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    beta = cm.select(
+        "n",
+        "sx1",
+        "sx2",
+        "c1y",
+        "c2y",
+        "cyy",
+        F.try_divide(
+            F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y"), det
+        ).alias("b1"),
+        F.try_divide(
+            F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y"), det
+        ).alias("b2"),
+    )
+    dev = g.crossJoin(F.broadcast(beta)).agg(
+        F.sum(
+            F.abs(F.col("n") * F.col("x1") - F.col("sx1").cast("long")).cast(d38)
+        )
+        .cast("double")
+        .alias("d1"),
+        F.sum(
+            F.abs(F.col("n") * F.col("x2") - F.col("sx2").cast("long")).cast(d38)
+        )
+        .cast("double")
+        .alias("d2"),
+    )
+    r2 = F.round(
+        F.try_divide(
+            F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"),
+            F.col("cyy"),
+        ),
+        6,
+    )
+    joined = beta.crossJoin(F.broadcast(dev))
+    rows = [
+        joined.select(
+            F.lit("l_discount").alias("feature"),
+            F.round(F.col("b2"), 6).alias("beta"),
+            F.round(
+                F.abs(F.col("b2"))
+                * F.col("d2")
+                / (F.col("n").cast("double") * F.col("n"))
+                / 100.0,
+                6,
+            ).alias("mean_abs_contribution"),
+            r2.alias("r2"),
+        ),
+        joined.select(
+            F.lit("l_quantity").alias("feature"),
+            F.round(F.col("b1"), 6).alias("beta"),
+            F.round(
+                F.abs(F.col("b1"))
+                * F.col("d1")
+                / (F.col("n").cast("double") * F.col("n"))
+                / 100.0,
+                6,
+            ).alias("mean_abs_contribution"),
+            r2.alias("r2"),
+        ),
+    ]
+    return rows[0].unionAll(rows[1]).orderBy("feature")

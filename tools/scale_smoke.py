@@ -192,6 +192,8 @@ HEADLINE = [
     "ann_hybrid_rrf",
     "sample_dedup_aware_split",
     "vectors_matryoshka_eval",
+    "privacy_dp_count_release",
+    "ml_linear_attribution",
 ]
 
 
