@@ -68,8 +68,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ann_hybrid_rrf, sample_dedup_aware_split, vectors_matryoshka_eval,
 #     privacy_dp_count_release, and ml_linear_attribution
 #     (the late-r8 operators) landed after the 50-slot window filled —
-#     local-gate-proved (value-exact), queued for the r9 window's
-#     first slots per the established rotation discipline.
+#     local-gate-proved (all value-exact except ann_pq_topk and
+#     pack_sequences_ffd, rows-only by design with pinned value-level
+#     pytests), queued for the r9 window's first slots per the
+#     established rotation discipline.
 #   r08 window (below): anchors first, then the 7 closing-tier r7
 #     operators that missed the r7 window (verdict r7 ask #1) plus
 #     join_cross (stale since its r5 grid touch), then the three
