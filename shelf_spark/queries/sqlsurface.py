@@ -114,7 +114,7 @@ _RCTE_SQL = f"""
     walk(node, hops) AS (
       SELECT s, 0 FROM seed
       UNION ALL
-      SELECT e.dst, w.hops + 1
+      SELECT DISTINCT e.dst, w.hops + 1
       FROM walk w JOIN edges e ON e.src = w.node
       WHERE w.hops < {_RCTE_MAX_HOPS}
     )
@@ -138,7 +138,7 @@ _RCTE_WALK_SQL = f"""
     walk(node, hops) AS (
       SELECT s, 0 FROM seed
       UNION ALL
-      SELECT e.dst, w.hops + 1
+      SELECT DISTINCT e.dst, w.hops + 1
       FROM walk w JOIN rcte_edges e ON e.src = w.node
       WHERE w.hops < {_RCTE_MAX_HOPS}
     )
@@ -170,6 +170,11 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself."""
     from .graph import _support_edges
 
+    # The walk relation is hop-bounded but grows with data (paths ×
+    # frontier); the default 1e6-row recursion safety valve trips at the
+    # 10× replica (measured). Size it to the data like any shuffle
+    # bound — the hop guard, not this valve, is the semantic limit.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     pairs = _support_edges(spark)
     edges = pairs.selectExpr("p1 AS src", "p2 AS dst").unionAll(
         pairs.selectExpr("p2 AS src", "p1 AS dst")
