@@ -153,9 +153,14 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     `WITH RECURSIVE` — the recursive-query surface (reachability, BOM
     explosion, org rollups) that closed the last classic SQL gap
     between Spark and single-node engines. The recursive fragment
-    (seed, UNION ALL walk, hop guard, aggregation epilogue) is the
-    SAME SQL text the DuckDB oracle runs, so recursion-semantics
-    parity is covered by the value hash.
+    (seed, deduplicated UNION ALL walk, hop guard, aggregation
+    epilogue) is the SAME SQL text the DuckDB oracle runs, so
+    recursion-semantics parity is covered by the value hash. The
+    recursive term dedups its frontier (`SELECT DISTINCT` — Spark has
+    no UNION-distinct recursion yet), bounding walk rows at
+    nodes × hops on ANY graph density; a plain path-enumerating walk
+    blew past a 1e8 recursion row limit on the 335×-densified 10×
+    replica graph.
 
     Scale shape: the edge relation is derived ONCE and pinned
     (localCheckpoint) before entering the loop — Spark's UnionLoopExec
