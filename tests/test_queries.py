@@ -885,3 +885,133 @@ def test_naive_bayes_matches_python_reference(spark):
         for r in QUERIES["ml_naive_bayes_langid"](spark, SF_SMALL).collect()
     }
     assert got == expected
+
+
+def test_window_funnel_matches_bruteforce(spark):
+    """events_window_funnel must equal a brute-force per-user search:
+    for every view event, try ALL click/purchase chains within the
+    window (not just the greedy earliest) — empirically confirming the
+    greedy-earliest argument the implementation relies on."""
+    import datetime
+
+    import duckdb
+
+    from shelf_spark.queries.events import _WF_HOURS, _WF_STEPS
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_id, ts, event_type "
+        f"FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    by_user = {}
+    for u, eid, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    horizon = datetime.timedelta(hours=_WF_HOURS)
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        best = 0
+        for i, (ts_v, _, et_v) in enumerate(evs):
+            if et_v != _WF_STEPS[0]:
+                continue
+            lvl = 1
+            # any click strictly after the view, within window
+            clicks = [
+                j
+                for j in range(i + 1, len(evs))
+                if evs[j][2] == _WF_STEPS[1] and evs[j][0] <= ts_v + horizon
+            ]
+            if clicks:
+                lvl = 2
+                if any(
+                    evs[k][2] == _WF_STEPS[2] and evs[k][0] <= ts_v + horizon
+                    for j in clicks
+                    for k in range(j + 1, len(evs))
+                ):
+                    lvl = 3
+            best = max(best, lvl)
+        expected[u] = best
+    got = {
+        r.user_id: r.funnel_level
+        for r in QUERIES["events_window_funnel"](spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_markov_attribution_matches_python_reference(spark):
+    """events_markov_attribution re-derived in plain Python: journeys,
+    transition probabilities (12dp grid), 8-hop value iteration with
+    CONV absorbing, per-channel removal chains, share normalization —
+    the full trajectory outside both engines."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from shelf_spark.queries.analytics import (
+        _MRA_CONV,
+        _MRA_HOPS,
+        _MRA_NULL,
+        _MRA_START,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_id, ts, event_type "
+        f"FROM '{SF_SMALL}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, _, _, et in rows:
+        by_user[u].append(et)
+    trans = Counter()
+    for seq in by_user.values():
+        states = []
+        for et in seq:
+            states.append(_MRA_CONV if et == "purchase" else et)
+            if et == "purchase":
+                break
+        trans[(_MRA_START, states[0])] += 1
+        for a, b in zip(states, states[1:]):
+            trans[(a, b)] += 1
+        if states[-1] != _MRA_CONV:
+            trans[(states[-1], _MRA_NULL)] += 1
+    outsum = Counter()
+    for (a, _), n in trans.items():
+        outsum[a] += n
+    probs = {k: round(n / outsum[k[0]], 12) for k, n in trans.items()}
+    channels = sorted({a for (a, _) in probs if a != _MRA_START})
+
+    def conv_prob(removed=None):
+        edges = {
+            (a, b): p
+            for (a, b), p in probs.items()
+            if removed is None or (a != removed and b != removed)
+        }
+        v = {_MRA_CONV: 1.0}
+        for _ in range(_MRA_HOPS):
+            nv = defaultdict(float)
+            for (a, b), p in edges.items():
+                if b in v:
+                    nv[a] += round(p * v[b], 12)
+            nv[_MRA_CONV] = 1.0
+            v = dict(nv)
+        return v.get(_MRA_START, 0.0)
+
+    pfull = conv_prob()
+    re = {c: round(1.0 - conv_prob(c) / pfull, 9) for c in channels}
+    tot = sum(round(x, 9) for x in re.values())
+    got = {
+        r.channel: (
+            r.conv_prob_full,
+            r.conv_prob_without,
+            r.removal_effect,
+            r.attribution_share,
+        )
+        for r in QUERIES["events_markov_attribution"](spark, SF_SMALL).collect()
+    }
+    assert sorted(got) == channels
+    for c in channels:
+        full, without, reff, share = got[c]
+        assert full == round(pfull, 6), (c, full, pfull)
+        assert without == round(conv_prob(c), 6), c
+        assert reff == round(re[c], 6), c
+        assert share == round(re[c] / tot if tot else 0.0, 6), c
