@@ -66,7 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     dq_expectation_suite, stream_dq_expectations,
 #     clean_rare_category_collapse, events_retention_halflife,
 #     ann_hybrid_rrf, sample_dedup_aware_split, vectors_matryoshka_eval,
-#     privacy_dp_count_release, and ml_linear_attribution
+#     privacy_dp_count_release, ml_linear_attribution, and
+#     events_path_trigrams
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

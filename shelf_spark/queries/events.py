@@ -831,3 +831,71 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8d: journey path n-grams (top trigram paths)
+# ---------------------------------------------------------------------------
+
+_PATH_TOP = 15
+
+
+@query(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tri AS (
+      SELECT a.event_type AS s1, b.event_type AS s2, c.event_type AS s3
+      FROM seq a
+      JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN seq c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    )
+    SELECT s1 || '>' || s2 || '>' || s3 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(*) FILTER (WHERE s3 = 'purchase') AS BIGINT)
+             AS n_converting
+    FROM tri GROUP BY 1
+    ORDER BY n_occurrences DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOP} user-journey trigrams with their conversion-ending
+    counts — the path-mining artifact product analytics reads next to
+    the first-order transition matrix (`events_transition_matrix` sees
+    only bigram structure; trigrams expose the second-order patterns a
+    Markov-1 model washes out, e.g. view>click>purchase vs
+    error>click>purchase).
+
+    Implementation is window-only: lead(1) and lead(2) inside ONE
+    user-keyed exchange form the trigrams map-side — no self-join (the
+    oracle's triple self-join is the naive formulation it value-checks
+    against). Counting is a partial+final hash agg on the
+    K³-bounded path domain; top-k is TakeOrderedAndProject."""
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        spark.table("events")
+        .select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(seq_w).alias("s2"),
+            F.lead("event_type", 2).over(seq_w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+    )
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count(F.when(F.col("s3") == "purchase", 1))
+            .cast("long")
+            .alias("n_converting"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(_PATH_TOP)
+    )
