@@ -66,8 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     dq_expectation_suite, stream_dq_expectations,
 #     clean_rare_category_collapse, events_retention_halflife,
 #     ann_hybrid_rrf, sample_dedup_aware_split, vectors_matryoshka_eval,
-#     privacy_dp_count_release, ml_linear_attribution, and
-#     events_path_trigrams
+#     privacy_dp_count_release, ml_linear_attribution,
+#     events_path_trigrams, dedup_simhash_sha (the value-exact
+#     cross-engine SimHash twin that retires the rows-only demerit on
+#     dedup_simhash's algorithm), and sample_importance_dsir
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

