@@ -176,6 +176,9 @@ HEADLINE = [
     "vectors_matryoshka_eval",
     "privacy_dp_count_release",
     "ml_linear_attribution",
+    "events_path_trigrams",
+    "dedup_simhash_sha",
+    "sample_importance_dsir",
 ]
 
 

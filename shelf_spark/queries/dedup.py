@@ -443,30 +443,51 @@ def dedup_simhash_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs across engines. Plan shape is unchanged from the
     production path: one narrow map stage (aggregate over a 64-slot
     accumulator per doc), no shuffle, no Python — the digest prefix is
-    computed once per token, the 64 bits are unpacked JVM-side."""
+    computed once per token, the 64 bits are unpacked JVM-side.
+
+    Spark-side plan: NOT the oracle's 64×-exploded shape and NOT
+    interpreted higher-order lambdas (an earlier draft spent minutes in
+    per-element lambda evaluation at sf0.1). The digest prefix is packed
+    into one BIGINT mask per distinct token (two 32-bit `conv` halves —
+    nibble c lands at mask bits [4·(16−c), 4·(16−c)+3], so token bit
+    j = 4·(c−1)+b reads mask bit 4·(15−⌊j/4⌋)+(j mod 4)), and the 64
+    per-bit popcounts are 64 conditional-sum agg columns — the whole
+    pipeline is one explode + one whole-stage-codegen'd hash aggregate
+    whose shuffle carries 65 longs per doc. votes_j = 2·cnt_j − n, so
+    fingerprint bit j = (2·cnt_j > n), identical to the oracle's sign
+    test."""
     d = spark.table("documents")
-    votes = F.expr(
-        "aggregate(transform(array_distinct(split(text, ' ')),"
-        "   w -> substring(sha2(w, 256), 1, 16)),"
-        " array_repeat(CAST(0 AS BIGINT), 64),"
-        " (acc, h) -> zip_with(acc,"
-        "   flatten(transform(sequence(1, 16),"
-        "     c -> transform(sequence(0, 3),"
-        "       b -> CAST(shiftrightunsigned("
-        "              instr('0123456789abcdef', substr(h, c, 1)) - 1, b)"
-        "            & 1 AS BIGINT) * 2 - 1))),"
-        "   (x, y) -> x + y))"
+    h = F.substring(F.sha2(F.col("w"), 256), 1, 16)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).select(
+        "doc_id",
+        (
+            F.shiftleft(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32)
+            + F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        ).alias("mask"),
     )
-    hexfp = F.expr(
-        "array_join(transform(sequence(0, 15),"
-        " c -> substr('0123456789abcdef',"
-        "   CAST(aggregate(sequence(0, 3), 0,"
-        "     (acc, b) -> acc + IF(element_at(votes, 4 * c + b + 1) > 0,"
-        "                          shiftleft(1, b), 0)) AS INT) + 1, 1)), '')"
-    )
+    aggs = [F.count("*").alias("n")]
+    for j in range(64):
+        shift = 4 * (15 - j // 4) + (j % 4)
+        aggs.append(
+            F.sum(F.shiftrightunsigned(F.col("mask"), shift).bitwiseAND(1)).alias(
+                f"c{j}"
+            )
+        )
+    g = tok.groupBy("doc_id").agg(*aggs)
+    nib_chars = [
+        "substr('0123456789abcdef', ("
+        + " + ".join(
+            f"IF(2 * c{4 * i + b} > n, {1 << b}, 0)" for b in range(4)
+        )
+        + ") + 1, 1)"
+        for i in range(16)
+    ]
     return (
-        d.withColumn("votes", votes)
-        .select("doc_id", hexfp.alias("simhash_hex"))
+        g.select(
+            "doc_id", F.expr("concat(" + ", ".join(nib_chars) + ")").alias("simhash_hex")
+        )
         .withColumn("band16", F.substring("simhash_hex", 1, 4))
         .orderBy("doc_id")
     )
