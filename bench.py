@@ -179,6 +179,7 @@ HEADLINE = [
     "events_path_trigrams",
     "dedup_simhash_sha",
     "sample_importance_dsir",
+    "sink_zorder_layout",
 ]
 
 

@@ -261,3 +261,102 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: Z-order (Morton) clustered layout — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+#: Cells per dimension (2^8) → 16-bit Morton code; zbucket = top 8 bits,
+#: i.e. each bucket is exactly a 16×16 tile of the (x, y) grid.
+_Z_CELLS = 256
+
+# Morton interleave of two 8-bit ints, generated once so the Spark and
+# DuckDB expressions are the same formula by construction.
+_Z_SPARK = " + ".join(
+    f"shiftleft(shiftright(x, {b}) & 1, {2 * b + 1})"
+    f" + shiftleft(shiftright(y, {b}) & 1, {2 * b})"
+    for b in range(8)
+)
+_Z_DUCK = " + ".join(
+    f"(((x >> {b}) & 1) << {2 * b + 1}) + (((y >> {b}) & 1) << {2 * b})"
+    for b in range(8)
+)
+
+
+@query(
+    "sink_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) AS d
+      FROM orders
+    ), st AS (
+      SELECT min(ck) AS ck0, max(ck) AS ck1,
+             min(d) AS d0, max(d) AS d1
+      FROM base
+    ), q AS (
+      SELECT CAST(((ck - ck0) * {_Z_CELLS}) // (ck1 - ck0 + 1) AS BIGINT) AS x,
+             CAST(((d - d0) * {_Z_CELLS}) // (d1 - d0 + 1) AS BIGINT) AS y
+      FROM base CROSS JOIN st
+    ), z AS (
+      SELECT x, y, ({_Z_DUCK}) AS zv FROM q
+    )
+    SELECT CAST(zv >> 8 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY 1 ORDER BY zbucket
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering of `orders` on
+    (o_custkey, o_orderdate) — the multi-dimensional data-skipping
+    layout Delta/Iceberg expose as ``OPTIMIZE … ZORDER BY``. Each
+    dimension is linearly quantized to 256 cells, the two 8-bit cell
+    coordinates are bit-interleaved into a 16-bit Morton code, and the
+    top 8 bits bucket rows into files: by the Morton property every
+    bucket is EXACTLY a 16×16 tile of the (custkey, day) grid, so a
+    file's parquet footer min/max is ≤1/16 of the domain on BOTH
+    columns at once — a predicate on either dimension (or both) prunes
+    ~15/16 of the files, where a single-column sort gives tight stats
+    on one dimension and full-range stats on the other.
+
+    This entry is the oracle-checkable arithmetic of that layout: the
+    per-bucket spans ARE the footer stats a z-ordered writer produces
+    (`repartitionByRange(zv).sortWithinPartitions(zv).write` at 100 TB;
+    tests/test_plans.py::test_zorder_physical_skipping writes the real
+    files and verifies actual footer-stat pruning beats a date-sorted
+    baseline). One scalar-stats pass broadcasts 4 numbers; the z math
+    is per-row integer ops inside codegen; the only wide op is the
+    256-group agg."""
+    o = spark.table("orders").select(
+        "o_custkey", F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d")
+    )
+    st = o.agg(
+        F.min("o_custkey").alias("ck0"),
+        F.max("o_custkey").alias("ck1"),
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+    )
+    q = o.crossJoin(F.broadcast(st)).select(
+        F.expr(
+            f"CAST(((o_custkey - ck0) * {_Z_CELLS}) div (ck1 - ck0 + 1) AS BIGINT)"
+        ).alias("x"),
+        F.expr(f"CAST(((d - d0) * {_Z_CELLS}) div (d1 - d0 + 1) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    z = q.select("x", "y", F.expr(_Z_SPARK).alias("zv"))
+    return (
+        z.groupBy(F.expr("CAST(zv >> 8 AS BIGINT)").alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("zbucket")
+    )

@@ -528,3 +528,74 @@ def test_partitioned_sink_prunes(spark):
     # the pushed partition predicate leaves no event_type filter on data
     scan = plan[plan.index("FileScan"):]
     assert "purchase" in scan.split("PartitionFilters:")[1][:200], scan
+
+
+def test_zorder_physical_skipping(spark, tmp_path):
+    """sink_zorder_layout's claim made physical: write orders z-sorted
+    and date-sorted, read REAL parquet footer stats (pyarrow), and check
+    that a custkey range predicate covering ~1/16 of the key domain
+    intersects far fewer z-files than date-files. Footer min/max is
+    exactly what Spark/Trino/Delta readers prune row-groups with."""
+    import pyarrow.parquet as pq
+
+    from shelf_spark.queries.relational_ext import _Z_CELLS, _Z_SPARK
+    from pyspark.sql import functions as F
+    from shelf_spark.data import register_views
+
+    register_views(spark, SF_DIR)
+    o = spark.table("orders").select(
+        "o_custkey", F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d")
+    )
+    st = o.agg(
+        F.min("o_custkey").alias("ck0"), F.max("o_custkey").alias("ck1"),
+        F.min("d").alias("d0"), F.max("d").alias("d1"),
+    )
+    ck0, ck1, d0, d1 = st.collect()[0]
+    q = o.select(
+        "o_custkey", "d",
+        F.expr(
+            f"CAST(((o_custkey - {ck0}) * {_Z_CELLS}) div ({ck1} - {ck0} + 1)"
+            " AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(((d - {d0}) * {_Z_CELLS}) div ({d1} - {d0} + 1) AS BIGINT)"
+        ).alias("y"),
+    ).withColumn("zv", F.expr(_Z_SPARK))
+
+    zdir, ddir = str(tmp_path / "z"), str(tmp_path / "bydate")
+    n_files = 16
+    q.repartitionByRange(n_files, "zv").sortWithinPartitions("zv").write.parquet(zdir)
+    q.repartitionByRange(n_files, "d").sortWithinPartitions("d").write.parquet(ddir)
+
+    def intersecting(path, lo, hi):
+        hit, total = 0, 0
+        import os
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "o_custkey"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit, total
+
+    # predicate: the middle 1/16 of the custkey domain
+    span = ck1 - ck0 + 1
+    lo = ck0 + span * 7 // 16
+    hi = ck0 + span * 8 // 16 - 1
+    z_hit, z_total = intersecting(zdir, lo, hi)
+    d_hit, d_total = intersecting(ddir, lo, hi)
+    assert z_total == n_files and d_total == n_files
+    # date-sorted layout: every file spans the full custkey range
+    assert d_hit == n_files, (d_hit, d_total)
+    # z-order: a 1/16-wide key predicate touches a bounded file subset
+    assert z_hit <= n_files // 2, (z_hit, z_total)
