@@ -180,6 +180,7 @@ HEADLINE = [
     "dedup_simhash_sha",
     "sample_importance_dsir",
     "sink_zorder_layout",
+    "text_bpe_pair_counts",
 ]
 
 

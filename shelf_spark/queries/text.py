@@ -226,3 +226,65 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: BPE merge-step pair counts (tokenizer training's inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, i, 2) AS pair, wc
+      FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM vocab WHERE len(w) >= 2) t
+    )
+    SELECT pair,
+           CAST(sum(wc) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_vocab_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step's candidate table: corpus-weighted adjacent
+    character-pair frequencies over the word vocabulary — the argmax row
+    is exactly the merge a byte-pair-encoding tokenizer [Sennrich et
+    al., ACL'16] would learn next; re-running after applying the merge
+    is the training loop.
+
+    100 TB shape (why BPE training parallelizes): pair counting runs on
+    the DISTINCT-word vocabulary carrying corpus weights — the corpus
+    is touched once by the word-count agg (map-side combined; shuffle
+    carries (word, count), sub-linear in corpus size), and the
+    char-pair explosion is vocab-sized, not corpus-sized. Top-k is
+    TakeOrderedAndProject on the pair-domain-bounded aggregate."""
+    words = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("wc"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_vocab_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOP)
+    )
