@@ -181,6 +181,7 @@ HEADLINE = [
     "sample_importance_dsir",
     "sink_zorder_layout",
     "text_bpe_pair_counts",
+    "stats_poisson_bootstrap_ci",
 ]
 
 

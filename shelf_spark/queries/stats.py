@@ -2794,3 +2794,158 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return rows[0].unionAll(rows[1]).orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# r8e: Poisson bootstrap CI (the single-pass distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64          #: bootstrap replicates
+_BOOT_LO_RANK = 4     #: ≈5th percentile of 64 ordered replicate means
+_BOOT_HI_RANK = 61    #: ≈95th percentile
+#: Poisson(1) CDF at k = 0..5 as fixed literals (P(k>6) ≈ 1e-4 truncated):
+#: both engines compare the same derived double against the same literal,
+#: so replicate weights match without cross-engine exp().
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _sql_pois_w(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+_BOOT_U_DUCK = (
+    "CAST(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1) * {16 ** (8 - k)}.0"
+        for k in range(1, 9)
+    )
+    + ") AS BIGINT) / 4294967296.0"
+)
+
+
+@query(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ), u AS (
+      SELECT value, b,
+             {_BOOT_U_DUCK} AS u
+      FROM (SELECT event_id, value, b,
+                   sha256(CAST(event_id AS VARCHAR) || ':'
+                          || CAST(b AS VARCHAR)) AS h
+            FROM base CROSS JOIN generate_series(0, {_BOOT_B - 1}) AS g(b)) t
+    ), bm AS (
+      SELECT b,
+             {{mean_b}} AS mean_b
+      FROM (SELECT value, b, {_sql_pois_w('u')} AS w FROM u) t
+      GROUP BY b
+    ), ranked AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM bm
+    ), pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             {{point}} AS point_mean
+      FROM base
+    )
+    SELECT n_rows,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           point_mean,
+           (SELECT mean_b FROM ranked WHERE rn = {_BOOT_LO_RANK}) AS boot_lo,
+           (SELECT mean_b FROM ranked WHERE rn = {_BOOT_HI_RANK}) AS boot_hi
+    FROM pt
+    """.format(
+        mean_b=_sql_round_ieee(
+            "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)) * w)"
+            " AS DOUBLE) / 100.0 / sum(w)",
+            6,
+        ),
+        point=_sql_round_ieee(
+            "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))"
+            " AS DOUBLE) / 100.0 / count(*)",
+            6,
+        ),
+    ),
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap [Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012] — THE bootstrap that works at
+    100 TB: instead of drawing n-out-of-n resamples (which needs global
+    coordination), every row independently receives a Poisson(1) weight
+    per replicate, so all B={_BOOT_B} replicates are computed in ONE
+    pass over the data with map-side partial aggregation; the shuffle
+    carries B partial rows per task, never data. Weights come from a
+    seeded hash inverse-CDF (same trick as privacy_dp_count_release),
+    so the resampling is deterministic and engine-independent: the CI
+    is value-checked, not just shaped.
+
+    Replicate means use the 2-decimal integer grid (values are cents)
+    summed in DECIMAL — order-free — and the ~5th/95th percentile of
+    the B ordered means bound the CI. The B-sized rank pass is a
+    {_BOOT_B}-row window, driver-trivial."""
+    e = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    u_expr = (
+        f"CAST(conv(substr(sha2(concat(CAST(event_id AS STRING), ':',"
+        f" CAST(b AS STRING)), 256), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"
+    )
+    branches = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    rep = (
+        e.crossJoin(
+            F.broadcast(
+                spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+            )
+        )
+        .withColumn("u", F.expr(u_expr))
+        .withColumn("w", F.expr(f"CASE {branches} ELSE 6 END"))
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
+    bm = rep.groupBy("b").agg(
+        _round_ieee(
+            F.sum(cents * F.col("w")).cast("double") / 100.0 / F.sum("w"), 6
+        ).alias("mean_b")
+    )
+    # Bounded relation (exactly B rows): the single-task window here is
+    # intended; the constant partition key keeps the spec non-empty
+    # (same convention as prefix.py's offsets window).
+    ranked = bm.select(
+        "mean_b",
+        F.row_number()
+        .over(W.partitionBy(F.pmod(F.col("b"), F.lit(1))).orderBy("mean_b", "b"))
+        .alias("rn"),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == _BOOT_LO_RANK, F.col("mean_b"))).alias(
+            "boot_lo"
+        ),
+        F.min(F.when(F.col("rn") == _BOOT_HI_RANK, F.col("mean_b"))).alias(
+            "boot_hi"
+        ),
+    )
+    pt = e.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        _round_ieee(F.sum(cents).cast("double") / 100.0 / F.count("*"), 6).alias(
+            "point_mean"
+        ),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        "point_mean",
+        "boot_lo",
+        "boot_hi",
+    )
