@@ -2949,3 +2949,101 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_lo",
         "boot_hi",
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: Holt linear-trend forecast (double exponential smoothing)
+# ---------------------------------------------------------------------------
+
+_HOLT_H = 7  #: forecast horizon (days)
+
+
+@query(
+    "ts_holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))
+                  AS DOUBLE) / 100.0 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+    ), hw AS (
+      SELECT 1 AS i,
+             (SELECT y FROM idx WHERE i = 1) AS l,
+             (SELECT y FROM idx WHERE i = 2)
+               - (SELECT y FROM idx WHERE i = 1) AS t
+      UNION ALL
+      SELECT d.i,
+             0.5 * d.y + 0.5 * (hw.l + hw.t),
+             0.5 * ((0.5 * d.y + 0.5 * (hw.l + hw.t)) - hw.l) + 0.5 * hw.t
+      FROM hw JOIN idx d ON d.i = hw.i + 1
+    ), fin AS (
+      SELECT l, t FROM hw ORDER BY i DESC LIMIT 1
+    ), lastd AS (
+      SELECT max(day) AS last_day FROM daily
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           last_day + CAST(h AS INTEGER) AS day,
+           {{fc}} AS forecast
+    FROM fin CROSS JOIN lastd
+    CROSS JOIN generate_series(1, {_HOLT_H}) AS g(h)
+    ORDER BY h
+    """.format(fc=_sql_round_ieee("l + CAST(h AS DOUBLE) * t", 6)),
+)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend method (double exponential smoothing,
+    α = β = 0.5) over the daily purchase-revenue series, emitting the
+    h-step-ahead forecasts ŷ(h) = l_n + h·t_n for h = 1..7 — the
+    classic ops-forecasting shape (capacity planning, anomaly
+    baselines).
+
+    An inherently SEQUENTIAL recurrence, handled by the repo's bounded-
+    domain rule: the heavy part (daily revenue on the exact cent grid)
+    is a distributed partial+final agg over the facts; the recurrence
+    then folds over the DAY DOMAIN (calendar-bounded — ~150 elements
+    here, ≤ a few thousand at ANY corpus size), as one `aggregate`
+    lambda over the collected series — per the dedup_simhash_sha
+    lesson, lambdas are exactly right at this size and the fold never
+    touches fact-sized data. The DuckDB oracle runs the SAME recurrence
+    as a recursive CTE, so every float op is order-pinned on both
+    engines: the forecasts compare bitwise. l_i is inlined twice in the
+    t-update on BOTH sides (identical op sequence)."""
+    e = spark.table("events").filter(F.col("event_type") == "purchase")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg((F.sum(cents).cast("double") / 100.0).alias("y"))
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    fitted = series.select(
+        F.element_at("s", -1)["day"].alias("last_day"),
+        F.expr(
+            "aggregate("
+            "  transform(slice(s, 2, size(s) - 1), p -> p.y),"
+            "  named_struct("
+            "    'l', element_at(s, 1).y,"
+            "    't', element_at(s, 2).y - element_at(s, 1).y),"
+            "  (acc, y) -> named_struct("
+            "    'l', 0.5D * y + 0.5D * (acc.l + acc.t),"
+            "    't', 0.5D * ((0.5D * y + 0.5D * (acc.l + acc.t)) - acc.l)"
+            "         + 0.5D * acc.t))"
+        ).alias("st"),
+    )
+    return (
+        fitted.select(
+            "last_day",
+            F.col("st.l").alias("l"),
+            F.col("st.t").alias("t"),
+            F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("h"),
+        )
+        .select(
+            F.col("h").cast("long").alias("h"),
+            F.date_add("last_day", F.col("h")).alias("day"),
+            _round_ieee(
+                F.col("l") + F.col("h").cast("double") * F.col("t"), 6
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )

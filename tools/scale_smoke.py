@@ -200,6 +200,7 @@ HEADLINE = [
     "sink_zorder_layout",
     "text_bpe_pair_counts",
     "stats_poisson_bootstrap_ci",
+    "ts_holt_linear_forecast",
 ]
 
 
