@@ -888,7 +888,12 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tri.groupBy(
-            F.concat_ws(">", "s1", "s2", "s3").alias("path")
+            # concat (not concat_ws): null-in → null-out, matching the
+            # oracle's `||`; concat_ws would silently SKIP a null stage
+            # and diverge if event_type ever carried nulls
+            F.concat(
+                F.col("s1"), F.lit(">"), F.col("s2"), F.lit(">"), F.col("s3")
+            ).alias("path")
         )
         .agg(
             F.count("*").cast("long").alias("n_occurrences"),

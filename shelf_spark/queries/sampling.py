@@ -972,6 +972,9 @@ _DSIR_B = 256
 #: Sources defining the "target domain" we want the raw pool re-weighted
 #: toward (DSIR: sample raw data proportional to p_target/p_raw).
 _DSIR_TARGET = ("src0", "src1")
+#: SQL-safe IN list (a raw tuple repr breaks on 1-element tuples —
+#: trailing comma): built explicitly so the config stays editable.
+_DSIR_TARGET_SQL = "(" + ", ".join(f"'{s}'" for s in _DSIR_TARGET) + ")"
 _DSIR_TOP = 25
 
 
@@ -990,10 +993,10 @@ _DSIR_TOP = 25
       SELECT b, count(*) AS c_r FROM tok GROUP BY b
     ), tgt AS (
       SELECT b, count(*) AS c_t FROM tok
-      WHERE source IN {_DSIR_TARGET} GROUP BY b
+      WHERE source IN {_DSIR_TARGET_SQL} GROUP BY b
     ), tot AS (
       SELECT count(*) AS n_r,
-             count(*) FILTER (WHERE source IN {_DSIR_TARGET}) AS n_t
+             count(*) FILTER (WHERE source IN {_DSIR_TARGET_SQL}) AS n_t
       FROM tok
     ), lr AS (
       SELECT raw.b,
@@ -1008,7 +1011,7 @@ _DSIR_TOP = 25
     )
     SELECT doc_id, source, n_tokens, {{imp}} AS importance
     FROM scored
-    WHERE source NOT IN {_DSIR_TARGET}
+    WHERE source NOT IN {_DSIR_TARGET_SQL}
     ORDER BY importance DESC, doc_id
     LIMIT {_DSIR_TOP}
     """.format(
