@@ -71,7 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     cross-engine SimHash twin that retires the rows-only demerit on
 #     dedup_simhash's algorithm), sample_importance_dsir,
 #     sink_zorder_layout, text_bpe_pair_counts, and
-#     stats_poisson_bootstrap_ci, and ts_holt_linear_forecast
+#     stats_poisson_bootstrap_ci, ts_holt_linear_forecast, and
+#     graph_link_prediction
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

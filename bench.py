@@ -183,6 +183,7 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "stats_poisson_bootstrap_ci",
     "ts_holt_linear_forecast",
+    "graph_link_prediction",
 ]
 
 
@@ -227,7 +228,14 @@ def main() -> None:
         if args.session_every and i and i % args.session_every == 0:
             spark.stop()
             spark = get_spark("shelf-spark-bench")
-        timings[name] = _run_one(spark, name, sf_dir)
+        # One retry: Spark's ContextCleaner can GC an accumulator still
+        # referenced by a running stage late in a long serial session
+        # (same transient scale_smoke.py guards against) — retry once
+        # before letting a real failure surface.
+        try:
+            timings[name] = _run_one(spark, name, sf_dir)
+        except Exception:
+            timings[name] = _run_one(spark, name, sf_dir)
         # Release py4j refs promptly so the JVM ContextCleaner can drop
         # finished localCheckpoint blocks / broadcasts; a JVM GC nudge
         # every 10 queries bounds long-serial-session block accumulation

@@ -703,3 +703,126 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("core_degree"))
         .orderBy("item")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: link prediction (common-neighbor Jaccard over non-edges)
+# ---------------------------------------------------------------------------
+
+_LINK_TOP = 20
+#: Hubs with degree above this are excluded from WEDGE GENERATION (not
+#: from scoring): a super-hub certifies "common neighbor" for ~deg²
+#: candidate pairs while contributing almost no Jaccard signal (its
+#: presence inflates every union it joins), and at scale one 10⁶-degree
+#: hub alone would emit 10¹² wedges. Same rationale as the df-cap /
+#: prefix filter in similarity search. Common-neighbor counts are
+#: therefore "among non-hub neighbors" — the oracle applies the
+#: identical cap, so the result stays value-exact at every scale.
+_LINK_HUB_MAX = 64
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    supp AS ({_SQL_SUPPORT_EDGES}),
+    und AS (
+      SELECT p1 AS src, p2 AS dst FROM supp
+      UNION ALL SELECT p2, p1 FROM supp
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM und GROUP BY src
+    ),
+    hubs AS (
+      SELECT u.src, u.dst FROM und u
+      JOIN deg ON deg.node = u.src AND deg.degree <= {_LINK_HUB_MAX}
+    ),
+    cand AS (
+      SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS cn
+      FROM hubs a JOIN hubs b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT u, v, cn FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM supp WHERE p1 = u AND p2 = v)
+    )
+    SELECT u AS p1, v AS p2, cn AS common_neighbors,
+           (floor(CAST(cn AS DOUBLE)
+                  / (du.degree + dv.degree - cn) * 1000000.0 + 0.5)
+            / 1000000.0) AS jaccard
+    FROM nonedge
+    JOIN deg du ON du.node = u
+    JOIN deg dv ON dv.node = v
+    ORDER BY jaccard DESC, p1, p2
+    LIMIT {_LINK_TOP}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the strong co-purchase graph: for every
+    DISTANCE-2 non-edge (u, v), the neighbor-set Jaccard
+    |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| [Liben-Nowell & Kleinberg, CIKM'03] —
+    the classic "products that should co-sell but don't yet" candidate
+    ranking, top-{_LINK_TOP}.
+
+    Scale shape: candidate pairs are generated MAP-SIDE from sorted
+    per-hub adjacency arrays (same one-shuffle combination trick as
+    the basket pairs — never an all-pairs join; volume is Σ deg²/2,
+    the wedge count the triangle pass already carries); existing edges
+    leave via a left-anti join on the edge key; the Jaccard needs only
+    the two integer degrees (parts-sized relation, AQE-broadcastable)
+    and the integer common-neighbor count, so the score is one IEEE
+    division of exact ints. Top-k is TakeOrderedAndProject."""
+    supp = _support_edges(spark)
+    und = supp.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        supp.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    # Hub cap rides the SAME groupBy that builds the adjacency arrays —
+    # no extra exchange: collect, then drop arrays over the cap.
+    adj = (
+        und.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .filter(F.size("nbrs") <= _LINK_HUB_MAX)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("nbrs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), i + 2, F.size("nbrs")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    cand = (
+        adj.select(F.explode(combos).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    nonedge = cand.join(
+        supp,
+        (cand.u == supp.p1) & (cand.v == supp.p2),
+        "left_anti",
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    return (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("p1"),
+            F.col("v").alias("p2"),
+            F.col("cn").alias("common_neighbors"),
+            _round_ieee(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "p1", "p2")
+        .limit(_LINK_TOP)
+    )

@@ -201,6 +201,7 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "stats_poisson_bootstrap_ci",
     "ts_holt_linear_forecast",
+    "graph_link_prediction",
 ]
 
 
