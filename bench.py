@@ -184,6 +184,7 @@ HEADLINE = [
     "stats_poisson_bootstrap_ci",
     "ts_holt_linear_forecast",
     "graph_link_prediction",
+    "rollup_cms_frequencies",
 ]
 
 

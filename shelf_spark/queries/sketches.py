@@ -135,3 +135,116 @@ def rollup_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("ALL").alias("grain"), "est_users")
     return daily.unionByName(merged).orderBy("grain")
+
+
+# ---------------------------------------------------------------------------
+# r8e: Count-Min sketch (mergeable frequency estimates, value-exact)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4     #: hash rows
+_CMS_W = 256   #: buckets per row (error bound e·N/w per row, min over d)
+_CMS_TOP = 10  #: report the top-N true-heaviest parts
+
+#: Cross-engine bucket hash: ONE sha256 per key, row j reading hex
+#: chars [2j+1, 2j+2] of the digest → four independent 8-bit bucket
+#: hashes from a single hash evaluation (standard strong-hash slicing;
+#: an early draft hashed once per (key, j) and spent 4× the CPU for
+#: identical statistics). Spark `conv`, DuckDB strpos-compose — the
+#: same digit trick as sample_importance_dsir.
+_CMS_DUCK_BUCKET = (
+    "((strpos('0123456789abcdef', substr(h, 2 * j + 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, 2 * j + 2, 1)) - 1)"
+)
+
+
+@query(
+    "rollup_cms_frequencies",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_partkey AS key, year(l_shipdate) AS part_year FROM lineitem
+    ), cells AS (
+      SELECT part_year, j,
+             {_CMS_DUCK_BUCKET} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT part_year, j, sha256(CAST(key AS VARCHAR)) AS h
+            FROM keyed CROSS JOIN generate_series(0, {_CMS_D - 1}) AS g(j)) t
+      GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT j, bucket, CAST(sum(c) AS BIGINT) AS c
+      FROM cells GROUP BY 1, 2
+    ), tops AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM keyed GROUP BY key
+      ORDER BY true_cnt DESC, key LIMIT {_CMS_TOP}
+    ), est AS (
+      SELECT t.key, t.true_cnt, min(m.c) AS est_cnt
+      FROM (SELECT key, true_cnt, j,
+                   {_CMS_DUCK_BUCKET} AS bucket
+            FROM (SELECT key, true_cnt, j,
+                         sha256(CAST(key AS VARCHAR)) AS h
+                  FROM tops
+                  CROSS JOIN generate_series(0, {_CMS_D - 1}) AS g(j)) q) t
+      JOIN merged m ON m.j = t.j AND m.bucket = t.bucket
+      GROUP BY 1, 2
+    )
+    SELECT key AS l_partkey, true_cnt, est_cnt,
+           (est_cnt >= true_cnt) AS never_undercounts
+    FROM est ORDER BY true_cnt DESC, l_partkey
+    """,
+)
+def rollup_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch [Cormode & Muthukrishnan, J.Alg'05] over
+    lineitem part frequencies, built MERGEABLE: one d={_CMS_D}×w={_CMS_W}
+    integer grid per ship-year, cell-wise-summed into the all-time
+    sketch (the rollup contract: coarser grains derive from stored
+    fine-grain sketches without rescanning facts — the frequency-domain
+    sibling of `rollup_hll_mergeable`, but VALUE-exact because the hash
+    grid is sha256-derived identically on both engines). The top-{_CMS_TOP}
+    true-heaviest parts are then point-queried (min over the d cells) and
+    emitted with their true counts and the CMS one-sided-error witness
+    (`never_undercounts` — true by construction, checked, not asserted).
+
+    100 TB shape: sketch state is d·w = 1,024 cells per grain REGARDLESS
+    of key cardinality — the build is one map-side-combined agg whose
+    shuffle carries cells, not keys; the merge is cell-wise addition
+    (associative, any tree shape); the point query joins a top-k-bounded
+    relation against the 1,024-row merged sketch (broadcast)."""
+    li = spark.table("lineitem").select(
+        F.col("l_partkey").alias("key"), F.year("l_shipdate").alias("part_year")
+    )
+    jrange = F.broadcast(
+        spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    )
+    bucket = F.conv(
+        F.expr("substr(h, 2 * j + 1, 2)"), 16, 10
+    ).cast("int")
+    digest = F.sha2(F.col("key").cast("string"), 256)
+    cells = (
+        li.withColumn("h", digest)
+        .crossJoin(jrange)
+        .withColumn("bucket", bucket)
+        .groupBy("part_year", "j", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    merged = cells.groupBy("j", "bucket").agg(F.sum("c").cast("long").alias("c"))
+    tops = (
+        li.groupBy("key")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "key")
+        .limit(_CMS_TOP)
+    )
+    probes = (
+        tops.withColumn("h", digest).crossJoin(jrange).withColumn("bucket", bucket)
+    )
+    return (
+        probes.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("key", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            F.col("key").alias("l_partkey"),
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("never_undercounts"),
+        )
+        .orderBy(F.desc("true_cnt"), "l_partkey")
+    )
