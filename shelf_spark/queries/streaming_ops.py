@@ -537,3 +537,124 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: streaming Count-Min sketch (mergeable frequency state, live)
+# ---------------------------------------------------------------------------
+
+_SCMS_D = 4
+_SCMS_W = 256
+_SCMS_TOP = 10
+
+_SCMS_DUCK_BUCKET = (
+    "((strpos('0123456789abcdef', substr(h, 2 * j + 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, 2 * j + 2, 1)) - 1)"
+)
+
+
+@query(
+    "stream_cms_frequencies",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id AS key FROM events
+    ), cells AS (
+      SELECT j, {_SCMS_DUCK_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT j, sha256(CAST(key AS VARCHAR)) AS h
+            FROM keyed CROSS JOIN generate_series(0, {_SCMS_D - 1}) AS g(j)) t
+      GROUP BY 1, 2
+    ), tops AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM keyed GROUP BY key
+      ORDER BY true_cnt DESC, key LIMIT {_SCMS_TOP}
+    ), est AS (
+      SELECT t.key, t.true_cnt, min(m.c) AS est_cnt
+      FROM (SELECT key, true_cnt, j, {_SCMS_DUCK_BUCKET} AS bucket
+            FROM (SELECT key, true_cnt, j, sha256(CAST(key AS VARCHAR)) AS h
+                  FROM tops
+                  CROSS JOIN generate_series(0, {_SCMS_D - 1}) AS g(j)) q) t
+      JOIN cells m ON m.j = t.j AND m.bucket = t.bucket
+      GROUP BY 1, 2
+    )
+    SELECT key AS user_id, true_cnt, est_cnt,
+           (est_cnt >= true_cnt) AS never_undercounts
+    FROM est ORDER BY true_cnt DESC, user_id
+    """,
+)
+def stream_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of `rollup_cms_frequencies`: each micro-batch of
+    the event stream builds its own d×w Count-Min grid of user-id
+    frequencies and commits it as an idempotent per-batch ledger; the
+    merged sketch is the cell-wise SUM of the ledgers — additive, so
+    the merged state equals the batch-built sketch for ANY batch
+    split, which is exactly what the full DuckDB value oracle checks
+    (the same property stream_dq_expectations proves for counters,
+    here proven for sketch STATE). This is the live shape: a feed
+    maintains bounded frequency state (1,024 cells) forever, no key
+    cardinality growth, heavy-key queries answered from state without
+    rescanning history.
+
+    The point-query side (true top-{_SCMS_TOP} + the one-sided-error
+    witness) reads the static table — the stream owns the sketch, the
+    batch side owns the ground truth it is checked against."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    sink = tempfile.mkdtemp(prefix="shelf-stream-cms-")
+    checkpoint = tempfile.mkdtemp(prefix="shelf-stream-cms-ckpt-")
+
+    jrange = spark.range(_SCMS_D).select(F.col("id").cast("int").alias("j"))
+    bucket = F.conv(F.expr("substr(h, 2 * j + 1, 2)"), 16, 10).cast("int")
+
+    def sketch_batch(batch_df, batch_id: int) -> None:
+        cells = (
+            batch_df.select(F.sha2(F.col("user_id").cast("string"), 256).alias("h"))
+            .crossJoin(F.broadcast(jrange))
+            .withColumn("bucket", bucket)
+            .groupBy("j", "bucket")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        cells.write.mode("overwrite").parquet(os.path.join(sink, f"b{batch_id}"))
+
+    q = S.foreach_batch_upsert(stream, checkpoint, sketch_batch)
+    q.awaitTermination()
+    parts = [os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("b")]
+    if not parts:
+        return spark.createDataFrame(
+            [], "user_id bigint, true_cnt bigint, est_cnt bigint, "
+            "never_undercounts boolean"
+        )
+    merged = (
+        spark.read.parquet(*parts)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    tops = (
+        spark.table("events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "key")
+        .limit(_SCMS_TOP)
+    )
+    probes = (
+        tops.withColumn("h", F.sha2(F.col("key").cast("string"), 256))
+        .crossJoin(F.broadcast(jrange))
+        .withColumn("bucket", bucket)
+    )
+    return (
+        probes.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("key", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            F.col("key").alias("user_id"),
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("never_undercounts"),
+        )
+        .orderBy(F.desc("true_cnt"), "user_id")
+    )

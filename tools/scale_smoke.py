@@ -203,6 +203,7 @@ HEADLINE = [
     "ts_holt_linear_forecast",
     "graph_link_prediction",
     "rollup_cms_frequencies",
+    "stream_cms_frequencies",
 ]
 
 
