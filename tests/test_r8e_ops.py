@@ -1,0 +1,292 @@
+"""Plain-Python reference pins for the post-close r8 operator tier.
+
+Each test recomputes an operator's full result from raw parquet with
+hashlib / math / Counter — an implementation that shares NOTHING with
+either engine — and requires exact equality. The DuckDB oracles already
+cross-check Spark against a second engine; these pin both against a
+third, hand-written formulation (the discipline test_queries.py applies
+to window funnels, Markov attribution, BH, k-core, Naive Bayes…).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+from conftest import SF_SMALL
+
+from shelf_spark.queries import QUERIES
+
+_HEX = "0123456789abcdef"
+
+
+def _round_ieee_py(x: float, nd: int = 6) -> float:
+    scale = float(10**nd)
+    return math.floor(x * scale + 0.5) / scale
+
+
+def _duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    texts = [r[0] for r in _duck(SF_SMALL, "SELECT text FROM documents")]
+    vocab: Counter = Counter()
+    for t in texts:
+        vocab.update(t.split(" "))
+    pairs: Counter = Counter()
+    nwords: Counter = Counter()
+    for w, wc in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += wc
+        for p in {w[i : i + 2] for i in range(len(w) - 1)}:
+            nwords[p] += 1
+    want = sorted(
+        ((p, c, nwords[p]) for p, c in pairs.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    got = [
+        (r.pair, r.n_occurrences, r.n_vocab_words)
+        for r in QUERIES["text_bpe_pair_counts"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_path_trigrams_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT user_id, event_type, ts, event_id FROM events"
+        " ORDER BY user_id, ts, event_id",
+    )
+    by_user: dict = {}
+    for u, et, _, _ in rows:
+        by_user.setdefault(u, []).append(et)
+    occ: Counter = Counter()
+    conv: Counter = Counter()
+    for seq in by_user.values():
+        for i in range(len(seq) - 2):
+            path = f"{seq[i]}>{seq[i + 1]}>{seq[i + 2]}"
+            occ[path] += 1
+            if seq[i + 2] == "purchase":
+                conv[path] += 1
+    want = sorted(
+        ((p, n, conv[p]) for p, n in occ.items()), key=lambda x: (-x[1], x[0])
+    )[:15]
+    got = [
+        (r.path, r.n_occurrences, r.n_converting)
+        for r in QUERIES["events_path_trigrams"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_dsir_matches_python_reference(spark):
+    docs = _duck(SF_SMALL, "SELECT doc_id, source, text FROM documents")
+    target = {"src0", "src1"}
+    B, half_b = 256, 128.0
+
+    def bucket(w: str) -> int:
+        h = hashlib.sha256(w.encode()).hexdigest()
+        return _HEX.index(h[0]) * 16 + _HEX.index(h[1])
+
+    c_r: Counter = Counter()
+    c_t: Counter = Counter()
+    n_r = n_t = 0
+    toks = []
+    for doc_id, source, text in docs:
+        ws = text.split(" ")
+        toks.append((doc_id, source, ws))
+        for w in ws:
+            b = bucket(w)
+            c_r[b] += 1
+            n_r += 1
+            if source in target:
+                c_t[b] += 1
+                n_t += 1
+    lr = {
+        b: _round_ieee_py(
+            math.log(
+                ((c_t.get(b, 0) + 0.5) / (n_t + half_b))
+                / ((c_r[b] + 0.5) / (n_r + half_b))
+            )
+        )
+        for b in c_r
+    }
+    scored = []
+    for doc_id, source, ws in toks:
+        if source in target:
+            continue
+        micro = sum(round(lr[bucket(w)] * 1e6) for w in ws)
+        scored.append(
+            (doc_id, source, len(ws), _round_ieee_py(micro / 1e6))
+        )
+    want = sorted(scored, key=lambda x: (-x[3], x[0]))[:25]
+    got = [
+        (r.doc_id, r.source, r.n_tokens, r.importance)
+        for r in QUERIES["sample_importance_dsir"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_zorder_tile_invariant(spark):
+    """The Morton property the docstring claims: every zbucket is a
+    16×16 tile — both spans ≤ 15 — and the bucket counts partition the
+    table exactly."""
+    rows = QUERIES["sink_zorder_layout"](spark, SF_SMALL).collect()
+    (n_orders,) = _duck(SF_SMALL, "SELECT count(*) FROM orders")[0]
+    assert sum(r.n_rows for r in rows) == n_orders
+    for r in rows:
+        assert 0 <= r.x_max - r.x_min <= 15, r
+        assert 0 <= r.y_max - r.y_min <= 15, r
+        # bucket id is exactly the interleave of the two tile indices
+        xt, yt = r.x_min // 16, r.y_min // 16
+        zb = 0
+        for b in range(4):
+            zb |= ((xt >> b) & 1) << (2 * b + 1)
+            zb |= ((yt >> b) & 1) << (2 * b)
+        assert r.zbucket == zb, r
+
+
+def test_poisson_bootstrap_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT event_id, value FROM events WHERE event_type = 'purchase'",
+    )
+    cdf = (
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+        0.9994058151824183,
+    )
+
+    def weight(event_id: int, b: int) -> int:
+        h = hashlib.sha256(f"{event_id}:{b}".encode()).hexdigest()[:8]
+        u = int(h, 16) / 4294967296.0
+        for k, t in enumerate(cdf):
+            if u < t:
+                return k
+        return 6
+
+    means = []
+    for b in range(64):
+        cents = wsum = 0
+        for event_id, value in rows:
+            w = weight(event_id, b)
+            cents += int(math.floor(value * 100.0 + 0.5)) * w
+            wsum += w
+        means.append((_round_ieee_py(float(cents) / 100.0 / wsum), b))
+    means.sort()
+    pt_cents = sum(int(math.floor(v * 100.0 + 0.5)) for _, v in rows)
+    want = (
+        len(rows),
+        64,
+        _round_ieee_py(float(pt_cents) / 100.0 / len(rows)),
+        means[3][0],   # rank 4
+        means[60][0],  # rank 61
+    )
+    (r,) = QUERIES["stats_poisson_bootstrap_ci"](spark, SF_SMALL).collect()
+    assert (r.n_rows, r.n_replicates, r.point_mean, r.boot_lo, r.boot_hi) == want
+
+
+def test_holt_forecast_matches_python_reference(spark):
+    daily = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY day",
+    )
+    ys = [float(c) / 100.0 for _, c in daily]
+    assert len(ys) >= 2
+    l, t = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        l_new = 0.5 * y + 0.5 * (l + t)
+        t = 0.5 * ((0.5 * y + 0.5 * (l + t)) - l) + 0.5 * t
+        l = l_new
+    import datetime
+
+    last_day = daily[-1][0]
+    want = [
+        (h, last_day + datetime.timedelta(days=h), _round_ieee_py(l + h * t))
+        for h in range(1, 8)
+    ]
+    got = [
+        (r.h, r.day, r.forecast)
+        for r in QUERIES["ts_holt_linear_forecast"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_link_prediction_matches_python_reference(spark):
+    pairs = _duck(
+        SF_SMALL,
+        """
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey, b.l_partkey
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """,
+    )
+    supp = {p for p, c in Counter(pairs).items() if c >= 3}
+    nbrs: dict = {}
+    for a, b in supp:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    cand: Counter = Counter()
+    for hub, ns in nbrs.items():
+        if len(ns) > 64:
+            continue
+        sn = sorted(ns)
+        for i in range(len(sn)):
+            for j in range(i + 1, len(sn)):
+                cand[(sn[i], sn[j])] += 1
+    scored = [
+        (u, v, cn, _round_ieee_py(cn / (len(nbrs[u]) + len(nbrs[v]) - cn)))
+        for (u, v), cn in cand.items()
+        if (u, v) not in supp
+    ]
+    want = sorted(scored, key=lambda x: (-x[3], x[0], x[1]))[:20]
+    got = [
+        (r.p1, r.p2, r.common_neighbors, r.jaccard)
+        for r in QUERIES["graph_link_prediction"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_cms_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT l_partkey FROM lineitem")
+    keys = [r[0] for r in rows]
+    true_cnt = Counter(keys)
+
+    def buckets(key: int) -> list[int]:
+        h = hashlib.sha256(str(key).encode()).hexdigest()
+        return [
+            _HEX.index(h[2 * j]) * 16 + _HEX.index(h[2 * j + 1])
+            for j in range(4)
+        ]
+
+    cells: Counter = Counter()
+    for k, c in true_cnt.items():
+        for j, b in enumerate(buckets(k)):
+            cells[(j, b)] += c
+    tops = sorted(true_cnt.items(), key=lambda x: (-x[1], x[0]))[:10]
+    want = []
+    for k, c in tops:
+        est = min(cells[(j, b)] for j, b in enumerate(buckets(k)))
+        want.append((k, c, est, est >= c))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = [
+        (r.l_partkey, r.true_cnt, r.est_cnt, r.never_undercounts)
+        for r in QUERIES["rollup_cms_frequencies"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    assert all(g[3] for g in got)  # one-sided error, checked not assumed
