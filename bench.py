@@ -186,6 +186,7 @@ HEADLINE = [
     "graph_link_prediction",
     "rollup_cms_frequencies",
     "stream_cms_frequencies",
+    "ann_binary_hamming_topk",
 ]
 
 

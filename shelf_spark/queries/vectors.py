@@ -1300,3 +1300,117 @@ def vectors_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: binary-quantized ANN (sign bits + Hamming candidates, exact rerank)
+# ---------------------------------------------------------------------------
+
+_BHAM_CAND = 32  #: Hamming candidate pool per query before the exact rerank
+_BHAM_K = 5
+
+#: DuckDB: pack sign bits of dims [lo, lo+31] into one BIGINT word.
+def _sql_signword(lo: int) -> str:
+    return (
+        "list_sum(list_transform(generate_series(0, 31),"
+        f" j -> CASE WHEN vec[j + {lo + 1}] > 0"
+        " THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+def _signword(col_name: str, lo: int) -> Column:
+    return F.expr(
+        f"aggregate(sequence(0, 31), CAST(0 AS BIGINT),"
+        f" (acc, j) -> acc + IF(element_at({col_name}, j + {lo + 1}) > 0,"
+        " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    )
+
+
+@query(
+    "ann_binary_hamming_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ), w AS (
+      SELECT vec_id, vec, nrm,
+             {_sql_signword(0)} AS w_hi,
+             {_sql_signword(32)} AS w_lo
+      FROM v
+    ), q AS (
+      SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm,
+             w_hi AS q_hi, w_lo AS q_lo
+      FROM w WHERE vec_id < {N_QUERIES}
+    ), ham AS (
+      SELECT q_id, w.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q_hi, w_hi))
+                  + bit_count(xor(q_lo, w_lo)) AS BIGINT) AS hamming,
+             list_sum(list_transform(list_zip(q_vec, vec), s -> s[1] * s[2]))
+               / (q_nrm * nrm) AS cosine
+      FROM q CROSS JOIN w
+      WHERE w.vec_id <> q_id
+    ), cand AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, neighbor_id) AS crnk
+      FROM ham
+    ), rer AS (
+      SELECT q_id, neighbor_id, hamming, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM cand WHERE crnk <= {_BHAM_CAND}
+    )
+    SELECT q_id, neighbor_id, hamming, round(cosine, 4) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rer WHERE rnk <= {_BHAM_K}
+    """,
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN — the 32×-compression retrieval shape now
+    standard for large embedding corpora: each 64-d vector collapses to
+    its 64 SIGN BITS (two BIGINT words), candidates rank by Hamming
+    distance (XOR + popcount — pure ALU, no floats), and only the
+    top-{_BHAM_CAND} candidates per query pay the exact-cosine rerank.
+    Like `ann_lsh_topk`, the whole approximate pipeline is VALUE-checked:
+    sign bits, Hamming ranks, and the reranked top-{_BHAM_K} are all
+    deterministic on both engines.
+
+    100 TB shape: the binary index is 16 bytes/vector (vs 256 for
+    float32) — it stays in memory when the vectors don't; the Hamming
+    scan is a broadcast-queries map pass inside codegen (bit_count on
+    longs), and the float rerank touches only queries×{_BHAM_CAND}
+    rows. The sign words double as a coarse router: at cluster scale
+    you'd bucket by the top bits (multi-index Hamming) instead of
+    scanning, same bits, same layout."""
+    v = (
+        spark.table("embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+        .withColumn("w_hi", _signword("vec", 0))
+        .withColumn("w_lo", _signword("vec", 32))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("w_hi").alias("q_hi"),
+        F.col("w_lo").alias("q_lo"),
+    )
+    ham = v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.expr("q_hi ^ w_hi")) + F.bit_count(F.expr("q_lo ^ w_lo"))
+        ).cast("long").alias("hamming"),
+        (_dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    wc = W.partitionBy("q_id").orderBy("hamming", "neighbor_id")
+    wr = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        ham.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= _BHAM_CAND)
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _BHAM_K)
+        .select("q_id", "neighbor_id", "hamming", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
