@@ -73,7 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sink_zorder_layout, text_bpe_pair_counts, and
 #     stats_poisson_bootstrap_ci, ts_holt_linear_forecast, and
 #     graph_link_prediction, rollup_cms_frequencies, and
-#     stream_cms_frequencies, and ann_binary_hamming_topk
+#     stream_cms_frequencies, ann_binary_hamming_topk, and
+#     text_winnowing_fingerprints
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

@@ -187,6 +187,7 @@ HEADLINE = [
     "rollup_cms_frequencies",
     "stream_cms_frequencies",
     "ann_binary_hamming_topk",
+    "text_winnowing_fingerprints",
 ]
 
 

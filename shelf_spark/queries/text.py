@@ -288,3 +288,110 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: winnowing fingerprints (MOSS local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  #: words per k-gram
+_WIN_W = 4  #: k-gram hashes per winnowing window
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_WIN_K + _WIN_W - 1}
+    ), grams AS (
+      SELECT doc_id, g,
+             CAST((
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+               + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+             ) AS BIGINT) AS hv
+      FROM (SELECT doc_id, g,
+                   sha256(array_to_string(t[g:g + {_WIN_K - 1}], ' ')) AS h
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - {_WIN_K - 1})) AS g
+                  FROM toks) x) y
+    ), grid AS (
+      SELECT g.doc_id, w.i, g.g AS pos, g.hv
+      FROM (SELECT doc_id,
+                   unnest(generate_series(1, max(g) - {_WIN_W - 1})) AS i
+            FROM grams GROUP BY doc_id) w
+      JOIN grams g ON g.doc_id = w.doc_id
+                  AND g.g BETWEEN w.i AND w.i + {_WIN_W - 1}
+    ), wins AS (
+      SELECT doc_id, i, min(hv) AS mh FROM grid GROUP BY 1, 2
+    ), sel AS (
+      SELECT DISTINCT g.doc_id, sub.p AS pos
+      FROM (SELECT g.doc_id, g.i, max(g.pos) AS p
+            FROM grid g JOIN wins USING (doc_id, i)
+            WHERE g.hv = wins.mh GROUP BY g.doc_id, g.i) sub
+      JOIN grams g ON g.doc_id = sub.doc_id AND g.g = sub.p
+    )
+    SELECT s.doc_id,
+           CAST(max(g.g) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT s.pos) AS BIGINT) AS n_selected,
+           min(g2.hv) AS min_fp
+    FROM sel s
+    JOIN grams g ON g.doc_id = s.doc_id
+    JOIN grams g2 ON g2.doc_id = s.doc_id AND g2.g = s.pos
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing [Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS
+    fingerprinting algorithm]: hash every {_WIN_K}-word k-gram, slide a
+    window of {_WIN_W} consecutive hashes, and select each window's
+    RIGHTMOST minimum — the local fingerprinting rule that guarantees
+    any shared substring of length ≥ k + w − 1 produces at least one
+    shared fingerprint, with expected density 2/(w+1) (the guarantee
+    random per-doc MinHash sampling cannot give). Emits per-doc
+    fingerprint stats + the smallest selected print (the doc's
+    coarsest identity).
+
+    100 TB shape: entirely map-only — each doc's selection runs inside
+    one row over its own bounded gram array (windows×w ≈ 800 lambda
+    touches per ~200-token doc — the SMALL-array regime where
+    higher-order lambdas are the right tool, per the simhash lesson);
+    no shuffle until the per-doc stats agg. The DuckDB oracle runs the
+    identical rightmost-min rule on an exploded grid, value-exact via
+    the shared sha256-prefix gram hashes."""
+    d = spark.table("documents").filter(
+        F.size(F.split("text", " ")) >= _WIN_K + _WIN_W - 1
+    )
+    hs = F.expr(
+        f"transform(sequence(1, size(t) - {_WIN_K - 1}),"
+        f" g -> CAST(conv(substr(sha2(concat_ws(' ', slice(t, g, {_WIN_K})), 256),"
+        " 1, 8), 16, 10) AS BIGINT))"
+    )
+    sel = F.expr(
+        f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W - 1}),"
+        f" i -> aggregate(sequence(0, {_WIN_W - 1}),"
+        "   named_struct('bh', CAST(9223372036854775807 AS BIGINT), 'bp', -1),"
+        "   (acc, j) -> IF(element_at(hs, i + j) <= acc.bh,"
+        "     named_struct('bh', element_at(hs, i + j), 'bp', i + j), acc)).bp))"
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("hs", hs)
+        .withColumn("sel", sel)
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n_grams"),
+            F.size("sel").cast("long").alias("n_selected"),
+            F.expr(
+                "array_min(transform(sel, p -> element_at(hs, p)))"
+            ).alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -290,3 +290,36 @@ def test_cms_matches_python_reference(spark):
     ]
     assert got == want
     assert all(g[3] for g in got)  # one-sided error, checked not assumed
+
+
+def test_winnowing_matches_python_reference(spark):
+    K, W = 3, 4
+    docs = _duck(SF_SMALL, "SELECT doc_id, text FROM documents")
+    want = []
+    for doc_id, text in sorted(docs):
+        t = text.split(" ")
+        if len(t) < K + W - 1:
+            continue
+        hs = []
+        for g in range(len(t) - K + 1):
+            h = hashlib.sha256(" ".join(t[g : g + K]).encode()).hexdigest()
+            hs.append(int(h[:8], 16))
+        sel = set()
+        for i in range(len(hs) - W + 1):
+            best_h, best_p = None, None
+            for j in range(W):
+                if best_h is None or hs[i + j] <= best_h:
+                    best_h, best_p = hs[i + j], i + j
+            sel.add(best_p)
+        want.append(
+            (doc_id, len(hs), len(sel), min(hs[p] for p in sel))
+        )
+    got = [
+        (r.doc_id, r.n_grams, r.n_selected, r.min_fp)
+        for r in QUERIES["text_winnowing_fingerprints"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # the winnowing density guarantee: ~2/(w+1) selections per window
+    for _, n_grams, n_sel, _ in want:
+        windows = n_grams - W + 1
+        assert n_sel <= windows
