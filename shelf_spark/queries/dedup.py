@@ -963,3 +963,151 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jaccard, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: winnowing-fingerprint dedup pairs (MOSS-style overlap detection)
+# ---------------------------------------------------------------------------
+
+#: Stop-print cap: fingerprints appearing in more than this many docs are
+#: boilerplate (the df-cap rule — same as the link-prediction hub cap and
+#: Bayardo frequency filtering) and generate pair volume without signal.
+_WFP_DF_MAX = 50
+_WFP_MIN_SHARED = 2
+
+#: DuckDB winnowing CTE chain — keep in sync with the oracle of
+#: text_winnowing_fingerprints (text.py), which defines the same
+#: toks/grams/grid/wins/sel pipeline.
+_SQL_WINNOW = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 6
+    ), grams AS (
+      SELECT doc_id, g,
+             CAST((
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+               + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+             ) AS BIGINT) AS hv
+      FROM (SELECT doc_id, g,
+                   sha256(array_to_string(t[g:g + 2], ' ')) AS h
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 2)) AS g
+                  FROM toks) x) y
+    ), grid AS (
+      SELECT g.doc_id, w.i, g.g AS pos, g.hv
+      FROM (SELECT doc_id, unnest(generate_series(1, max(g) - 3)) AS i
+            FROM grams GROUP BY doc_id) w
+      JOIN grams g ON g.doc_id = w.doc_id AND g.g BETWEEN w.i AND w.i + 3
+    ), wins AS (
+      SELECT doc_id, i, min(hv) AS mh FROM grid GROUP BY 1, 2
+    ), sel AS (
+      SELECT DISTINCT g.doc_id, sub.p AS pos
+      FROM (SELECT g.doc_id, g.i, max(g.pos) AS p
+            FROM grid g JOIN wins USING (doc_id, i)
+            WHERE g.hv = wins.mh GROUP BY g.doc_id, g.i) sub
+      JOIN grams g ON g.doc_id = sub.doc_id AND g.g = sub.p
+    )
+"""
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_SQL_WINNOW},
+    prints AS (
+      SELECT DISTINCT s.doc_id, g.hv AS fp
+      FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.g = s.pos
+    ), keptfp AS (
+      SELECT fp FROM prints GROUP BY fp HAVING count(*) <= {_WFP_DF_MAX}
+    ), kept AS (
+      SELECT p.doc_id, p.fp FROM prints p JOIN keptfp USING (fp)
+    ), np AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_prints
+      FROM kept GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {_WFP_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, n_shared,
+           (floor(CAST(n_shared AS DOUBLE)
+                  / least(na.n_prints, nb.n_prints) * 1000000.0 + 0.5)
+            / 1000000.0) AS overlap
+    FROM pairs
+    JOIN np na ON na.doc_id = doc_a
+    JOIN np nb ON nb.doc_id = doc_b
+    ORDER BY n_shared DESC, doc_a, doc_b
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair detection from winnowed fingerprints — the MOSS
+    pipeline end-to-end: docs sharing ≥{_WFP_MIN_SHARED} selected prints
+    are overlap candidates, scored by shared-print fraction. Unlike
+    MinHash banding (probabilistic recall) this inherits winnowing's
+    GUARANTEE: any shared run of ≥ k+w−1 tokens yields a shared print,
+    so long verbatim overlaps cannot escape.
+
+    100 TB shape: the per-doc selection is map-only (winnow_selected,
+    text.py); the only pair generator is the print-bucket combination
+    explode, df-capped at {_WFP_DF_MAX} docs/print (stop-print removal —
+    the same hot-key rule as the link-prediction hub cap: worst case
+    per print is C({_WFP_DF_MAX},2), data-independent), with buckets
+    built by ONE fp-keyed exchange carrying 8-byte prints."""
+    from .num import _round_ieee
+    from .text import winnow_selected
+
+    prints = (
+        winnow_selected(spark)
+        .select(
+            "doc_id",
+            F.explode(F.expr("transform(sel, p -> element_at(hs, p))")).alias("fp"),
+        )
+        .distinct()
+    )
+    kept = (
+        prints.withColumn("df", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("df") <= _WFP_DF_MAX)
+        .drop("df")
+    )
+    np_ = kept.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_prints"))
+    buckets = kept.groupBy("fp").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("docs")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WFP_MIN_SHARED)
+    )
+    na = np_.select(F.col("doc_id").alias("doc_a"), F.col("n_prints").alias("na"))
+    nb = np_.select(F.col("doc_id").alias("doc_b"), F.col("n_prints").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            _round_ieee(
+                F.col("n_shared").cast("double") / F.least("na", "nb"), 6
+            ).alias("overlap"),
+        )
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+    )

@@ -298,6 +298,32 @@ _WIN_K = 3  #: words per k-gram
 _WIN_W = 4  #: k-gram hashes per winnowing window
 
 
+def winnow_selected(spark: SparkSession) -> DataFrame:
+    """(doc_id, hs, sel): per-doc k-gram hash array and the winnowed
+    (rightmost-min) selected positions — shared by the fingerprint
+    stats operator and the dedup pair generator (dedup.py)."""
+    d = spark.table("documents").filter(
+        F.size(F.split("text", " ")) >= _WIN_K + _WIN_W - 1
+    )
+    hs = F.expr(
+        f"transform(sequence(1, size(t) - {_WIN_K - 1}),"
+        f" g -> CAST(conv(substr(sha2(concat_ws(' ', slice(t, g, {_WIN_K})), 256),"
+        " 1, 8), 16, 10) AS BIGINT))"
+    )
+    sel = F.expr(
+        f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W - 1}),"
+        f" i -> aggregate(sequence(0, {_WIN_W - 1}),"
+        "   named_struct('bh', CAST(9223372036854775807 AS BIGINT), 'bp', -1),"
+        "   (acc, j) -> IF(element_at(hs, i + j) <= acc.bh,"
+        "     named_struct('bh', element_at(hs, i + j), 'bp', i + j), acc)).bp))"
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("hs", hs)
+        .withColumn("sel", sel)
+    )
+
+
 @query(
     "text_winnowing_fingerprints",
     oracle=f"""
@@ -366,25 +392,8 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle until the per-doc stats agg. The DuckDB oracle runs the
     identical rightmost-min rule on an exploded grid, value-exact via
     the shared sha256-prefix gram hashes."""
-    d = spark.table("documents").filter(
-        F.size(F.split("text", " ")) >= _WIN_K + _WIN_W - 1
-    )
-    hs = F.expr(
-        f"transform(sequence(1, size(t) - {_WIN_K - 1}),"
-        f" g -> CAST(conv(substr(sha2(concat_ws(' ', slice(t, g, {_WIN_K})), 256),"
-        " 1, 8), 16, 10) AS BIGINT))"
-    )
-    sel = F.expr(
-        f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W - 1}),"
-        f" i -> aggregate(sequence(0, {_WIN_W - 1}),"
-        "   named_struct('bh', CAST(9223372036854775807 AS BIGINT), 'bp', -1),"
-        "   (acc, j) -> IF(element_at(hs, i + j) <= acc.bh,"
-        "     named_struct('bh', element_at(hs, i + j), 'bp', i + j), acc)).bp))"
-    )
     return (
-        d.select("doc_id", F.split("text", " ").alias("t"))
-        .withColumn("hs", hs)
-        .withColumn("sel", sel)
+        winnow_selected(spark)
         .select(
             "doc_id",
             F.size("hs").cast("long").alias("n_grams"),

@@ -206,6 +206,7 @@ HEADLINE = [
     "stream_cms_frequencies",
     "ann_binary_hamming_topk",
     "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
 ]
 
 
