@@ -3047,3 +3047,111 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8e: Mann-Whitney U (rank-sum test on the compressed value domain)
+# ---------------------------------------------------------------------------
+
+#: Shared z-statistic expression shape (identical op sequence on both
+#: engines): u, mu, sigma from exact integer moments.
+_MWU_Z = (
+    "((CAST(two_u AS DOUBLE) / 2.0"
+    " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)"
+    " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+    "   * ((CAST(n1 + n2 AS DOUBLE) + 1.0)"
+    "      - CAST(tie AS DOUBLE)"
+    "        / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))"
+)
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH g AS (
+      SELECT value, (event_type = 'purchase') AS is_a FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), dom AS (
+      SELECT value,
+             CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (WHERE NOT is_a) AS BIGINT) AS c2
+      FROM g GROUP BY value
+    ), cum AS (
+      SELECT value, c1, c2, c1 + c2 AS t,
+             sum(c1 + c2) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_upto
+      FROM dom
+    ), mom AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             sum(CAST(c1 AS DECIMAL(38,0))
+                 * (2 * (t_upto - t) + t + 1)) AS two_r1,
+             sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie
+      FROM cum
+    ), fin AS (
+      SELECT n1, n2, tie,
+             two_r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS two_u
+      FROM mom
+    )
+    SELECT n1, n2,
+           CAST(two_u AS DOUBLE) / 2.0 AS u_stat,
+           {{z}} AS z_score
+    FROM fin
+    """.format(z=_sql_round_ieee(_MWU_Z, 6)),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing purchase vs click
+    value distributions — the nonparametric two-sample test (no
+    normality assumption, unlike stats_welch_ttest) with midrank tie
+    handling and the tie-corrected normal approximation.
+
+    100 TB shape: ranking never sorts the facts — rank sums live on the
+    COMPRESSED VALUE DOMAIN (one groupBy on the 2-decimal value grid,
+    the same trick as the exact-median/quantile-bin family), and the
+    running count over that ordered domain is a DISTRIBUTED prefix sum
+    (prefix.attach_prefix_sums), so no single-task window touches a
+    data-sized relation. Rank sums carry in half-units (2·R1 is an
+    exact integer — midranks are halves) inside DECIMAL(38,0) moments
+    (the agg_abc int64-headroom lesson: at N≈10¹² rows, n1·(n1+1)
+    alone overflows int64); the z-statistic is one fixed IEEE
+    expression of those exact moments on both engines."""
+    from .prefix import attach_prefix_sums
+
+    g = (
+        spark.table("events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("value", (F.col("event_type") == "purchase").alias("is_a"))
+    )
+    dom = g.groupBy("value").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("long").alias("c1"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("c2"),
+    )
+    cum = attach_prefix_sums(
+        dom.withColumn("t", F.col("c1") + F.col("c2")), ["value"], ["t"]
+    )
+    mom = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * (F.col("t_upto") - F.col("t")) + F.col("t") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie"),
+    )
+    fin = mom.select(
+        "n1",
+        "n2",
+        "tie",
+        (
+            F.col("two_r1")
+            - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+        ).alias("two_u"),
+    )
+    return fin.select(
+        "n1",
+        "n2",
+        (F.col("two_u").cast("double") / 2.0).alias("u_stat"),
+        _round_ieee(F.expr(_MWU_Z), 6).alias("z_score"),
+    )

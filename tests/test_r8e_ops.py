@@ -323,3 +323,34 @@ def test_winnowing_matches_python_reference(spark):
     for _, n_grams, n_sel, _ in want:
         windows = n_grams - W + 1
         assert n_sel <= windows
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT value, event_type FROM events"
+        " WHERE event_type IN ('purchase', 'click')",
+    )
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for v, t in rows:
+        (c1 if t == "purchase" else c2)[v] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    N = n1 + n2
+    two_r1 = tie = 0
+    cum = 0
+    for v in sorted(set(c1) | set(c2)):
+        t = c1.get(v, 0) + c2.get(v, 0)
+        two_r1 += c1.get(v, 0) * (2 * cum + t + 1)
+        tie += t**3 - t
+        cum += t
+    two_u = two_r1 - n1 * (n1 + 1)
+    u = float(two_u) / 2.0
+    mu = float(n1) * float(n2) / 2.0
+    sigma = math.sqrt(
+        float(n1) * float(n2) / 12.0
+        * ((float(N) + 1.0) - float(tie) / (float(N) * (float(N) - 1.0)))
+    )
+    z = _round_ieee_py((u - mu) / sigma)
+    (r,) = QUERIES["stats_mann_whitney_u"](spark, SF_SMALL).collect()
+    assert (r.n1, r.n2, r.u_stat, r.z_score) == (n1, n2, u, z)

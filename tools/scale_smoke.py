@@ -207,6 +207,7 @@ HEADLINE = [
     "ann_binary_hamming_topk",
     "text_winnowing_fingerprints",
     "dedup_winnowing_pairs",
+    "stats_mann_whitney_u",
 ]
 
 
