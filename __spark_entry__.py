@@ -74,8 +74,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stats_poisson_bootstrap_ci, ts_holt_linear_forecast, and
 #     graph_link_prediction, rollup_cms_frequencies, and
 #     stream_cms_frequencies, ann_binary_hamming_topk, and
-#     text_winnowing_fingerprints, dedup_winnowing_pairs, and
-#     stats_mann_whitney_u
+#     text_winnowing_fingerprints, dedup_winnowing_pairs,
+#     stats_mann_whitney_u, and stats_kruskal_wallis
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

@@ -190,6 +190,7 @@ HEADLINE = [
     "text_winnowing_fingerprints",
     "dedup_winnowing_pairs",
     "stats_mann_whitney_u",
+    "stats_kruskal_wallis",
 ]
 
 

@@ -3155,3 +3155,132 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("two_u").cast("double") / 2.0).alias("u_stat"),
         _round_ieee(F.expr(_MWU_Z), 6).alias("z_score"),
     )
+
+
+# Kruskal-Wallis: the per-group rank-sum terms are pivoted into ONE row of
+# exact integer moments (n_/r_ per literal group) so the H statistic is a
+# single fixed-shape scalar expression — no cross-row double summation
+# whose order could differ between engines.
+_KW_GROUPS = ("click", "error", "purchase", "signup", "view")
+_KW_TERM = " + ".join(
+    f"(CAST(r_{g} AS DOUBLE) * CAST(r_{g} AS DOUBLE)"
+    f" / (4.0 * CAST(n_{g} AS DOUBLE)))"
+    for g in _KW_GROUPS
+)
+_KW_H = (
+    f"(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))"
+    f" * ({_KW_TERM})"
+    f" - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+    f" / (1.0 - CAST(tie AS DOUBLE)"
+    f"    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    f"       - CAST(n AS DOUBLE))))"
+)
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT value, event_type AS grp, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), dom AS (
+      SELECT value, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+    ), cum AS (
+      SELECT value, t,
+             sum(t) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_upto
+      FROM dom
+    ), bygrp AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+             sum(CAST(c AS DECIMAL(38,0))
+                 * (2 * (cum.t_upto - cum.t) + cum.t + 1)) AS two_r
+      FROM cnt JOIN cum USING (value) GROUP BY grp
+    ), one AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             {", ".join(
+                 f"sum(n_g) FILTER (WHERE grp = '{g}') AS n_{g},"
+                 f" sum(two_r) FILTER (WHERE grp = '{g}') AS r_{g}"
+                 for g in _KW_GROUPS
+             )}
+      FROM bygrp
+    ), tiet AS (
+      SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie FROM cum
+    )
+    SELECT grp, n_g,
+           {{mr}} AS mean_rank,
+           {{h}} AS h_corr
+    FROM bygrp, one, tiet
+    """.format(
+        mr=_sql_round_ieee(
+            "CAST(two_r AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))", 6
+        ),
+        h=_sql_round_ieee(_KW_H, 6),
+    ),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the five event-type value distributions
+    share a location? The k-group generalization of
+    stats_mann_whitney_u, with midrank ties and the tie-corrected H.
+
+    100 TB shape: identical rank machinery to the two-sample test —
+    rank sums live on the COMPRESSED VALUE DOMAIN (one groupBy on the
+    2-decimal value grid) with a DISTRIBUTED prefix count
+    (prefix.attach_prefix_sums), so no fact-sized sort or single-task
+    window exists anywhere. Per-group 2·R_g rank sums are exact
+    integers in DECIMAL(38,0); they pivot into ONE row of named
+    moments (n_g/r_g per literal group) so the H statistic is a single
+    fixed-shape IEEE expression — the cross-group summation order is
+    frozen in the expression tree, never left to an engine's
+    aggregation order. Headroom: at N≈10¹² rows 2·R_g ≈ N² = 10²⁴,
+    squared inside the DOUBLE term (10⁴⁸) — fine in binary64 (max
+    ~1.8e308); only the exact integer carriers need the decimal width."""
+    from .prefix import attach_prefix_sums
+
+    cnt = (
+        spark.table("events")
+        .groupBy("value", F.col("event_type").alias("grp"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    dom = cnt.groupBy("value").agg(F.sum("c").cast("long").alias("t"))
+    cum = attach_prefix_sums(dom, ["value"], ["t"])
+    bygrp = (
+        cnt.join(cum, "value")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * (2 * (F.col("t_upto") - F.col("t")) + F.col("t") + 1)
+            ).alias("two_r"),
+        )
+    )
+    one = bygrp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        *[
+            agg
+            for g in _KW_GROUPS
+            for agg in (
+                F.sum(F.when(F.col("grp") == g, F.col("n_g"))).alias(f"n_{g}"),
+                F.sum(F.when(F.col("grp") == g, F.col("two_r"))).alias(f"r_{g}"),
+            )
+        ],
+    )
+    tiet = cum.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie")
+    )
+    return (
+        bygrp.crossJoin(F.broadcast(one))
+        .crossJoin(F.broadcast(tiet))
+        .select(
+            "grp",
+            "n_g",
+            _round_ieee(
+                F.col("two_r").cast("double") / (2.0 * F.col("n_g").cast("double")),
+                6,
+            ).alias("mean_rank"),
+            _round_ieee(F.expr(_KW_H), 6).alias("h_corr"),
+        )
+    )

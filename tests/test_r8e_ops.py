@@ -354,3 +354,45 @@ def test_mann_whitney_matches_python_reference(spark):
     z = _round_ieee_py((u - mu) / sigma)
     (r,) = QUERIES["stats_mann_whitney_u"](spark, SF_SMALL).collect()
     assert (r.n1, r.n2, r.u_stat, r.z_score) == (n1, n2, u, z)
+
+
+def test_kruskal_wallis_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT value, event_type FROM events")
+    by_grp: dict[str, Counter] = {}
+    for v, g in rows:
+        by_grp.setdefault(g, Counter())[v] += 1
+    groups = sorted(by_grp)
+    dom = sorted({v for c in by_grp.values() for v in c})
+    # midrank sums in exact half-units over the compressed value domain
+    two_r = {g: 0 for g in groups}
+    tie = cum = 0
+    for v in dom:
+        t = sum(c.get(v, 0) for c in by_grp.values())
+        for g in groups:
+            two_r[g] += by_grp[g].get(v, 0) * (2 * cum + t + 1)
+        tie += t**3 - t
+        cum += t
+    n_g = {g: sum(by_grp[g].values()) for g in groups}
+    n = sum(n_g.values())
+    term = sum(
+        float(two_r[g]) * float(two_r[g]) / (4.0 * float(n_g[g]))
+        for g in groups
+    )
+    h = (12.0 / (float(n) * (float(n) + 1.0))) * term - 3.0 * (float(n) + 1.0)
+    h_corr = _round_ieee_py(
+        h / (1.0 - float(tie) / (float(n) ** 3 - float(n)))
+    )
+    got = {
+        r.grp: (r.n_g, r.mean_rank, r.h_corr)
+        for r in QUERIES["stats_kruskal_wallis"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for g in groups:
+        assert got[g][0] == n_g[g]
+        assert got[g][1] == _round_ieee_py(
+            float(two_r[g]) / (2.0 * float(n_g[g]))
+        )
+        assert got[g][2] == h_corr
+    # sanity: the five synthetic event types share one value distribution,
+    # so H should be far from pathological (positive, finite)
+    assert h_corr > 0.0
