@@ -191,6 +191,7 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "stats_mann_whitney_u",
     "stats_kruskal_wallis",
+    "ml_average_precision",
 ]
 
 

@@ -3284,3 +3284,85 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round_ieee(F.expr(_KW_H), 6).alias("h_corr"),
         )
     )
+
+
+@query(
+    "ml_average_precision",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    dom AS (
+      SELECT score, count(*) AS nt, count(*) FILTER (WHERE y) AS np
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, nt, np,
+             sum(nt) OVER (ORDER BY score) AS nt_upto,
+             sum(np) OVER (ORDER BY score) AS np_upto
+      FROM dom
+    ),
+    tot AS (SELECT sum(nt) AS t, sum(np) AS p FROM dom),
+    terms AS (
+      SELECT CAST({_sql_round_ieee(
+          "(CAST(np AS DOUBLE) * CAST(p - np_upto + np AS DOUBLE))"
+          " / (CAST(p AS DOUBLE) * CAST(t - nt_upto + nt AS DOUBLE))", 9)}
+             AS DECIMAL(38,9)) AS term
+      FROM cum CROSS JOIN tot
+      WHERE np > 0
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg,
+           {_sql_round_ieee("CAST(sum(term) AS DOUBLE)", 6)} AS avg_precision
+    FROM terms CROSS JOIN tot
+    GROUP BY p, t
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT average precision (area under the step-interpolated PR
+    curve, sklearn's formulation): AP = Σ_thresholds ΔRecall · Precision,
+    scanning distinct scores from the top — the ranking metric that,
+    unlike ROC AUC, is prevalence-sensitive (the right gate for rare-
+    positive retrieval/filter models).
+
+    Scale shape: same compressed DISTINCT-SCORE domain + distributed
+    prefix count as ml_roc_auc — no per-row rank, no global window.
+    The descending cumulative TP/total at each threshold derives from
+    the ASCENDING prefix (tp_top = P − np_upto + np), so one prefix
+    pass serves both directions. Per-threshold precision·ΔR terms are
+    ratios (not exact integers), so each is rounded on the 1e-9 grid —
+    term ≤ 1, so term·1e9 sits exactly in binary64 — and summed in
+    DECIMAL(38,9): the cross-cell float-summation ORDER problem is
+    gone (decimal adds are associative), and both engines round the
+    identical IEEE per-cell double. AP drift from the grid is ≤
+    n_cells·5e-10 — invisible at 6dp output for any real score domain."""
+    from .prefix import attach_prefix_sums
+
+    dom = _scored(spark).groupBy("score").agg(
+        F.count("*").alias("nt"),
+        F.count(F.when(F.col("y"), 1)).alias("np"),
+    )
+    cum = attach_prefix_sums(dom, ["score"], ["nt", "np"])
+    tot = dom.agg(
+        F.sum("nt").cast("long").alias("t"), F.sum("np").cast("long").alias("p")
+    )
+    term = _round_ieee(
+        (
+            F.col("np").cast("double")
+            * (F.col("p") - F.col("np_upto") + F.col("np")).cast("double")
+        )
+        / (
+            F.col("p").cast("double")
+            * (F.col("t") - F.col("nt_upto") + F.col("nt")).cast("double")
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("np") > 0)
+        .select(term.alias("term"), "p", "t")
+    )
+    return terms.groupBy("p", "t").agg(
+        _round_ieee(F.sum("term").cast("double"), 6).alias("avg_precision")
+    ).select(
+        F.col("p").cast("long").alias("n_pos"),
+        (F.col("t") - F.col("p")).cast("long").alias("n_neg"),
+        "avg_precision",
+    )

@@ -396,3 +396,33 @@ def test_kruskal_wallis_matches_python_reference(spark):
     # sanity: the five synthetic event types share one value distribution,
     # so H should be far from pathological (positive, finite)
     assert h_corr > 0.0
+
+
+def test_average_precision_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT n_chars, (lang = 'en') FROM documents")
+    # sklearn-style step AP over descending distinct thresholds
+    dom: dict[int, list[int]] = {}
+    for s, y in rows:
+        c = dom.setdefault(s, [0, 0])
+        c[0] += 1
+        c[1] += int(y)
+    p = sum(c[1] for c in dom.values())
+    t = sum(c[0] for c in dom.values())
+    tp = seen = 0
+    terms = []
+    for s in sorted(dom, reverse=True):
+        nt, np_ = dom[s]
+        tp += np_
+        seen += nt
+        if np_ > 0:
+            terms.append(
+                _round_ieee_py(
+                    (float(np_) * float(tp)) / (float(p) * float(seen)), 9
+                )
+            )
+    # exact decimal-grid sum, as both engines perform it
+    ap = _round_ieee_py(sum(round(x * 1e9) for x in terms) / 1e9)
+    (r,) = QUERIES["ml_average_precision"](spark, SF_SMALL).collect()
+    assert (r.n_pos, r.n_neg) == (p, t - p)
+    assert r.avg_precision == ap
+    assert 0.0 < ap <= 1.0
