@@ -3366,3 +3366,89 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t") - F.col("p")).cast("long").alias("n_neg"),
         "avg_precision",
     )
+
+
+_SPEARMAN_RHO = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+
+@query(
+    "stats_spearman_rho",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), domx AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY x
+    ), cumx AS (
+      SELECT x, CAST(2 * (sum(t) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                 + t + 1 AS DECIMAL(18,0)) AS wx
+      FROM domx
+    ), domy AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY y
+    ), cumy AS (
+      SELECT y, CAST(2 * (sum(t) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                 + t + 1 AS DECIMAL(18,0)) AS wy
+      FROM domy
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(wx) AS sx, sum(wy) AS sy,
+             sum(wx * wy) AS sxy, sum(wx * wx) AS sxx, sum(wy * wy) AS syy
+      FROM f JOIN cumx USING (x) JOIN cumy USING (y)
+    )
+    SELECT n, {{rho}} AS spearman_rho FROM mom
+    """.format(rho=_sql_round_ieee(_SPEARMAN_RHO, 6)),
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line-item quantity and extended
+    price — Pearson over MIDRANKS, the tie-correct formulation (the
+    50-value quantity domain is nothing but ties, so naive dense ranks
+    would be wrong; midranks make ρ exact).
+
+    Scale shape: each column's midranks live on its own COMPRESSED
+    domain (50-cell quantity grid; the 2dp price grid) with a
+    DISTRIBUTED prefix count — no fact-sized sort. Ranks return to the
+    facts via two linear equi-joins (the quantity side is broadcast-
+    sized by construction; the price side is one hash shuffle, and AQE
+    broadcasts it too when the domain allows). Midranks carry in
+    half-units (wx = 2·rank, an exact integer) inside DECIMAL(18,0) so
+    products widen to DECIMAL(37,0) without overflow — headroom: w ≤
+    2N+1 needs N < 5·10¹⁷; the five moments are exact integers and ρ is
+    ONE fixed-shape IEEE expression of them on both engines."""
+    from .prefix import attach_prefix_sums
+
+    f = spark.table("lineitem").select(
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    def _mid(dom_col: str) -> DataFrame:
+        dom = f.groupBy(dom_col).agg(F.count("*").cast("long").alias("t"))
+        cum = attach_prefix_sums(dom, [dom_col], ["t"])
+        return cum.select(
+            dom_col,
+            (2 * (F.col("t_upto") - F.col("t")) + F.col("t") + 1)
+            .cast("decimal(18,0)")
+            .alias(f"w{dom_col}"),
+        )
+    mom = (
+        f.join(_mid("x"), "x")
+        .join(_mid("y"), "y")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("wx").alias("sx"),
+            F.sum("wy").alias("sy"),
+            F.sum(F.col("wx") * F.col("wy")).alias("sxy"),
+            F.sum(F.col("wx") * F.col("wx")).alias("sxx"),
+            F.sum(F.col("wy") * F.col("wy")).alias("syy"),
+        )
+    )
+    return mom.select("n", _round_ieee(F.expr(_SPEARMAN_RHO), 6).alias("spearman_rho"))

@@ -426,3 +426,43 @@ def test_average_precision_matches_python_reference(spark):
     assert (r.n_pos, r.n_neg) == (p, t - p)
     assert r.avg_precision == ap
     assert 0.0 < ap <= 1.0
+
+
+def test_spearman_rho_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT),"
+        "       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " FROM lineitem",
+    )
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+
+    def midranks_x2(vals: list[int]) -> dict[int, int]:
+        c = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(c):
+            t = c[v]
+            out[v] = 2 * cum + t + 1  # 2 * midrank, exact integer
+            cum += t
+        return out
+
+    wx_map, wy_map = midranks_x2(xs), midranks_x2(ys)
+    wx = [wx_map[v] for v in xs]
+    wy = [wy_map[v] for v in ys]
+    n = len(wx)
+    sx, sy = sum(wx), sum(wy)
+    sxy = sum(a * b for a, b in zip(wx, wy))
+    sxx = sum(a * a for a in wx)
+    syy = sum(b * b for b in wy)
+    rho = _round_ieee_py(
+        (float(n) * float(sxy) - float(sx) * float(sy))
+        / math.sqrt(
+            (float(n) * float(sxx) - float(sx) * float(sx))
+            * (float(n) * float(syy) - float(sy) * float(sy))
+        )
+    )
+    (r,) = QUERIES["stats_spearman_rho"](spark, SF_SMALL).collect()
+    assert (r.n, r.spearman_rho) == (n, rho)
+    # qty and price are essentially independent in TPC-H: |rho| small
+    assert abs(rho) < 0.2

@@ -210,6 +210,7 @@ HEADLINE = [
     "stats_mann_whitney_u",
     "stats_kruskal_wallis",
     "ml_average_precision",
+    "stats_spearman_rho",
 ]
 
 
