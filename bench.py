@@ -193,6 +193,7 @@ HEADLINE = [
     "stats_kruskal_wallis",
     "ml_average_precision",
     "stats_spearman_rho",
+    "privacy_t_closeness",
 ]
 
 

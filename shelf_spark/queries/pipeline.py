@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import DEC
+from .num import DEC, _round_ieee, _sql_round_ieee
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1647,3 +1647,129 @@ def privacy_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_true") + noise, 6).alias("released_count"),
         F.lit(float(_DP_EPSILON)).alias("epsilon"),
     ).orderBy("lang")
+
+
+#: t-closeness threshold as an exact rational: TVD > 1/5 ⟺ 5·S > 2·N_c·N
+#: (S = Σ|n_cv·N − n_v·N_c|) — the violation verdict is an integer
+#: cross-multiplication, never a float comparison.
+_T_CLOSE_NUM, _T_CLOSE_DEN = 1, 5
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH cv AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(value / 50) AS BIGINT) AS value_band,
+             event_type, CAST(count(*) AS BIGINT) AS n_cv
+      FROM events GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT day, value_band, CAST(sum(n_cv) AS BIGINT) AS n_c
+      FROM cv GROUP BY 1, 2
+    ), gl AS (
+      SELECT event_type, CAST(sum(n_cv) AS BIGINT) AS n_v FROM cv GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n FROM gl),
+    grid AS (
+      SELECT cls.day, cls.value_band, cls.n_c, gl.event_type, gl.n_v,
+             coalesce(cv.n_cv, 0) AS n_cv
+      FROM cls CROSS JOIN gl
+      LEFT JOIN cv ON cv.day = cls.day AND cv.value_band = cls.value_band
+                  AND cv.event_type = gl.event_type
+    ), perclass AS (
+      SELECT day, value_band, n_c,
+             sum(abs(CAST(n_cv AS DECIMAL(38,0)) * (SELECT n FROM tot)
+                     - CAST(n_v AS DECIMAL(38,0)) * n_c)) AS s
+      FROM grid GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT n_c, s,
+             CAST(s AS DOUBLE)
+               / (2.0 * CAST(n_c AS DOUBLE)
+                  * CAST((SELECT n FROM tot) AS DOUBLE)) AS tvd,
+             ({_T_CLOSE_DEN} * s
+              > 2 * {_T_CLOSE_NUM} * CAST(n_c AS DECIMAL(38,0))
+                * (SELECT n FROM tot)) AS viol
+      FROM perclass
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           {{mx}} AS max_tvd,
+           CAST(count(*) FILTER (WHERE viol) AS BIGINT) AS n_violating_classes,
+           CAST(coalesce(sum(n_c) FILTER (WHERE viol), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           {{sh}} AS share_t_close
+    FROM scored
+    """.format(
+        mx=_sql_round_ieee("max(tvd)", 6),
+        sh=_sql_round_ieee(
+            "CAST(count(*) FILTER (WHERE NOT viol) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)", 6),
+    ),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t = 1/5) completing the anonymity triad
+    (privacy_k_anonymity → class size, privacy_l_diversity → sensitive
+    cardinality, here → sensitive DISTRIBUTION): each quasi-identifier
+    class's event-type distribution must stay within total-variation
+    distance t of the global distribution — the check that catches
+    classes that are large and diverse yet skewed enough to leak.
+
+    Exactness: TVD_c = Σ_v |n_cv·N − n_v·N_c| / (2·N_c·N) — the
+    numerator S is an exact DECIMAL(38,0) integer (absent sensitive
+    values contribute n_v·N_c via the class×domain grid, so the L1 is
+    over the FULL domain), and the t-violation verdict is the integer
+    cross-multiplication 5·S > 2·N_c·N, never a float threshold.
+
+    Scale shape: one (QI, sensitive) rollup, one QI rollup, one
+    BROADCAST of the 5-row sensitive domain cross the bounded QI grid,
+    one left join back — every relation after the first agg is
+    class-grid-sized, facts are touched exactly once."""
+    ev = spark.table("events")
+    cv = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n_cv"))
+    cls = cv.groupBy("day", "value_band").agg(
+        F.sum("n_cv").cast("long").alias("n_c")
+    )
+    glob = cv.groupBy("event_type").agg(F.sum("n_cv").cast("long").alias("n_v"))
+    tot = glob.agg(F.sum("n_v").cast("long").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cv, ["day", "value_band", "event_type"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day", "value_band", "n_c", "n_v", "n",
+            F.coalesce(F.col("n_cv"), F.lit(0)).alias("n_cv"),
+        )
+    )
+    perclass = grid.groupBy("day", "value_band", "n_c", "n").agg(
+        F.sum(
+            F.abs(
+                F.col("n_cv").cast("decimal(38,0)") * F.col("n")
+                - F.col("n_v").cast("decimal(38,0)") * F.col("n_c")
+            )
+        ).alias("s")
+    )
+    tvd = F.col("s").cast("double") / (
+        F.lit(2.0) * F.col("n_c").cast("double") * F.col("n").cast("double")
+    )
+    viol = (
+        F.lit(_T_CLOSE_DEN) * F.col("s")
+        > F.lit(2 * _T_CLOSE_NUM)
+        * F.col("n_c").cast("decimal(38,0)")
+        * F.col("n")
+    )
+    scored = perclass.select("n_c", tvd.alias("tvd"), viol.alias("viol"))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        _round_ieee(F.max("tvd"), 6).alias("max_tvd"),
+        F.count(F.when(F.col("viol"), 1)).cast("long").alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(F.col("viol"), F.col("n_c"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        _round_ieee(
+            F.count(F.when(~F.col("viol"), 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("share_t_close"),
+    )

@@ -466,3 +466,40 @@ def test_spearman_rho_matches_python_reference(spark):
     assert (r.n, r.spearman_rho) == (n, rho)
     # qty and price are essentially independent in TPC-H: |rho| small
     assert abs(rho) < 0.2
+
+
+def test_t_closeness_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE),"
+        "       CAST(floor(value / 50) AS BIGINT), event_type FROM events",
+    )
+    cv: Counter = Counter()
+    for day, band, et in rows:
+        cv[(day, band, et)] += 1
+    cls: Counter = Counter()
+    gl: Counter = Counter()
+    for (day, band, et), c in cv.items():
+        cls[(day, band)] += c
+        gl[et] += c
+    n = sum(gl.values())
+    max_tvd, n_viol, rows_risk = 0.0, 0, 0
+    for (day, band), n_c in cls.items():
+        s = sum(
+            abs(cv.get((day, band, et), 0) * n - n_v * n_c)
+            for et, n_v in gl.items()
+        )
+        max_tvd = max(max_tvd, float(s) / (2.0 * float(n_c) * float(n)))
+        if 5 * s > 2 * n_c * n:  # exact rational t = 1/5
+            n_viol += 1
+            rows_risk += n_c
+    (r,) = QUERIES["privacy_t_closeness"](spark, SF_SMALL).collect()
+    assert r.n_classes == len(cls)
+    assert r.max_tvd == _round_ieee_py(max_tvd)
+    assert r.n_violating_classes == n_viol
+    assert r.n_rows_at_risk == rows_risk
+    assert r.share_t_close == _round_ieee_py(
+        float(len(cls) - n_viol) / float(len(cls))
+    )
+    # the QI grid genuinely stresses the check: some classes skew
+    assert len(cls) > 100
