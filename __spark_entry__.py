@@ -76,8 +76,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stream_cms_frequencies, ann_binary_hamming_topk, and
 #     text_winnowing_fingerprints, dedup_winnowing_pairs,
 #     stats_mann_whitney_u, stats_kruskal_wallis,
-#     ml_average_precision, stats_spearman_rho, and
-#     privacy_t_closeness
+#     ml_average_precision, stats_spearman_rho,
+#     privacy_t_closeness, and graph_hits
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

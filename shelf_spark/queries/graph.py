@@ -826,3 +826,120 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "p1", "p2")
         .limit(_LINK_TOP)
     )
+
+
+def _sql_hits_step(edges_join: str, prev: str, raw: str, out: str) -> str:
+    """One HITS half-step as DuckDB CTEs: push the 8dp-grid-quantized
+    prev values across the edges (exact DECIMAL sum), then L1-normalize
+    and re-round onto the grid — same determinism contract as the
+    PageRank oracle's unrolled iterations."""
+    src, dst = ("src", "dst") if edges_join == "fwd" else ("dst", "src")
+    return f"""
+    {raw} AS (
+      SELECT e.{dst} AS node,
+             sum(CAST(floor({prev}.v * 100000000.0 + 0.5)
+                 AS DECIMAL(18,0))) AS raw
+      FROM edges e JOIN {prev} ON e.{src} = {prev}.node
+      GROUP BY e.{dst}
+    ),
+    {raw}_t AS (SELECT sum(raw) AS s FROM {raw}),
+    {out} AS (
+      SELECT node,
+             {_sql_round_ieee("CAST(raw AS DOUBLE) / CAST(s AS DOUBLE)", 8)}
+               AS v
+      FROM {raw} CROSS JOIN {raw}_t
+    )"""
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    edges AS (SELECT DISTINCT p1 AS src, p2 AS dst FROM pairs),
+    a1r AS (
+      SELECT dst AS node, CAST(count(*) AS DECIMAL(18,0)) AS raw
+      FROM edges GROUP BY dst
+    ),
+    a1t AS (SELECT sum(raw) AS s FROM a1r),
+    a1 AS (
+      SELECT node,
+             {_sql_round_ieee("CAST(raw AS DOUBLE) / CAST(s AS DOUBLE)", 8)}
+               AS v
+      FROM a1r CROSS JOIN a1t
+    ),
+    {_sql_hits_step("rev", "a1", "h1r", "h1")},
+    {_sql_hits_step("fwd", "h1", "a2r", "a2")},
+    {_sql_hits_step("rev", "a2", "h2r", "h2")}
+    SELECT coalesce(a2.node, h2.node) AS node,
+           coalesce(a2.v, 0.0) AS authority,
+           coalesce(h2.v, 0.0) AS hub
+    FROM a2 FULL OUTER JOIN h2 ON a2.node = h2.node
+    ORDER BY authority DESC, hub DESC, node
+    LIMIT 20
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) on the DIRECTED basket graph
+    (earlier part → later part within an order): two full mutual-
+    reinforcement rounds, L1-normalized each half-step, checked
+    value-exact against an unrolled-CTE DuckDB oracle.
+
+    Determinism: the uniform init cancels under L1 normalization, so
+    h₀ ≡ 1 makes the first authority pass EXACT IN-DEGREES (integers);
+    every later half-step pushes 8dp-grid-quantized values across the
+    edges (floor(v·1e8+0.5) — exact in binary64 for v ≤ 1), sums them
+    in DECIMAL (order-free), and re-rounds the normalized result — the
+    same iteration-stable bitwise contract as graph_pagerank.
+
+    Scale shape: the edge list is pinned once (localCheckpoint); each
+    half-step is one broadcast of the NODE-sized value table against
+    the edges plus a map-side-combined groupBy — no node-sized shuffle,
+    no edge re-derivation per iteration. Past broadcastable catalogs,
+    pre-partition edges by the probe key and every iteration reuses
+    that single exchange (the PageRank fallback note applies verbatim)."""
+    pairs = _basket_pairs(spark).select("p1", "p2")
+    edges = (
+        pairs.distinct()
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .localCheckpoint()
+    )
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("s"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            _round_ieee(
+                F.col("raw").cast("double") / F.col("s").cast("double"), 8
+            ).alias("v"),
+        )
+
+    def _push(vals: DataFrame, forward: bool) -> DataFrame:
+        src, dst = ("src", "dst") if forward else ("dst", "src")
+        q = F.floor(F.col("v") * 100000000.0 + F.lit(0.5)).cast("decimal(18,0)")
+        return _norm(
+            edges.join(F.broadcast(vals), edges[src] == vals["node"])
+            .select(F.col(dst).alias("node"), q.alias("q"))
+            .groupBy("node")
+            .agg(F.sum("q").alias("raw"))
+        )
+
+    a1 = _norm(
+        edges.groupBy(F.col("dst").alias("node")).agg(
+            F.count("*").cast("decimal(18,0)").alias("raw")
+        )
+    )
+    h1 = _push(a1, forward=False)
+    a2 = _push(h1, forward=True)
+    h2 = _push(a2, forward=False)
+    return (
+        a2.withColumnRenamed("v", "authority")
+        .join(h2.withColumnRenamed("v", "hub"), "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.desc("hub"), "node")
+        .limit(20)
+    )

@@ -503,3 +503,46 @@ def test_t_closeness_matches_python_reference(spark):
     )
     # the QI grid genuinely stresses the check: some classes skew
     assert len(cls) > 100
+
+
+def test_hits_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+    baskets: dict[int, list[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, []).append(p)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+
+    def norm(raw: dict[int, int]) -> dict[int, float]:
+        s = float(sum(raw.values()))
+        return {k: _round_ieee_py(float(v) / s, 8) for k, v in raw.items()}
+
+    def push(vals: dict[int, float], forward: bool) -> dict[int, float]:
+        raw: Counter = Counter()
+        for s, d in edges:
+            src, dst = (s, d) if forward else (d, s)
+            if src in vals:
+                raw[dst] += math.floor(vals[src] * 1e8 + 0.5)
+        return norm(raw)
+
+    indeg: Counter = Counter(d for _, d in edges)
+    a = norm(indeg)
+    h = push(a, forward=False)
+    a = push(h, forward=True)
+    h = push(a, forward=False)
+    nodes = set(a) | set(h)
+    want = sorted(
+        ((n, a.get(n, 0.0), h.get(n, 0.0)) for n in nodes),
+        key=lambda r: (-r[1], -r[2], r[0]),
+    )[:20]
+    got = [
+        (r.node, r.authority, r.hub)
+        for r in QUERIES["graph_hits"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # hubs and authorities are both normalized distributions over the grid
+    assert all(0.0 <= v <= 1.0 for _, v, w in want for v in (v, w))

@@ -212,6 +212,7 @@ HEADLINE = [
     "ml_average_precision",
     "stats_spearman_rho",
     "privacy_t_closeness",
+    "graph_hits",
 ]
 
 
