@@ -195,6 +195,7 @@ HEADLINE = [
     "stats_spearman_rho",
     "privacy_t_closeness",
     "graph_hits",
+    "graph_bfs_distances",
 ]
 
 

@@ -943,3 +943,103 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), F.desc("hub"), "node")
         .limit(20)
     )
+
+
+_BFS_DEPTH = 4
+
+
+@query(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    edges AS (
+      SELECT DISTINCT p1 AS src, p2 AS dst FROM pairs
+      UNION
+      SELECT DISTINCT p2 AS src, p1 AS dst FROM pairs
+    ),
+    root AS (SELECT min(src) AS node FROM edges),
+    l0 AS (SELECT node FROM root),
+    l1 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON e.src = l0.node
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON e.src = l1.node
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+        AND e.dst NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON e.src = l2.node
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+        AND e.dst NOT IN (SELECT node FROM l1)
+        AND e.dst NOT IN (SELECT node FROM l2)
+    ),
+    l4 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l3 ON e.src = l3.node
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+        AND e.dst NOT IN (SELECT node FROM l1)
+        AND e.dst NOT IN (SELECT node FROM l2)
+        AND e.dst NOT IN (SELECT node FROM l3)
+    ),
+    lv AS (
+      SELECT 0 AS distance, node FROM l0
+      UNION ALL SELECT 1, node FROM l1
+      UNION ALL SELECT 2, node FROM l2
+      UNION ALL SELECT 3, node FROM l3
+      UNION ALL SELECT 4, node FROM l4
+    )
+    SELECT distance, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM lv GROUP BY distance ORDER BY distance
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search levels (depth ≤ 4, _BFS_DEPTH) from the
+    minimum-keyed part of the undirected basket graph — the traversal
+    primitive behind reachability, ego-network, and contamination-
+    radius queries, summarized per level.
+
+    Scale shape: level-synchronous frontier expansion — each step is
+    one hash join (edges ⋈ frontier on src; the frontier is node-sized
+    and AQE broadcasts it while small, exactly BFS's natural skew) plus
+    one DISTINCT and one LEFT ANTI join against the visited set. Every
+    frontier is pinned (localCheckpoint) so the plan stays FLAT — depth
+    iterations, not a 2^depth lineage tower — and the visited set is
+    re-pinned per level for the same reason. Bounded depth = bounded
+    rounds; nothing is ever node²."""
+    pairs = _basket_pairs(spark).select("p1", "p2")
+    und = pairs.distinct().localCheckpoint()
+    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    root = edges.agg(F.min("src").alias("node"))
+    frontier = root.localCheckpoint()
+    # visited = union of the ALREADY-PINNED frontiers: each is a
+    # checkpoint scan, so the anti-join input stays flat without
+    # re-materializing the growing set every level.
+    pinned = [frontier]
+    levels = [frontier.select(F.lit(0).alias("distance"), "node")]
+    for d in range(1, _BFS_DEPTH + 1):
+        visited = pinned[0]
+        for p in pinned[1:]:
+            visited = visited.unionAll(p)
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        levels.append(nxt.select(F.lit(d).alias("distance"), "node"))
+        pinned.append(nxt)
+        frontier = nxt
+    lv = levels[0]
+    for more in levels[1:]:
+        lv = lv.unionAll(more)
+    return lv.groupBy("distance").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    ).orderBy("distance")

@@ -546,3 +546,36 @@ def test_hits_matches_python_reference(spark):
     assert got == want
     # hubs and authorities are both normalized distributions over the grid
     assert all(0.0 <= v <= 1.0 for _, v, w in want for v in (v, w))
+
+
+def test_bfs_distances_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+    baskets: dict[int, list[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, []).append(p)
+    adj: dict[int, set[int]] = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    root = min(adj)
+    frontier, visited = {root}, {root}
+    want = [(0, 1, root, root)]
+    for d in range(1, 5):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj[u]
+        nxt -= visited
+        if nxt:
+            want.append((d, len(nxt), min(nxt), max(nxt)))
+        visited |= nxt
+        frontier = nxt
+    got = [
+        (r.distance, r.n_nodes, r.min_node, r.max_node)
+        for r in QUERIES["graph_bfs_distances"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # the basket graph is connected enough that BFS leaves level 0
+    assert len(want) >= 2
