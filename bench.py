@@ -196,6 +196,7 @@ HEADLINE = [
     "privacy_t_closeness",
     "graph_hits",
     "graph_bfs_distances",
+    "text_zipf_fit",
 ]
 
 

@@ -1773,3 +1773,103 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_t_close"),
     )
+
+
+_ZIPF_SLOPE = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_ZIPF_ICEPT = (
+    "((CAST(sy AS DOUBLE)"
+    f"  - {_ZIPF_SLOPE} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), cls AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS t FROM vocab GROUP BY c
+    ), tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM cls),
+    cum AS (
+      SELECT c, t,
+             sum(t) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS upto
+      FROM cls
+    ), pts AS (
+      SELECT t,
+             CAST({_sql_round_ieee(
+                 "ln((CAST(2 * (tt - upto) + t + 1 AS DOUBLE)) / 2.0)", 6)}
+               AS DECIMAL(38,6)) AS gx,
+             CAST({_sql_round_ieee("ln(CAST(c AS DOUBLE))", 6)}
+               AS DECIMAL(38,6)) AS gy
+      FROM cum CROSS JOIN tot
+    ), mom AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             sum(t * gx) AS sx, sum(t * gy) AS sy,
+             sum(t * (gx * gy)) AS sxy, sum(t * (gx * gx)) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_terms, {{sl}} AS zipf_slope, {{ic}} AS zipf_intercept
+    FROM mom
+    """.format(
+        sl=_sql_round_ieee(_ZIPF_SLOPE, 6), ic=_sql_round_ieee(_ZIPF_ICEPT, 6)
+    ),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) — the corpus-health diagnostic (natural
+    text slopes ≈ −1; a synthetic or templated corpus shows up as a
+    flat or kinked fit) every pretraining mix report includes.
+
+    Rank ties are handled exactly: terms sharing a frequency share the
+    MIDRANK of their frequency class, computed on the COUNT-OF-COUNTS
+    domain (tiny — at most a few thousand distinct frequencies even at
+    corpus scale) via one prefix pass, descending by construction
+    (2·mr = 2·(T − upto) + t + 1). Per-class log points land on the
+    1e-6 grid and every regression moment is an EXACT decimal sum of
+    (class-weight × grid-product) terms — the count-of-counts trick
+    means the vocab-sized relation is touched exactly once (the groupBy
+    building frequency classes), and the regression runs on the tiny
+    class domain. Slope and intercept are fixed-shape IEEE expressions
+    of the exact moments."""
+    from .prefix import attach_prefix_sums
+
+    tok = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    cls = vocab.groupBy("c").agg(F.count("*").cast("long").alias("t"))
+    cum = attach_prefix_sums(cls, ["c"], ["t"])
+    tot = cls.agg(F.sum("t").cast("long").alias("tt"))
+    gx = _round_ieee(
+        F.log(
+            (2 * (F.col("tt") - F.col("upto")) + F.col("t") + 1).cast("double")
+            / 2.0
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    gy = _round_ieee(F.log(F.col("c").cast("double")), 6).cast("decimal(38,6)")
+    pts = (
+        cum.withColumnRenamed("t_upto", "upto")
+        .crossJoin(F.broadcast(tot))
+        .select("t", gx.alias("gx"), gy.alias("gy"))
+    )
+    mom = pts.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("gx")).alias("sx"),
+        F.sum(F.col("t") * F.col("gy")).alias("sy"),
+        F.sum(F.col("t") * (F.col("gx") * F.col("gy"))).alias("sxy"),
+        F.sum(F.col("t") * (F.col("gx") * F.col("gx"))).alias("sxx"),
+    )
+    return mom.select(
+        F.col("n").alias("n_terms"),
+        _round_ieee(F.expr(_ZIPF_SLOPE), 6).alias("zipf_slope"),
+        _round_ieee(F.expr(_ZIPF_ICEPT), 6).alias("zipf_intercept"),
+    )

@@ -579,3 +579,36 @@ def test_bfs_distances_matches_python_reference(spark):
     assert got == want
     # the basket graph is connected enough that BFS leaves level 0
     assert len(want) >= 2
+
+
+def test_zipf_fit_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT text FROM documents")
+    vocab: Counter = Counter()
+    for (text,) in rows:
+        vocab.update(text.split(" "))
+    cls: Counter = Counter(vocab.values())
+    tt = sum(cls.values())
+    cum = 0
+    n = sx = sy = sxy = sxx = 0
+    for c in sorted(cls):
+        t = cls[c]
+        cum += t
+        gx = round(
+            _round_ieee_py(math.log((2 * (tt - cum) + t + 1) / 2.0)) * 1e6
+        )
+        gy = round(_round_ieee_py(math.log(float(c))) * 1e6)
+        n += t
+        sx += t * gx
+        sy += t * gy
+        sxy += t * gx * gy
+        sxx += t * gx * gx
+    fx, fy, fxy, fxx = sx / 1e6, sy / 1e6, sxy / 1e12, sxx / 1e12
+    slope = (float(n) * fxy - fx * fy) / (float(n) * fxx - fx * fx)
+    icept = (fy - slope * fx) / float(n)
+    (r,) = QUERIES["text_zipf_fit"](spark, SF_SMALL).collect()
+    assert r.n_terms == n
+    assert abs(r.zipf_slope - slope) < 1e-5
+    assert abs(r.zipf_intercept - icept) < 1e-5
+    # frequency falls with rank (the 31-word synthetic vocab is nearly
+    # uniform, so the slope is shallow — the fit itself is what's pinned)
+    assert r.zipf_slope < 0.0
