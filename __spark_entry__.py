@@ -77,8 +77,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     text_winnowing_fingerprints, dedup_winnowing_pairs,
 #     stats_mann_whitney_u, stats_kruskal_wallis,
 #     ml_average_precision, stats_spearman_rho,
-#     privacy_t_closeness, graph_hits, graph_bfs_distances, and
-#     text_zipf_fit
+#     privacy_t_closeness, graph_hits, graph_bfs_distances,
+#     text_zipf_fit, ml_mutual_information, stats_jarque_bera, and
+#     ml_cohens_kappa
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

@@ -197,6 +197,9 @@ HEADLINE = [
     "graph_hits",
     "graph_bfs_distances",
     "text_zipf_fit",
+    "ml_mutual_information",
+    "stats_jarque_bera",
+    "ml_cohens_kappa",
 ]
 
 

@@ -3452,3 +3452,257 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mom.select("n", _round_ieee(F.expr(_SPEARMAN_RHO), 6).alias("spearman_rho"))
+
+
+@query(
+    "ml_mutual_information",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type AS x, CAST(floor(value / 50) AS BIGINT) AS y
+      FROM events
+    ), xy AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM f GROUP BY x, y
+    ), mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY x),
+    my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY y),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM xy),
+    mi_terms AS (
+      SELECT CAST({_sql_round_ieee(
+          "(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))"
+          " * ln(CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE)"
+          "      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))", 9)}
+             AS DECIMAL(38,9)) AS term
+      FROM xy JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    hx_terms AS (
+      SELECT CAST({_sql_round_ieee(
+          "-(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))"
+          " * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))", 9)}
+             AS DECIMAL(38,9)) AS term
+      FROM mx CROSS JOIN tot
+    ),
+    hy_terms AS (
+      SELECT CAST({_sql_round_ieee(
+          "-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))"
+          " * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))", 9)}
+             AS DECIMAL(38,9)) AS term
+      FROM my CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           {_sql_round_ieee("CAST((SELECT sum(term) FROM mi_terms) AS DOUBLE)", 6)}
+             AS mutual_info,
+           {_sql_round_ieee("CAST((SELECT sum(term) FROM hx_terms) AS DOUBLE)", 6)}
+             AS h_x,
+           {_sql_round_ieee("CAST((SELECT sum(term) FROM hy_terms) AS DOUBLE)", 6)}
+             AS h_y
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between event type and the value band,
+    with both marginal entropies (nats) — the model-free dependence
+    measure feature selection ranks columns by (an MI near min(H_X,H_Y)
+    means Y is a function of X; near 0 means the feature is useless).
+
+    Scale shape: ONE contingency rollup over the facts; marginals and
+    every Σ p·ln(p…) term live on the bounded (x,y) grid. The per-cell
+    terms are ratios, so each lands on the 1e-9 grid (|term| ≤ ln N —
+    term·1e9 exact in binary64 for any real N) and sums in
+    DECIMAL(38,9): float-order-free across engines, drift ≤
+    cells·5e-10, invisible at 6dp."""
+    f = spark.table("events").select(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / 50).cast("long").alias("y"),
+    )
+    xy = f.groupBy("x", "y").agg(F.count("*").cast("long").alias("n_xy"))
+    mx = xy.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = xy.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = xy.agg(F.sum("n_xy").cast("long").alias("n"))
+    nD = F.col("n").cast("double")
+    mi_term = _round_ieee(
+        (F.col("n_xy").cast("double") / nD)
+        * F.log(
+            nD * F.col("n_xy").cast("double")
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    mi = (
+        xy.join(mx, "x").join(my, "y").crossJoin(F.broadcast(tot))
+        .select(mi_term.alias("term"))
+        .agg(F.sum("term").alias("s"))
+        .select(_round_ieee(F.col("s").cast("double"), 6).alias("mutual_info"))
+    )
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        t = _round_ieee(
+            -(F.col(cnt).cast("double") / nD)
+            * F.log(F.col(cnt).cast("double") / nD),
+            9,
+        ).cast("decimal(38,9)")
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .select(t.alias("term"))
+            .agg(F.sum("term").alias("s"))
+            .select(_round_ieee(F.col("s").cast("double"), 6).alias(out))
+        )
+
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(_entropy(mx, "n_x", "h_x")))
+        .crossJoin(F.broadcast(_entropy(my, "n_y", "h_y")))
+        .select("n", "mutual_info", "h_x", "h_y")
+    )
+
+
+# Jarque-Bera from RAW integer power sums on the cents grid: central
+# moments expand to fixed-shape IEEE expressions of (n, s1..s4) — the
+# four carriers are exact DECIMAL integers, so both engines compute
+# bit-identical doubles.
+_JB_M2 = (
+    "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+_JB_M3 = (
+    "((CAST(s3 AS DOUBLE)"
+    " - 3.0 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    "   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))"
+)
+_JB_M4 = (
+    "((CAST(s4 AS DOUBLE)"
+    " - 4.0 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " + 6.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    "   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    " - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    "   * CAST(s1 AS DOUBLE)"
+    "   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    " / CAST(n AS DOUBLE))"
+)
+_JB_SKEW = f"({_JB_M3} / pow({_JB_M2}, 1.5))"
+_JB_KURT = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}))"
+_JB_STAT = (
+    f"((CAST(n AS DOUBLE) / 6.0) * ({_JB_SKEW} * {_JB_SKEW}"
+    f" + ({_JB_KURT} - 3.0) * ({_JB_KURT} - 3.0) / 4.0))"
+)
+
+
+@query(
+    "stats_jarque_bera",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+      WHERE event_type = 'purchase'
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(c AS DECIMAL(38,0))) AS s1,
+             sum(CAST(c AS DECIMAL(38,0)) * c) AS s2,
+             sum(CAST(c AS DECIMAL(38,0)) * c * c) AS s3,
+             sum(CAST(c AS DECIMAL(38,0)) * c * c * c) AS s4
+      FROM v
+    )
+    SELECT n, {{sk}} AS skewness, {{ku}} AS kurtosis, {{jb}} AS jb_stat
+    FROM mom
+    """.format(
+        sk=_sql_round_ieee(_JB_SKEW, 6),
+        ku=_sql_round_ieee(_JB_KURT, 6),
+        jb=_sql_round_ieee(_JB_STAT, 6),
+    ),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on purchase values: JB =
+    n/6·(S² + (K−3)²/4) from exact skewness S and kurtosis K — the
+    one-pass gate for "is this metric normal enough for the z/t tests
+    downstream" (stats_welch_ttest, ab_test_proportions assume it).
+
+    Scale shape: ONE map-side-combined aggregate computes the four raw
+    power sums on the integer cents grid — s4 carries c⁴ ≈ 10²⁰ per row
+    in DECIMAL(38,0), headroom to ~10¹⁸ rows. Central moments, S, K, JB
+    expand to fixed-shape IEEE expressions of those exact integers —
+    no intermediate float aggregation anywhere, so both engines are
+    bit-identical by construction."""
+    v = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+        )
+    )
+    c38 = F.col("c").cast("decimal(38,0)")
+    mom = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c38).alias("s1"),
+        F.sum(c38 * F.col("c")).alias("s2"),
+        F.sum(c38 * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(c38 * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    return mom.select(
+        "n",
+        _round_ieee(F.expr(_JB_SKEW), 6).alias("skewness"),
+        _round_ieee(F.expr(_JB_KURT), 6).alias("kurtosis"),
+        _round_ieee(F.expr(_JB_STAT), 6).alias("jb_stat"),
+    )
+
+
+# Cohen's kappa from exact confusion integers: po·n² = (tp+tn)·n,
+# pe·n² = (tp+fp)(tp+fn) + (fn+tn)(fp+tn); kappa = (po−pe)/(1−pe)
+# = ((tp+tn)·n − pe_num) / (n² − pe_num) — one fixed IEEE division.
+_KAPPA = (
+    "((CAST(tp + tn AS DOUBLE) * CAST(n AS DOUBLE)"
+    "  - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+    "     + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE)))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "    - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+    "       + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))))"
+)
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    conf AS (
+      SELECT t.threshold,
+             CAST(count(*) FILTER (WHERE score >= t.threshold AND y) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE score >= t.threshold AND NOT y) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE score < t.threshold AND y) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (WHERE score < t.threshold AND NOT y) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS n
+      FROM scored CROSS JOIN (
+        SELECT unnest(ARRAY{list(_EVAL_THRESHOLDS)}) AS threshold) t
+      GROUP BY t.threshold
+    )
+    SELECT threshold, tp, fp, fn, tn, {_sql_round_ieee(_KAPPA, 6)} AS kappa
+    FROM conf ORDER BY threshold
+    """,
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa at the shared fixed decision thresholds —
+    chance-corrected agreement between the thresholded score and the
+    truth, the metric that exposes a classifier that looks accurate
+    only because one class dominates (accuracy's blind spot).
+
+    Scale shape: the same constant 3-way threshold fan-out as
+    ml_eval_binary_metrics (map-side, no join), one map-side-combined
+    confusion rollup; kappa is a single fixed-shape IEEE expression of
+    the exact integer confusion cells (expanded so po/pe never exist
+    as separately-rounded floats)."""
+    scored = _scored(spark).crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(t) for t in _EVAL_THRESHOLDS])
+                ).alias("threshold")
+            )
+        )
+    )
+    pos = F.col("score") >= F.col("threshold")
+    conf = scored.groupBy("threshold").agg(
+        F.count(F.when(pos & F.col("y"), 1)).cast("long").alias("tp"),
+        F.count(F.when(pos & ~F.col("y"), 1)).cast("long").alias("fp"),
+        F.count(F.when(~pos & F.col("y"), 1)).cast("long").alias("fn"),
+        F.count(F.when(~pos & ~F.col("y"), 1)).cast("long").alias("tn"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return conf.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        _round_ieee(F.expr(_KAPPA), 6).alias("kappa"),
+    ).orderBy("threshold")

@@ -612,3 +612,95 @@ def test_zipf_fit_matches_python_reference(spark):
     # frequency falls with rank (the 31-word synthetic vocab is nearly
     # uniform, so the slope is shallow — the fit itself is what's pinned)
     assert r.zipf_slope < 0.0
+
+
+def test_mutual_information_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT event_type, CAST(floor(value / 50) AS BIGINT) FROM events",
+    )
+    xy: Counter = Counter(rows)
+    mx: Counter = Counter()
+    my: Counter = Counter()
+    for (x, y), c in xy.items():
+        mx[x] += c
+        my[y] += c
+    n = sum(xy.values())
+
+    def gsum(terms):  # the engines' 1e-9-grid decimal sum
+        return _round_ieee_py(sum(round(t * 1e9) for t in terms) / 1e9)
+
+    mi = gsum(
+        _round_ieee_py(
+            (c / n) * math.log(n * c / (mx[x] * my[y])), 9
+        )
+        for (x, y), c in xy.items()
+    )
+    hx = gsum(
+        _round_ieee_py(-(c / n) * math.log(c / n), 9) for c in mx.values()
+    )
+    hy = gsum(
+        _round_ieee_py(-(c / n) * math.log(c / n), 9) for c in my.values()
+    )
+    (r,) = QUERIES["ml_mutual_information"](spark, SF_SMALL).collect()
+    assert (r.n, r.mutual_info, r.h_x, r.h_y) == (n, mi, hx, hy)
+    # information inequalities: 0 <= I <= min(H_X, H_Y)
+    assert 0.0 <= r.mutual_info <= min(r.h_x, r.h_y) + 1e-6
+
+
+def test_jarque_bera_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) FROM events"
+        " WHERE event_type = 'purchase'",
+    )
+    cs = [r[0] for r in rows]
+    n = len(cs)
+    s1 = sum(cs)
+    s2 = sum(c * c for c in cs)
+    s3 = sum(c**3 for c in cs)
+    s4 = sum(c**4 for c in cs)
+    fn = float(n)
+    m2 = (float(s2) - float(s1) * float(s1) / fn) / fn
+    m3 = (
+        float(s3)
+        - 3.0 * float(s1) * float(s2) / fn
+        + 2.0 * float(s1) * float(s1) * float(s1) / (fn * fn)
+    ) / fn
+    m4 = (
+        float(s4)
+        - 4.0 * float(s1) * float(s3) / fn
+        + 6.0 * float(s1) * float(s1) * float(s2) / (fn * fn)
+        - 3.0 * float(s1) * float(s1) * float(s1) * float(s1) / (fn * fn * fn)
+    ) / fn
+    sk = m3 / m2**1.5
+    ku = m4 / (m2 * m2)
+    jb = (fn / 6.0) * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)
+    (r,) = QUERIES["stats_jarque_bera"](spark, SF_SMALL).collect()
+    assert r.n == n
+    assert r.skewness == _round_ieee_py(sk)
+    assert r.kurtosis == _round_ieee_py(ku)
+    assert r.jb_stat == _round_ieee_py(jb)
+    # purchase values are uniform-ish, decidedly non-normal: JB large
+    assert r.jb_stat > 10.0
+
+
+def test_cohens_kappa_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT n_chars, (lang = 'en') FROM documents")
+    got = QUERIES["ml_cohens_kappa"](spark, SF_SMALL).collect()
+    assert [r.threshold for r in got] == [200, 300, 400]
+    for r in got:
+        tp = sum(1 for s, y in rows if s >= r.threshold and y)
+        fp = sum(1 for s, y in rows if s >= r.threshold and not y)
+        fn = sum(1 for s, y in rows if s < r.threshold and y)
+        tn = sum(1 for s, y in rows if s < r.threshold and not y)
+        n = len(rows)
+        pe_num = float(tp + fp) * float(tp + fn) + float(fn + tn) * float(
+            fp + tn
+        )
+        kappa = (float(tp + tn) * float(n) - pe_num) / (
+            float(n) * float(n) - pe_num
+        )
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.kappa == _round_ieee_py(kappa)
+        assert -1.0 <= r.kappa <= 1.0
