@@ -1873,3 +1873,118 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_ieee(F.expr(_ZIPF_SLOPE), 6).alias("zipf_slope"),
         _round_ieee(F.expr(_ZIPF_ICEPT), 6).alias("zipf_intercept"),
     )
+
+
+_BLM_TOP = 20
+
+
+@query(
+    "text_bigram_lm_perplexity",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), pairs AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i) s
+    ), big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2
+    ), firsts AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1
+    ), vv AS (
+      SELECT CAST(count(DISTINCT unnest.w) AS BIGINT) AS v
+      FROM (SELECT unnest(arr) AS w FROM arrs) AS unnest(w)
+    ), lp AS (
+      SELECT w1, w2,
+             CAST({_sql_round_ieee(
+                 "ln((CAST(c12 AS DOUBLE) + 0.5)"
+                 "   / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))", 6)}
+                  * 1000000.0 AS DECIMAL(18,0)) AS micro
+      FROM big JOIN firsts USING (w1) CROSS JOIN vv
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             sum(micro) AS micros
+      FROM pairs JOIN lp USING (w1, w2)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           {_sql_round_ieee(
+               "-(CAST(micros AS DOUBLE) / 1000000.0)"
+               " / CAST(n_bigrams AS DOUBLE)", 6)} AS xent
+    FROM perdoc
+    ORDER BY xent DESC, doc_id LIMIT {_BLM_TOP}
+    """,
+)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprise scoring: train add-½-smoothed
+    conditional bigram probabilities P(w₂|w₁) on the corpus itself,
+    score every document's mean negative log-probability (cross-entropy
+    in nats per bigram), and surface the 20 most surprising documents —
+    the classic KenLM-shaped perplexity filter for catching boilerplate
+    and noise, one order up from the unigram text_lm_score.
+
+    Scale shape: bigrams zip MAP-SIDE inside each doc's token array (no
+    positional self-join); the LM is two corpus rollups (bigram counts,
+    then first-word totals — derived from the bigram table, so the
+    conditional denominators are consistent by construction). Scoring
+    joins doc bigrams to the LM on (w₁,w₂) — one linear hash exchange.
+    Per-bigram log-probs land on the 1e-6 grid as DECIMAL micros and
+    per-doc sums are exact, so cross-engine agreement survives any
+    aggregation order; the final per-doc division is one IEEE op.
+    TakeOrdered bounds the output."""
+    arrs = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    pairs = (
+        arrs.filter(F.size("arr") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("arr") - 2),
+                    lambda i: F.struct(
+                        F.col("arr")[i].alias("w1"),
+                        F.col("arr")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    firsts = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vv = (
+        arrs.select(F.explode("arr").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    micro = (
+        _round_ieee(
+            F.log(
+                (F.col("c12").cast("double") + 0.5)
+                / (F.col("c1").cast("double") + 0.5 * F.col("v").cast("double"))
+            ),
+            6,
+        )
+        * 1000000.0
+    ).cast("decimal(18,0)")
+    lp = (
+        big.join(firsts, "w1")
+        .crossJoin(F.broadcast(vv))
+        .select("w1", "w2", micro.alias("micro"))
+    )
+    perdoc = (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("micro").alias("micros"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        _round_ieee(
+            -(F.col("micros").cast("double") / 1000000.0)
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("xent"),
+    ).orderBy(F.desc("xent"), "doc_id").limit(_BLM_TOP)

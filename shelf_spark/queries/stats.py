@@ -3706,3 +3706,112 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold", "tp", "fp", "fn", "tn",
         _round_ieee(F.expr(_KAPPA), 6).alias("kappa"),
     ).orderBy("threshold")
+
+
+#: SAX alphabet-4 Gaussian breakpoints (equiprobable N(0,1) quartiles).
+_SAX_BP = (-0.6744897501960817, 0.0, 0.6744897501960817)
+_SAX_W = 4  # days per PAA frame
+
+# The frame z-score from exact integer carriers: frame mean in cents
+# (fs1/fn), series mean (s1/n), series std from the power sums —
+# one fixed-shape IEEE expression.
+_SAX_Z = (
+    "((CAST(fs1 AS DOUBLE) / CAST(fn AS DOUBLE)"
+    "  - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))"
+)
+_SAX_SYM = (
+    f"(CASE WHEN {_SAX_Z} < {_SAX_BP[0]!r} THEN 'a'"
+    f" WHEN {_SAX_Z} < {_SAX_BP[1]!r} THEN 'b'"
+    f" WHEN {_SAX_Z} < {_SAX_BP[2]!r} THEN 'c'"
+    f" ELSE 'd' END)"
+)
+
+
+@query(
+    "ts_sax_symbols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), d0 AS (SELECT min(day) AS day0 FROM daily),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s1,
+             sum(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
+      FROM daily
+    ), frames AS (
+      SELECT CAST(datediff('day', day0, day) // {_SAX_W} AS BIGINT)
+               AS frame_id,
+             CAST(count(*) AS BIGINT) AS fn,
+             sum(CAST(cents AS DECIMAL(38,0))) AS fs1,
+             min(day) AS start_day
+      FROM daily CROSS JOIN d0
+      GROUP BY 1
+    )
+    SELECT frame_id, start_day, fn AS n_days,
+           {_sql_round_ieee(_SAX_Z, 6)} AS z,
+           {_SAX_SYM} AS symbol
+    FROM frames CROSS JOIN mom
+    ORDER BY frame_id
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh) of the daily purchase-revenue
+    series: z-normalize, piecewise-aggregate into 4-day frames, map
+    each frame mean onto the equiprobable 4-letter Gaussian alphabet —
+    the discretization that turns time series into strings so motif /
+    anomaly mining can reuse text machinery (winnowing, n-gram dedup).
+
+    Scale shape: facts collapse to the DAY domain in one
+    map-side-combined rollup; normalization moments and the PAA frames
+    are day-domain aggregates (bounded by calendar span, not data).
+    Every carrier (frame cents sums, series power sums) is an exact
+    integer; each frame's z and its breakpoint comparisons are one
+    fixed-shape IEEE expression — the symbol can only flip if the
+    EXACT z crosses a breakpoint, identically on both engines."""
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("cents")
+        )
+    )
+    d0 = daily.agg(F.min("day").alias("day0"))
+    c38 = F.col("cents").cast("decimal(38,0)")
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c38).alias("s1"),
+        F.sum(c38 * F.col("cents")).alias("s2"),
+    )
+    frames = (
+        daily.crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.floor(F.datediff("day", "day0") / _SAX_W)
+            .cast("long")
+            .alias("frame_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("fn"),
+            F.sum(c38).alias("fs1"),
+            F.min("day").alias("start_day"),
+        )
+    )
+    return (
+        frames.crossJoin(F.broadcast(mom))
+        .select(
+            "frame_id",
+            "start_day",
+            F.col("fn").alias("n_days"),
+            _round_ieee(F.expr(_SAX_Z), 6).alias("z"),
+            F.expr(_SAX_SYM).alias("symbol"),
+        )
+        .orderBy("frame_id")
+    )

@@ -704,3 +704,75 @@ def test_cohens_kappa_matches_python_reference(spark):
         assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
         assert r.kappa == _round_ieee_py(kappa)
         assert -1.0 <= r.kappa <= 1.0
+
+
+def test_sax_symbols_matches_python_reference(spark):
+    daily = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY day",
+    )
+    n = len(daily)
+    s1 = sum(c for _, c in daily)
+    s2 = sum(c * c for _, c in daily)
+    mu = float(s1) / float(n)
+    sd = math.sqrt(float(s2) / float(n) - mu * mu)
+    day0 = daily[0][0]
+    frames: dict[int, list] = {}
+    for day, c in daily:
+        frames.setdefault((day - day0).days // 4, []).append((day, c))
+    bp = (-0.6744897501960817, 0.0, 0.6744897501960817)
+    want = []
+    for fid in sorted(frames):
+        ds = frames[fid]
+        fs1 = sum(c for _, c in ds)
+        z = (float(fs1) / float(len(ds)) - mu) / sd
+        sym = "a" if z < bp[0] else "b" if z < bp[1] else "c" if z < bp[2] else "d"
+        want.append((fid, min(d for d, _ in ds), len(ds), _round_ieee_py(z), sym))
+    got = [
+        (r.frame_id, r.day if hasattr(r, "day") else r.start_day, r.n_days, r.z, r.symbol)
+        for r in QUERIES["ts_sax_symbols"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # the alphabet is actually exercised
+    assert len({s for *_, s in want}) >= 2
+
+
+def test_bigram_lm_perplexity_matches_python_reference(spark):
+    docs = _duck(SF_SMALL, "SELECT doc_id, text FROM documents")
+    big: Counter = Counter()
+    doc_pairs = {}
+    vocab = set()
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        vocab.update(ws)
+        ps = list(zip(ws, ws[1:]))
+        doc_pairs[doc_id] = ps
+        big.update(ps)
+    firsts: Counter = Counter()
+    for (w1, _), c in big.items():
+        firsts[w1] += c
+    v = len(vocab)
+    micro = {
+        p: round(
+            _round_ieee_py(math.log((c + 0.5) / (firsts[p[0]] + 0.5 * v))) * 1e6
+        )
+        for p, c in big.items()
+    }
+    scored = []
+    for doc_id, ps in doc_pairs.items():
+        if not ps:
+            continue
+        s = sum(micro[p] for p in ps)
+        scored.append(
+            (doc_id, len(ps), _round_ieee_py(-(s / 1e6) / len(ps)))
+        )
+    want = sorted(scored, key=lambda r: (-r[2], r[0]))[:20]
+    got = [
+        (r.doc_id, r.n_bigrams, r.xent)
+        for r in QUERIES["text_bigram_lm_perplexity"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # cross-entropy of a smoothed LM on its own training data is positive
+    assert all(x > 0 for _, _, x in want)

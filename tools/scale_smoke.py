@@ -218,6 +218,8 @@ HEADLINE = [
     "ml_mutual_information",
     "stats_jarque_bera",
     "ml_cohens_kappa",
+    "ts_sax_symbols",
+    "text_bigram_lm_perplexity",
 ]
 
 
