@@ -3815,3 +3815,105 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_id")
     )
+
+
+# One-way ANOVA F from pivoted exact per-group moments (the Kruskal-
+# Wallis pivot discipline): SSB = Σ s_g²/n_g − S²/N, SSW = Σ(q_g −
+# s_g²/n_g), F = (SSB/(k−1)) / (SSW/(N−k)) — expanded into one fixed
+# IEEE expression over the named carriers.
+_ANOVA_GROUPS = ("click", "error", "purchase", "signup", "view")
+_ANOVA_RATIO = " + ".join(
+    f"(CAST(s_{g} AS DOUBLE) * CAST(s_{g} AS DOUBLE)"
+    f" / CAST(n_{g} AS DOUBLE))"
+    for g in _ANOVA_GROUPS
+)
+_ANOVA_SSB = (
+    f"(({_ANOVA_RATIO})"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+_ANOVA_SSW = f"(CAST(q AS DOUBLE) - ({_ANOVA_RATIO}))"
+_ANOVA_F = (
+    f"(({_ANOVA_SSB} / {float(len(_ANOVA_GROUPS) - 1)})"
+    f" / ({_ANOVA_SSW} / (CAST(n AS DOUBLE) - {float(len(_ANOVA_GROUPS))})))"
+)
+
+
+@query(
+    "stats_anova_oneway",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), bygrp AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             sum(CAST(c AS DECIMAL(38,0))) AS s_g,
+             sum(CAST(c AS DECIMAL(38,0)) * c) AS q_g
+      FROM v GROUP BY grp
+    ), one AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s, sum(q_g) AS q,
+             {", ".join(
+                 f"sum(n_g) FILTER (WHERE grp = '{g}') AS n_{g},"
+                 f" sum(s_g) FILTER (WHERE grp = '{g}') AS s_{g}"
+                 for g in _ANOVA_GROUPS
+             )}
+      FROM bygrp
+    )
+    SELECT grp, n_g,
+           {{m}} AS mean_cents,
+           {{f}} AS f_stat
+    FROM bygrp CROSS JOIN one ORDER BY grp
+    """.format(
+        m=_sql_round_ieee(
+            "CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 100.0", 6
+        ),
+        f=_sql_round_ieee(_ANOVA_F, 6),
+    ),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five event-type value distributions —
+    the parametric counterpart of stats_kruskal_wallis (F from
+    between/within sums of squares instead of rank sums).
+
+    Scale shape: ONE map-side-combined aggregate computes exact integer
+    (n, Σc, Σc²) per group on the cents grid; the per-group moments
+    pivot into a single row of NAMED carriers so Σ s_g²/n_g is frozen
+    in the expression tree (the Kruskal-Wallis pivot discipline — no
+    engine ever orders a float sum). F is one fixed IEEE expression;
+    headroom: Σc² ≈ 10²⁰/row in DECIMAL(38,0) holds to ~10¹⁸ rows."""
+    v = spark.table("events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    c38 = F.col("c").cast("decimal(38,0)")
+    bygrp = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(c38).alias("s_g"),
+        F.sum(c38 * F.col("c")).alias("q_g"),
+    )
+    one = bygrp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        *[
+            agg
+            for g in _ANOVA_GROUPS
+            for agg in (
+                F.sum(F.when(F.col("grp") == g, F.col("n_g"))).alias(f"n_{g}"),
+                F.sum(F.when(F.col("grp") == g, F.col("s_g"))).alias(f"s_{g}"),
+            )
+        ],
+    )
+    return (
+        bygrp.crossJoin(F.broadcast(one))
+        .select(
+            "grp",
+            "n_g",
+            _round_ieee(
+                F.col("s_g").cast("double") / F.col("n_g").cast("double") / 100.0,
+                6,
+            ).alias("mean_cents"),
+            _round_ieee(F.expr(_ANOVA_F), 6).alias("f_stat"),
+        )
+        .orderBy("grp")
+    )

@@ -776,3 +776,37 @@ def test_bigram_lm_perplexity_matches_python_reference(spark):
     assert got == want
     # cross-entropy of a smoothed LM on its own training data is positive
     assert all(x > 0 for _, _, x in want)
+
+
+def test_anova_oneway_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        " FROM events",
+    )
+    by: dict[str, list[int]] = {}
+    for g, c in rows:
+        by.setdefault(g, []).append(c)
+    groups = sorted(by)
+    n = sum(len(v) for v in by.values())
+    s = sum(sum(v) for v in by.values())
+    q = sum(c * c for v in by.values() for c in v)
+    ratio = sum(
+        float(sum(by[g])) * float(sum(by[g])) / float(len(by[g]))
+        for g in groups
+    )
+    ssb = ratio - float(s) * float(s) / float(n)
+    ssw = float(q) - ratio
+    f_stat = (ssb / float(len(groups) - 1)) / (ssw / (float(n) - float(len(groups))))
+    got = {
+        r.grp: (r.n_g, r.mean_cents, r.f_stat)
+        for r in QUERIES["stats_anova_oneway"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for g in groups:
+        assert got[g][0] == len(by[g])
+        assert got[g][1] == _round_ieee_py(
+            float(sum(by[g])) / float(len(by[g])) / 100.0
+        )
+        assert got[g][2] == _round_ieee_py(f_stat)
+    assert f_stat >= 0.0

@@ -220,6 +220,7 @@ HEADLINE = [
     "ml_cohens_kappa",
     "ts_sax_symbols",
     "text_bigram_lm_perplexity",
+    "stats_anova_oneway",
 ]
 
 
