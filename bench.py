@@ -203,6 +203,8 @@ HEADLINE = [
     "ts_sax_symbols",
     "text_bigram_lm_perplexity",
     "stats_anova_oneway",
+    "set_intersect_all",
+    "set_except_all",
 ]
 
 

@@ -186,3 +186,69 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     edges.createOrReplaceTempView("rcte_edges")
     return spark.sql(_RCTE_WALK_SQL)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT ALL
+    SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — BAG semantics: a row appears min(m, n) times
+    where m/n are its multiplicities on the two sides (the DISTINCT
+    variants, set_intersect/set_except, erase multiplicity — this is
+    the other half of the standard's set-op surface).
+
+    Scale shape: Spark's intersectAll plans one hash aggregate per side
+    counting multiplicities plus one equi-join on the full row — the
+    same shape a hand-written groupBy + least(m,n) + sequence-explode
+    would build, so the native operator is the right call."""
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate",
+    )
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    early = li.filter(F.col("l_shipdate") < cut).drop("l_shipdate")
+    late = li.filter(F.col("l_shipdate") >= cut).drop("l_shipdate")
+    return early.intersectAll(late)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG difference: a row survives max(m − n, 0) times.
+    Complements set_except (DISTINCT semantics) exactly as
+    set_intersect_all complements set_intersect; together the four
+    close the ANSI set-operation surface.
+
+    Scale shape: same per-side multiplicity aggregate + equi-join as
+    intersectAll — linear, map-side-combinable, no row explosion beyond
+    the surviving multiplicities."""
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate",
+    )
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    early = li.filter(F.col("l_shipdate") < cut).drop("l_shipdate")
+    late = li.filter(F.col("l_shipdate") >= cut).drop("l_shipdate")
+    # LATE minus EARLY: the late side is the larger one, so surplus
+    # multiplicities survive — a guaranteed non-vacuous result (the
+    # join_anti 0-vs-0 lesson applied at birth).
+    return late.exceptAll(early)

@@ -810,3 +810,34 @@ def test_anova_oneway_matches_python_reference(spark):
         )
         assert got[g][2] == _round_ieee_py(f_stat)
     assert f_stat >= 0.0
+
+
+def test_bag_set_ops_match_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT),"
+        " (l_shipdate < TIMESTAMP '1997-01-01') FROM lineitem",
+    )
+    early: Counter = Counter()
+    late: Counter = Counter()
+    for rf, ls, q, is_early in rows:
+        (early if is_early else late)[(rf, ls, q)] += 1
+    want_int: Counter = Counter(
+        {k: min(early[k], late[k]) for k in early if k in late}
+    )
+    want_exc: Counter = Counter(
+        {k: late[k] - early.get(k, 0) for k in late if late[k] > early.get(k, 0)}
+    )
+    got_int: Counter = Counter(
+        (r.l_returnflag, r.l_linestatus, r.qty)
+        for r in QUERIES["set_intersect_all"](spark, SF_SMALL).collect()
+    )
+    got_exc: Counter = Counter(
+        (r.l_returnflag, r.l_linestatus, r.qty)
+        for r in QUERIES["set_except_all"](spark, SF_SMALL).collect()
+    )
+    assert got_int == {k: v for k, v in want_int.items() if v > 0}
+    assert got_exc == {k: v for k, v in want_exc.items() if v > 0}
+    # both non-vacuous, and the bag identity |A| = |A∩B| + |A∖B| holds
+    assert sum(got_int.values()) > 0 and sum(got_exc.values()) > 0
+    assert sum(got_int.values()) + sum(got_exc.values()) == sum(late.values())
