@@ -904,3 +904,83 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(_PATH_TOP)
     )
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           (floor((CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+             AS bounce_rate
+    FROM sessions GROUP BY day ORDER BY day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min-gap sessionization,
+    identical to events_sessionize) containing exactly one event,
+    attributed to the day the session STARTED — the engagement-health
+    headline every product dashboard leads with.
+
+    Scale shape: same single user_id exchange as events_sessionize
+    (lag → flag → running sum are all sort-within-partition), then the
+    session rollup and a calendar-bounded day rollup. Counts are exact
+    integers; the rate is one IEEE division per day row."""
+    e = spark.table("events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    gap = (
+        F.col("ts").cast("timestamp").cast("double")
+        - prev_ts.cast("timestamp").cast("double")
+    )
+    is_new = F.when(
+        prev_ts.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = e.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w_run).cast("long")
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+            (
+                F.floor(
+                    (bounce.cast("double") / F.count("*").cast("double"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

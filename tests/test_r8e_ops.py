@@ -841,3 +841,33 @@ def test_bag_set_ops_match_python_reference(spark):
     # both non-vacuous, and the bag identity |A| = |A∩B| + |A∖B| holds
     assert sum(got_int.values()) > 0 and sum(got_exc.values()) > 0
     assert sum(got_int.values()) + sum(got_exc.values()) == sum(late.values())
+
+
+def test_bounce_rate_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts, event_id",
+    )
+    sessions = []  # (start_ts, n_events)
+    prev_user = prev_ts = None
+    for u, ts, _ in rows:
+        if u != prev_user or (ts - prev_ts).total_seconds() > 1800:
+            sessions.append([ts, 1])
+        else:
+            sessions[-1][1] += 1
+        prev_user, prev_ts = u, ts
+    byday: dict = {}
+    for start, n in sessions:
+        d = start.date()
+        tot, b = byday.get(d, (0, 0))
+        byday[d] = (tot + 1, b + (1 if n == 1 else 0))
+    want = [
+        (d, t, b, _round_ieee_py(b / t))
+        for d, (t, b) in sorted(byday.items())
+    ]
+    got = [
+        (r.day, r.n_sessions, r.n_bounces, r.bounce_rate)
+        for r in QUERIES["events_bounce_rate"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    assert sum(b for _, _, b, _ in want) > 0  # non-vacuous: bounces exist

@@ -223,6 +223,7 @@ HEADLINE = [
     "stats_anova_oneway",
     "set_intersect_all",
     "set_except_all",
+    "events_bounce_rate",
 ]
 
 
