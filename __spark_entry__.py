@@ -80,8 +80,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     privacy_t_closeness, graph_hits, graph_bfs_distances,
 #     text_zipf_fit, ml_mutual_information, stats_jarque_bera,
 #     ml_cohens_kappa, ts_sax_symbols, text_bigram_lm_perplexity,
-#     stats_anova_oneway, set_intersect_all, set_except_all, and
-#     events_bounce_rate
+#     stats_anova_oneway, set_intersect_all, set_except_all,
+#     events_bounce_rate, stats_levene, and ml_ndcg_at_k
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

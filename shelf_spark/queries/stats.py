@@ -3917,3 +3917,219 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "stats_levene",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), dom AS (
+      SELECT grp, c, count(*) AS cnt FROM v GROUP BY 1, 2
+    ), cum AS (
+      SELECT grp, c, sum(cnt) OVER (PARTITION BY grp ORDER BY c) AS cu
+      FROM dom
+    ), nn AS (SELECT grp, count(*) AS n FROM v GROUP BY 1),
+    med AS (
+      SELECT grp, min(c) AS med_c
+      FROM cum JOIN nn USING (grp)
+      WHERE cu >= (n + 1) // 2 GROUP BY grp
+    ), d AS (
+      SELECT v.grp, med.med_c, abs(v.c - med.med_c) AS dv
+      FROM v JOIN med ON v.grp = med.grp
+    ), bygrp AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             sum(CAST(dv AS DECIMAL(38,0))) AS s_g,
+             sum(CAST(dv AS DECIMAL(38,0)) * dv) AS q_g,
+             max(med_c) AS med_c
+      FROM d GROUP BY grp
+    ), one AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s, sum(q_g) AS q,
+             {", ".join(
+                 f"sum(n_g) FILTER (WHERE grp = '{g}') AS n_{g},"
+                 f" sum(s_g) FILTER (WHERE grp = '{g}') AS s_{g}"
+                 for g in _ANOVA_GROUPS
+             )}
+      FROM bygrp
+    )
+    SELECT grp, n_g,
+           CAST(med_c AS DOUBLE) / 100.0 AS grp_median,
+           {{m}} AS mean_absdev,
+           {{w}} AS levene_w
+    FROM bygrp CROSS JOIN one ORDER BY grp
+    """.format(
+        m=_sql_round_ieee(
+            "CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 100.0", 6
+        ),
+        w=_sql_round_ieee(_ANOVA_F, 6),
+    ),
+)
+def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test, Brown–Forsythe variant: one-way ANOVA on
+    |x − group median| — the robust EQUALITY-OF-VARIANCES gate that
+    should precede stats_anova_oneway/stats_welch_ttest (Welch exists
+    precisely because this test often fails).
+
+    Scale shape: group medians come EXACTLY from the compressed
+    (group, cents) domain with partitioned running counts (the
+    clean_impute_group_median machinery — never a fact sort); the
+    absolute deviations are exact integers (|c − med| in cents), so the
+    W statistic is the stats_anova_oneway fixed expression over exact
+    DECIMAL(38,0) moments of d — the two operators share one
+    expression tree by construction."""
+    v = spark.table("events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    dom = v.groupBy("grp", "c").agg(F.count("*").alias("cnt"))
+    wt = W.partitionBy("grp").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cum = dom.withColumn("cu", F.sum("cnt").over(wt))
+    nn = v.groupBy("grp").agg(F.count("*").alias("n"))
+    med = (
+        cum.join(F.broadcast(nn), "grp")
+        .filter(F.col("cu") >= F.expr("(n + 1) div 2"))
+        .groupBy("grp")
+        .agg(F.min("c").alias("med_c"))
+    )
+    d = v.join(F.broadcast(med), "grp").select(
+        "grp", "med_c", F.abs(F.col("c") - F.col("med_c")).alias("dv")
+    )
+    d38 = F.col("dv").cast("decimal(38,0)")
+    bygrp = d.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(d38).alias("s_g"),
+        F.sum(d38 * F.col("dv")).alias("q_g"),
+        F.max("med_c").alias("med_c"),
+    )
+    one = bygrp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        *[
+            agg
+            for g in _ANOVA_GROUPS
+            for agg in (
+                F.sum(F.when(F.col("grp") == g, F.col("n_g"))).alias(f"n_{g}"),
+                F.sum(F.when(F.col("grp") == g, F.col("s_g"))).alias(f"s_{g}"),
+            )
+        ],
+    )
+    return (
+        bygrp.crossJoin(F.broadcast(one))
+        .select(
+            "grp",
+            "n_g",
+            (F.col("med_c").cast("double") / 100.0).alias("grp_median"),
+            _round_ieee(
+                F.col("s_g").cast("double") / F.col("n_g").cast("double") / 100.0,
+                6,
+            ).alias("mean_absdev"),
+            _round_ieee(F.expr(_ANOVA_F), 6).alias("levene_w"),
+        )
+        .orderBy("grp")
+    )
+
+
+#: NDCG@10 discounts 1/log2(i+1) as NANO-unit integers (1e9 grid) — the
+#: whole gain computation is exact integer arithmetic; only the final
+#: DCG/IDCG normalization is a (single) IEEE division.
+_NDCG_K = 10
+_NDCG_DISC = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+_NDCG_CUM = tuple(sum(_NDCG_DISC[: i + 1]) for i in range(_NDCG_K))
+_SQL_DISC_CASE = "CASE rk " + " ".join(
+    f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)
+) + " END"
+_SQL_IDCG_CASE = "CASE least(n_rel, 10) WHEN 0 THEN 0 " + " ".join(
+    f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM)
+) + " END"
+
+
+@query(
+    "ml_ndcg_at_k",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+      FROM documents
+    ), ranked AS (
+      SELECT source, rel,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ), pergrp AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN rk <= {_NDCG_K}
+                      THEN rel * ({_SQL_DISC_CASE}) ELSE 0 END) AS BIGINT)
+               AS dcg_nanos
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, n_rel,
+           {_sql_round_ieee(
+               "CASE WHEN n_rel = 0 THEN 0.0"
+               f" ELSE CAST(dcg_nanos AS DOUBLE)"
+               f" / CAST(({_SQL_IDCG_CASE}) AS DOUBLE) END", 6)} AS ndcg
+    FROM pergrp
+    ORDER BY ndcg DESC, source LIMIT 20
+    """,
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per source: rank each source's documents by score
+    (n_chars) and judge the top 10 against the binary relevance truth
+    (lang = 'en'), normalized by the ideal ordering — the retrieval-
+    quality metric every search/RAG eval reports, here per corpus slice.
+
+    Exactness: the log2 discounts are NANO-unit integer LITERALS
+    (1/log2(i+1) pre-rounded onto the 1e-9 grid), so DCG is an exact
+    integer sum and IDCG an exact prefix LITERAL selected by
+    min(n_rel, 10) — no runtime transcendental, no float aggregation;
+    the one IEEE division per source is identical across engines.
+
+    Scale shape: rank-within-group is a PARTITIONED window whose
+    rk ≤ 10 filter Spark rewrites into WindowGroupLimit (partial
+    per-partition top-10 BEFORE the exchange — the distributed
+    two-phase top-k, free from the optimizer); everything after is
+    source-catalog-bounded."""
+    scored = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+    )
+    wr = W.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    # rk <= K as a FILTER directly above the window: this exact shape is
+    # what Spark rewrites into WindowGroupLimit (per-partition top-K
+    # BEFORE the exchange); totals come from a window-free aggregate.
+    top = (
+        scored.select("source", "rel", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") <= _NDCG_K)
+    )
+    disc = F.expr(_SQL_DISC_CASE)
+    dcg = top.groupBy("source").agg(
+        F.sum(F.col("rel") * disc).cast("long").alias("dcg_nanos")
+    )
+    pergrp = (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("rel").cast("long").alias("n_rel"),
+        )
+        .join(dcg, "source")
+    )
+    ndcg = F.when(F.col("n_rel") == 0, F.lit(0.0)).otherwise(
+        F.col("dcg_nanos").cast("double")
+        / F.expr(_SQL_IDCG_CASE).cast("double")
+    )
+    return (
+        pergrp.select(
+            "source", "n_docs", "n_rel", _round_ieee(ndcg, 6).alias("ndcg")
+        )
+        .orderBy(F.desc("ndcg"), "source")
+        .limit(20)
+    )

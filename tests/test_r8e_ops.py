@@ -871,3 +871,75 @@ def test_bounce_rate_matches_python_reference(spark):
     ]
     assert got == want
     assert sum(b for _, _, b, _ in want) > 0  # non-vacuous: bounces exist
+
+
+def test_levene_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        " FROM events",
+    )
+    by: dict[str, list[int]] = {}
+    for g, c in rows:
+        by.setdefault(g, []).append(c)
+    groups = sorted(by)
+    meds = {}
+    for g in groups:
+        vs = sorted(by[g])
+        # lower discrete median: min c with cum >= (n+1)//2
+        meds[g] = vs[(len(vs) + 1) // 2 - 1]
+    devs = {g: [abs(c - meds[g]) for c in by[g]] for g in groups}
+    n = sum(len(v) for v in devs.values())
+    s = sum(sum(v) for v in devs.values())
+    q = sum(d * d for v in devs.values() for d in v)
+    ratio = sum(
+        float(sum(devs[g])) ** 2 / float(len(devs[g])) for g in groups
+    )
+    ssb = ratio - float(s) * float(s) / float(n)
+    ssw = float(q) - ratio
+    w = (ssb / float(len(groups) - 1)) / (ssw / (float(n) - float(len(groups))))
+    got = {
+        r.grp: (r.n_g, r.grp_median, r.mean_absdev, r.levene_w)
+        for r in QUERIES["stats_levene"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for g in groups:
+        assert got[g][0] == len(by[g])
+        assert got[g][1] == meds[g] / 100.0
+        assert got[g][2] == _round_ieee_py(
+            float(sum(devs[g])) / float(len(devs[g])) / 100.0
+        )
+        assert got[g][3] == _round_ieee_py(w)
+    assert w >= 0.0
+
+
+def test_ndcg_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT doc_id, source, n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+        " FROM documents",
+    )
+    disc = [
+        1000000000, 630929754, 500000000, 430676558, 386852807,
+        356207187, 333333333, 315464877, 301029996, 289064826,
+    ]
+    cum = [sum(disc[: i + 1]) for i in range(10)]
+    by: dict[str, list] = {}
+    for doc_id, src, score, rel in rows:
+        by.setdefault(src, []).append((-score, doc_id, rel))
+    scored = []
+    for src, docs in by.items():
+        docs.sort()
+        n_rel = sum(r for _, _, r in docs)
+        dcg = sum(r * disc[i] for i, (_, _, r) in enumerate(docs[:10]))
+        ndcg = (
+            0.0 if n_rel == 0 else _round_ieee_py(dcg / cum[min(n_rel, 10) - 1])
+        )
+        scored.append((src, len(docs), n_rel, ndcg))
+    want = sorted(scored, key=lambda r: (-r[3], r[0]))[:20]
+    got = [
+        (r.source, r.n_docs, r.n_rel, r.ndcg)
+        for r in QUERIES["ml_ndcg_at_k"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    assert all(0.0 <= x <= 1.0 for *_, x in want)

@@ -224,6 +224,8 @@ HEADLINE = [
     "set_intersect_all",
     "set_except_all",
     "events_bounce_rate",
+    "stats_levene",
+    "ml_ndcg_at_k",
 ]
 
 
