@@ -208,6 +208,7 @@ HEADLINE = [
     "events_bounce_rate",
     "stats_levene",
     "ml_ndcg_at_k",
+    "sample_balanced_downsample",
 ]
 
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .dedup import JACCARD_THRESHOLD, jaccard_pairs_exact
 from .num import _round_ieee, _sql_round_ieee
@@ -1086,4 +1087,96 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(~F.col("source").isin(*_DSIR_TARGET))
         .orderBy(F.desc("importance"), "doc_id")
         .limit(_DSIR_TOP)
+    )
+
+
+@query(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, event_type AS grp,
+             substr(sha256(CAST(event_id AS VARCHAR)), 1, 16) AS h
+      FROM events
+    ), cls AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_in_class FROM f GROUP BY grp
+    ), mm AS (SELECT min(n_in_class) AS m FROM cls),
+    ranked AS (
+      SELECT grp, event_id, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h, event_id) AS rk
+      FROM f
+    ), sel AS (
+      SELECT grp, event_id, h FROM ranked CROSS JOIN mm WHERE rk <= mm.m
+    )
+    SELECT cls.grp, cls.n_in_class,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(sel.event_id) AS DECIMAL(38,0)) AS id_checksum,
+           max(sel.h) AS h_threshold
+    FROM sel JOIN cls ON sel.grp = cls.grp
+    GROUP BY cls.grp, cls.n_in_class ORDER BY cls.grp
+    """,
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event type keeps EXACTLY m
+    rows (m = the minority class size), chosen as the m smallest
+    sha256-order rows — the deterministic rebalance a training mix
+    applies before fitting on skewed labels, reproducible across runs
+    and engines by construction.
+
+    Scale shape — a DISTRIBUTED per-group order statistic, not a
+    per-class sort: rows land in 256 hash-prefix buckets; per-class
+    bucket counts get a prefix sum over the BOUNDED bucket domain
+    (256 cells × classes — catalog-sized); every row in a bucket below
+    the class's cutoff bucket is selected outright (no ordering ever
+    touches it), and only the ONE boundary bucket per class (~1/256 of
+    the class; widen the prefix to 3–4 hex chars at larger scale) pays
+    a partitioned rank. The selected set is pinned by an exact integer
+    id-checksum, so the oracle proves the SELECTION, not just counts.
+    Oracle twin ranks every row per class — same result, quadratically
+    more ordering work; this plan is why the bucketed form exists."""
+    f = spark.table("events").select(
+        "event_id",
+        F.col("event_type").alias("grp"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 16).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    cls = f.groupBy("grp").agg(F.count("*").cast("long").alias("n_in_class"))
+    mm = cls.agg(F.min("n_in_class").alias("m"))
+    bc = f.groupBy("grp", "bucket").agg(F.count("*").alias("cnt"))
+    wcum = (
+        W.partitionBy("grp").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = bc.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    # the one boundary bucket per class: first bucket whose cum reaches m
+    cut = (
+        cum.crossJoin(F.broadcast(mm))
+        .filter((F.col("prev") < F.col("m")) & (F.col("cum") >= F.col("m")))
+        .select(
+            "grp",
+            F.col("bucket").alias("cut_bucket"),
+            (F.col("m") - F.col("prev")).alias("take_in_bucket"),
+        )
+    )
+    tagged = f.join(F.broadcast(cut), "grp")
+    below = tagged.filter(F.col("bucket") < F.col("cut_bucket")).select(
+        "grp", "event_id", "h"
+    )
+    wrk = W.partitionBy("grp").orderBy("h", "event_id")
+    boundary = (
+        tagged.filter(F.col("bucket") == F.col("cut_bucket"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= F.col("take_in_bucket"))
+        .select("grp", "event_id", "h")
+    )
+    sel = below.unionAll(boundary)
+    return (
+        sel.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("event_id").cast("decimal(38,0)").alias("id_checksum"),
+            F.max("h").alias("h_threshold"),
+        )
+        .join(cls, "grp")
+        .select("grp", "n_in_class", "n_selected", "id_checksum", "h_threshold")
+        .orderBy("grp")
     )

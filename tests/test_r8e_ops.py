@@ -943,3 +943,25 @@ def test_ndcg_matches_python_reference(spark):
     ]
     assert got == want
     assert all(0.0 <= x <= 1.0 for *_, x in want)
+
+
+def test_balanced_downsample_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT event_id, event_type FROM events")
+    by: dict[str, list] = {}
+    for eid, grp in rows:
+        h = hashlib.sha256(str(eid).encode()).hexdigest()[:16]
+        by.setdefault(grp, []).append((h, eid))
+    m = min(len(v) for v in by.values())
+    want = []
+    for grp in sorted(by):
+        sel = sorted(by[grp])[:m]
+        want.append(
+            (grp, len(by[grp]), m, sum(e for _, e in sel), max(h for h, _ in sel))
+        )
+    got = [
+        (r.grp, r.n_in_class, r.n_selected, int(r.id_checksum), r.h_threshold)
+        for r in QUERIES["sample_balanced_downsample"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # balance achieved: every class contributes exactly m rows
+    assert len({n for _, _, n, _, _ in got}) == 1
