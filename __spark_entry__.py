@@ -81,8 +81,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     text_zipf_fit, ml_mutual_information, stats_jarque_bera,
 #     ml_cohens_kappa, ts_sax_symbols, text_bigram_lm_perplexity,
 #     stats_anova_oneway, set_intersect_all, set_except_all,
-#     events_bounce_rate, stats_levene, ml_ndcg_at_k, and
-#     sample_balanced_downsample
+#     events_bounce_rate, stats_levene, ml_ndcg_at_k,
+#     sample_balanced_downsample, and orders_open_backlog_daily
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

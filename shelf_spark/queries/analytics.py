@@ -1786,3 +1786,73 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "half_life_weeks"
         ),
     )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d0,
+             CAST(date_trunc('day', max(l.l_shipdate)) AS DATE) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT d0 AS day, CAST(count(*) AS BIGINT) AS delta FROM span GROUP BY d0
+      UNION ALL
+      SELECT CAST(d1 + INTERVAL 1 DAY AS DATE), -CAST(count(*) AS BIGINT) FROM span GROUP BY d1
+    ), dom AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(sum(delta) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM dom ORDER BY day
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by SWEEP-LINE: each order is an
+    interval [orderdate, last shipment]; +1/−1 boundary deltas collapse
+    onto the day domain and a running sum yields the exact count of
+    simultaneously-open orders at every boundary day — the
+    inventory/WIP curve, computed without ever joining orders to a
+    calendar.
+
+    Scale shape: one orders⋈lineitem join (both shuffle on orderkey —
+    co-partitioned) + one rollup builds the intervals; the sweep is two
+    map-side-combined delta rollups onto the CALENDAR-BOUNDED day
+    domain and a DISTRIBUTED prefix sum (attach_prefix_sums) over it.
+    The naive day-grid×orders range join this replaces is
+    days·orders-sized; the sweep is orders + days."""
+    from .prefix import attach_prefix_sums
+
+    span = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+            ),
+            "o_orderkey",
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d0"),
+            F.to_date(F.date_trunc("day", "ship_end")).alias("d1"),
+        )
+    )
+    deltas = (
+        span.groupBy(F.col("d0").alias("day"))
+        .agg(F.count("*").cast("long").alias("delta"))
+        .unionAll(
+            span.groupBy(F.date_add("d1", 1).alias("day")).agg(
+                (-F.count("*")).cast("long").alias("delta")
+            )
+        )
+    )
+    dom = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("delta"))
+    cum = attach_prefix_sums(dom, ["day"], ["delta"])
+    return cum.select(
+        "day", F.col("delta_upto").cast("long").alias("open_orders")
+    ).orderBy("day")

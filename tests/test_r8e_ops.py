@@ -965,3 +965,30 @@ def test_balanced_downsample_matches_python_reference(spark):
     assert got == want
     # balance achieved: every class contributes exactly m rows
     assert len({n for _, _, n, _, _ in got}) == 1
+
+
+def test_open_backlog_matches_python_reference(spark):
+    spans = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', o.o_orderdate) AS DATE),"
+        "       CAST(date_trunc('day', max(l.l_shipdate)) AS DATE)"
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " GROUP BY o.o_orderkey, o.o_orderdate",
+    )
+    import datetime
+
+    deltas: Counter = Counter()
+    for d0, d1 in spans:
+        deltas[d0] += 1
+        deltas[d1 + datetime.timedelta(days=1)] -= 1
+    want, cum = [], 0
+    for day in sorted(deltas):
+        cum += deltas[day]
+        want.append((day, cum))
+    got = [
+        (r.day, r.open_orders)
+        for r in QUERIES["orders_open_backlog_daily"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # sweep invariants: ends at zero, peaks positive
+    assert want[-1][1] == 0 and max(c for _, c in want) > 0

@@ -227,6 +227,7 @@ HEADLINE = [
     "stats_levene",
     "ml_ndcg_at_k",
     "sample_balanced_downsample",
+    "orders_open_backlog_daily",
 ]
 
 
