@@ -1856,3 +1856,88 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "day", F.col("delta_upto").cast("long").alias("open_orders")
     ).orderBy("day")
+
+
+_SN_WINDOW = 3    # sorted-neighborhood width w: compare with next w-1
+_SN_EPS_CENTS = 100   # match if balances within 1.00
+_SN_TOP = 50
+
+
+@query(
+    "er_sorted_neighborhood",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), r AS (
+      SELECT c_custkey, c_nationkey, cents,
+             row_number() OVER (ORDER BY cents, c_custkey) AS rk
+      FROM c
+    ), cand AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             abs(a.cents - b.cents) AS dist_cents
+      FROM r a JOIN r b
+        ON b.rk > a.rk AND b.rk <= a.rk + {_SN_WINDOW - 1}
+      WHERE a.c_nationkey <> b.c_nationkey
+        AND abs(a.cents - b.cents) <= {_SN_EPS_CENTS}
+    )
+    SELECT key_a, key_b, dist_cents FROM cand
+    ORDER BY dist_cents, key_a, key_b LIMIT {_SN_TOP}
+    """,
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández–Stolfo
+    merge/purge): order records by the match attribute (account
+    balance), slide a width-3 window over the sorted order, and emit
+    cross-nation pairs within 1.00 of each other — the classic
+    linear-candidate alternative to er_fuzzy_name_match's equality
+    blocking when the key is continuous.
+
+    Scale shape — the global sort the algorithm nominally needs never
+    happens: ranks come from the COMPRESSED cents domain (one groupBy +
+    distributed prefix gives each cell its base rank; a window
+    PARTITIONED by cell orders only the ties inside one cell), and the
+    w−1 neighbor lookups are plain EQUI-joins on rank+k — so candidates
+    are O(n·w) with no single-task window and no theta join. The
+    oracle's row_number-over-everything is the shape this avoids."""
+    from .prefix import attach_prefix_sums
+
+    c = spark.table("customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    dom = c.groupBy("cents").agg(F.count("*").cast("long").alias("t"))
+    cum = attach_prefix_sums(dom, ["cents"], ["t"])
+    base = cum.select(
+        "cents", (F.col("t_upto") - F.col("t")).alias("base")
+    )
+    wtie = W.partitionBy("cents").orderBy("c_custkey")
+    r = (
+        c.join(base, "cents")
+        .withColumn("rk", F.col("base") + F.row_number().over(wtie))
+        .select("c_custkey", "c_nationkey", "cents", "rk")
+        .localCheckpoint()
+    )
+    probe = r.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.array(*[F.col("rk") + k for k in range(1, _SN_WINDOW)])
+        ).alias("rk"),
+    )
+    cand = (
+        probe.join(r, "rk")
+        .filter(
+            (F.col("nat_a") != F.col("c_nationkey"))
+            & (F.abs(F.col("cents_a") - F.col("cents")) <= _SN_EPS_CENTS)
+        )
+        .select(
+            "key_a",
+            F.col("c_custkey").alias("key_b"),
+            F.abs(F.col("cents_a") - F.col("cents")).alias("dist_cents"),
+        )
+    )
+    return cand.orderBy("dist_cents", "key_a", "key_b").limit(_SN_TOP)

@@ -228,6 +228,7 @@ HEADLINE = [
     "ml_ndcg_at_k",
     "sample_balanced_downsample",
     "orders_open_backlog_daily",
+    "er_sorted_neighborhood",
 ]
 
 
