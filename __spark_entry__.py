@@ -82,8 +82,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ml_cohens_kappa, ts_sax_symbols, text_bigram_lm_perplexity,
 #     stats_anova_oneway, set_intersect_all, set_except_all,
 #     events_bounce_rate, stats_levene, ml_ndcg_at_k,
-#     sample_balanced_downsample, orders_open_backlog_daily, and
-#     er_sorted_neighborhood
+#     sample_balanced_downsample, orders_open_backlog_daily,
+#     er_sorted_neighborhood, and stats_friedman
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

@@ -4133,3 +4133,103 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ndcg"), "source")
         .limit(20)
     )
+
+
+#: Friedman χ² (tie-corrected) from half-unit rank carriers — all exact
+#: integers: χ² = (k−1)·Σ_j(2R_j − n(k+1))² / (Σ_ij(2r)² − n·k·(k+1)²).
+_FRIEDMAN_GROUPS = ("click", "error", "purchase", "signup", "view")
+_FRIEDMAN_NUM = " + ".join(
+    f"(CAST(r2_{g} AS DOUBLE) - CAST(n AS DOUBLE) * {len(_FRIEDMAN_GROUPS) + 1}.0)"
+    f" * (CAST(r2_{g} AS DOUBLE) - CAST(n AS DOUBLE) * {len(_FRIEDMAN_GROUPS) + 1}.0)"
+    for g in _FRIEDMAN_GROUPS
+)
+_FRIEDMAN_CHI2 = (
+    f"({float(len(_FRIEDMAN_GROUPS) - 1)} * ({_FRIEDMAN_NUM})"
+    f" / (CAST(q4 AS DOUBLE)"
+    f"    - CAST(n AS DOUBLE) * {len(_FRIEDMAN_GROUPS)}.0"
+    f"      * {float((len(_FRIEDMAN_GROUPS) + 1) ** 2)}))"
+)
+
+
+@query(
+    "stats_friedman",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS grp,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT day, grp,
+             CAST(2 * (rank() OVER (PARTITION BY day ORDER BY cents) - 1)
+                  + count(*) OVER (PARTITION BY day, cents) + 1 AS BIGINT)
+               AS r2
+      FROM cell
+    ), bygrp AS (
+      SELECT grp, CAST(sum(r2) AS BIGINT) AS r2_sum FROM ranked GROUP BY grp
+    ), one AS (
+      SELECT (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM cell) AS n,
+             (SELECT CAST(sum(r2 * r2) AS BIGINT) FROM ranked) AS q4,
+             {", ".join(
+                 f"sum(r2_sum) FILTER (WHERE grp = '{g}') AS r2_{g}"
+                 for g in _FRIEDMAN_GROUPS
+             )}
+      FROM bygrp
+    )
+    SELECT grp,
+           CAST(r2_sum AS DOUBLE) / 2.0 AS rank_sum,
+           {_sql_round_ieee(_FRIEDMAN_CHI2, 6)} AS chi2
+    FROM bygrp CROSS JOIN one ORDER BY grp
+    """,
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the five event types keep the same revenue
+    ORDERING across days? Ranks each day's per-type revenue within that
+    day (blocks = days — so day-to-day level shifts cancel, unlike
+    Kruskal-Wallis), midrank ties, tie-corrected χ².
+
+    Scale shape: facts collapse to the (day, type) grid in one
+    map-side-combined rollup; ranking happens INSIDE each day's
+    ≤k-row partition (a partitioned window over a catalog-bounded
+    relation), and every carrier — half-unit rank sums, Σ(2r)² — is an
+    exact integer pivoted into named columns so the χ² is one
+    fixed-shape IEEE expression (the Kruskal-Wallis discipline)."""
+    cell = spark.table("events").groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.col("event_type").alias("grp"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wr = W.partitionBy("day").orderBy("cents")
+    wt = W.partitionBy("day", "cents")
+    ranked = cell.select(
+        "day",
+        "grp",
+        (2 * (F.rank().over(wr) - 1) + F.count("*").over(wt) + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    bygrp = ranked.groupBy("grp").agg(F.sum("r2").cast("long").alias("r2_sum"))
+    nn = cell.agg(F.countDistinct("day").cast("long").alias("n"))
+    q4 = ranked.agg(F.sum(F.col("r2") * F.col("r2")).cast("long").alias("q4"))
+    one = (
+        bygrp.agg(
+            *[
+                F.sum(F.when(F.col("grp") == g, F.col("r2_sum"))).alias(f"r2_{g}")
+                for g in _FRIEDMAN_GROUPS
+            ]
+        )
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(q4))
+    )
+    return (
+        bygrp.crossJoin(F.broadcast(one))
+        .select(
+            "grp",
+            (F.col("r2_sum").cast("double") / 2.0).alias("rank_sum"),
+            _round_ieee(F.expr(_FRIEDMAN_CHI2), 6).alias("chi2"),
+        )
+        .orderBy("grp")
+    )

@@ -1019,3 +1019,40 @@ def test_sorted_neighborhood_matches_python_reference(spark):
     # few neighbors); at the driver's sf0.01 the same query yields 186
     # candidates and the 50-row cap binds
     assert len(want) >= 1
+
+
+def test_friedman_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE), event_type,"
+        " sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+        " FROM events GROUP BY 1, 2",
+    )
+    byday: dict = {}
+    for day, grp, cents in rows:
+        byday.setdefault(day, []).append((grp, cents))
+    groups = sorted({g for _, g, _ in rows})
+    k = len(groups)
+    r2_sum: Counter = Counter()
+    q4 = 0
+    for day, cells in byday.items():
+        for grp, cents in cells:
+            smaller = sum(1 for _, c in cells if c < cents)
+            ties = sum(1 for _, c in cells if c == cents)
+            r2 = 2 * smaller + ties + 1
+            r2_sum[grp] += r2
+            q4 += r2 * r2
+    n = len(byday)
+    num = sum(
+        (float(r2_sum[g]) - float(n) * (k + 1)) ** 2 for g in groups
+    )
+    chi2 = float(k - 1) * num / (float(q4) - float(n) * k * float((k + 1) ** 2))
+    got = {
+        r.grp: (r.rank_sum, r.chi2)
+        for r in QUERIES["stats_friedman"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for g in groups:
+        assert got[g][0] == r2_sum[g] / 2.0
+        assert got[g][1] == _round_ieee_py(chi2)
+    assert chi2 >= 0.0

@@ -229,6 +229,7 @@ HEADLINE = [
     "sample_balanced_downsample",
     "orders_open_backlog_daily",
     "er_sorted_neighborhood",
+    "stats_friedman",
 ]
 
 
