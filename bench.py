@@ -212,6 +212,7 @@ HEADLINE = [
     "orders_open_backlog_daily",
     "er_sorted_neighborhood",
     "stats_friedman",
+    "rollup_bitmap_distinct",
 ]
 
 

@@ -1056,3 +1056,24 @@ def test_friedman_matches_python_reference(spark):
         assert got[g][0] == r2_sum[g] / 2.0
         assert got[g][1] == _round_ieee_py(chi2)
     assert chi2 >= 0.0
+
+
+def test_bitmap_distinct_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE), user_id FROM events",
+    )
+    byday: dict = {}
+    allu = set()
+    for day, u in rows:
+        byday.setdefault(day, set()).add(u)
+        allu.add(u)
+    want = [(d, len(s), len(allu)) for d, s in sorted(byday.items())]
+    got = [
+        (r.day, r.n_distinct, r.merged_distinct_all)
+        for r in QUERIES["rollup_bitmap_distinct"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # mergeability is non-trivial: users overlap across days, so the
+    # merged count is strictly less than the per-day sum
+    assert want[0][2] < sum(n for _, n, _ in want)
