@@ -213,6 +213,7 @@ HEADLINE = [
     "er_sorted_neighborhood",
     "stats_friedman",
     "rollup_bitmap_distinct",
+    "join_dynamic_partition_pruning",
 ]
 
 

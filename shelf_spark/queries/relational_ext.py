@@ -360,3 +360,65 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+    WITH hot AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE user_id = 1 AND value > 150
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_dsum_i("value", 2)} AS revenue
+    FROM events JOIN hot USING (event_type)
+    GROUP BY 1 ORDER BY day
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is the event_type-
+    partitioned lake layout, and the partitions to read are decided at
+    RUNTIME by the dim side (the event types where one user had
+    high-value activity — a computed set no static PartitionFilter
+    could know; at sf0.01 exactly ONE of five partitions). Spark
+    injects a dynamicpruning subquery under the fact scan that reuses
+    the dim's broadcast, so only the 2 matching partition directories
+    are ever opened — the join-driven complement of
+    sink_partitioned_pruning's static pruning
+    (tests/test_plans.py::test_dpp_subquery_in_plan pins the
+    dynamicpruning expression in the optimized plan).
+
+    At 100 TB: a star join whose dimension filter survives only as a
+    post-scan predicate reads the whole fact lake; DPP turns the same
+    plan into a 2-partition read. The partitioned copy is content-equal
+    to `events`, so the plain-SQL oracle is sound."""
+    import os
+
+    tag = _layout_tag(sf_dir, "events")
+    path = f"/tmp/shelf-spark-partitioned/events_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.table("events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    # a FILTER-shaped dim (Spark's DPP heuristic requires a selective
+    # Filter on the build side — an aggregate+limit does not qualify)
+    dim = (
+        spark.table("events")
+        .filter((F.col("user_id") == 1) & (F.col("value") > 150))
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            dsum_i(F.col("value"), 2).alias("revenue"),
+        )
+        .orderBy("day")
+    )

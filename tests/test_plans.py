@@ -599,3 +599,37 @@ def test_zorder_physical_skipping(spark, tmp_path):
     assert d_hit == n_files, (d_hit, d_total)
     # z-order: a 1/16-wide key predicate touches a bounded file subset
     assert z_hit <= n_files // 2, (z_hit, z_total)
+
+
+def test_dpp_subquery_in_plan(spark):
+    """join_dynamic_partition_pruning must plan a dynamicpruning
+    subquery under the partitioned fact scan (the join-driven
+    partition-elimination mechanism), and its result must equal the
+    same join computed over the unpartitioned source."""
+    from conftest import SF_SMALL
+    from shelf_spark.queries import QUERIES
+    import pyspark.sql.functions as F
+
+    df = QUERIES["join_dynamic_partition_pruning"](spark, SF_SMALL)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in phys.lower()
+    got = [(r.day, r.n_events, r.revenue) for r in df.collect()]
+    ev = spark.table("events")
+    dim = (
+        ev.filter((F.col("user_id") == 1) & (F.col("value") > 150))
+        .select("event_type")
+        .distinct()
+    )
+    from shelf_spark.queries.num import dsum_i
+    want = [
+        (r.day, r.n_events, r.revenue)
+        for r in ev.join(dim, "event_type")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            dsum_i(F.col("value"), 2).alias("revenue"),
+        )
+        .orderBy("day")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
