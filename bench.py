@@ -214,6 +214,7 @@ HEADLINE = [
     "stats_friedman",
     "rollup_bitmap_distinct",
     "join_dynamic_partition_pruning",
+    "dq_benford_law",
 ]
 
 

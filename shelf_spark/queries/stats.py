@@ -4233,3 +4233,90 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+#: Benford first-digit expectations log10(1 + 1/d), pre-rounded onto the
+#: 1e-9 grid as literals — no runtime log10 anywhere.
+_BENFORD_P = (
+    0.301029996, 0.176091259, 0.124938737, 0.096910013, 0.079181246,
+    0.066946790, 0.057991947, 0.051152522, 0.045757491,
+)
+_SQL_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {i + 1} THEN CAST({p!r} AS DOUBLE)" for i, p in enumerate(_BENFORD_P)
+) + " END"
+
+
+@query(
+    "dq_benford_law",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events WHERE value >= 0.01
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY digit
+    ), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_obs,
+           {{op}} AS p_observed,
+           ({_SQL_BENFORD_CASE}) AS p_benford,
+           {{chi}} AS chi2_term
+    FROM obs CROSS JOIN tot
+    ORDER BY digit
+    """.format(
+        op=_sql_round_ieee(
+            "CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)", 6
+        ),
+        chi=_sql_round_ieee(
+            f"(CAST(n_obs AS DOUBLE)"
+            f"  - CAST(n AS DOUBLE) * ({_SQL_BENFORD_CASE}))"
+            f" * (CAST(n_obs AS DOUBLE)"
+            f"    - CAST(n AS DOUBLE) * ({_SQL_BENFORD_CASE}))"
+            f" / (CAST(n AS DOUBLE) * ({_SQL_BENFORD_CASE}))", 6
+        ),
+    ),
+)
+def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over event values — the fraud /
+    synthetic-data detector: natural multiplicative data follows
+    P(d) = log10(1+1/d); per-digit χ² terms localize WHICH digits
+    deviate (the uniform synthetic fixture deviates loudly — that is
+    the point of an audit that reports, not asserts).
+
+    Scale shape: one map-only first-digit extraction on the exact cents
+    grid (string head of an integer — no float log10 at runtime; the
+    Benford expectations are pre-rounded LITERALS), one 9-cell rollup.
+    All comparisons are fixed-shape IEEE expressions of exact counts."""
+    v = (
+        spark.table("events")
+        .filter(F.col("value") >= 0.01)
+        .select(
+            F.substring(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = v.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    pb = F.expr(_SQL_BENFORD_CASE)
+    dev = F.col("n_obs").cast("double") - F.col("n").cast("double") * pb
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            _round_ieee(
+                F.col("n_obs").cast("double") / F.col("n").cast("double"), 6
+            ).alias("p_observed"),
+            pb.alias("p_benford"),
+            _round_ieee(
+                dev * dev / (F.col("n").cast("double") * pb), 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -1077,3 +1077,35 @@ def test_bitmap_distinct_matches_python_reference(spark):
     # mergeability is non-trivial: users overlap across days, so the
     # merged count is strictly less than the per-day sum
     assert want[0][2] < sum(n for _, n, _ in want)
+
+
+def test_benford_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) FROM events"
+        " WHERE value >= 0.01",
+    )
+    P = {
+        1: 0.301029996, 2: 0.176091259, 3: 0.124938737, 4: 0.096910013,
+        5: 0.079181246, 6: 0.066946790, 7: 0.057991947, 8: 0.051152522,
+        9: 0.045757491,
+    }
+    obs: Counter = Counter(int(str(c)[0]) for (c,) in rows)
+    n = sum(obs.values())
+    got = [
+        (r.digit, r.n_obs, r.p_observed, r.p_benford, r.chi2_term)
+        for r in QUERIES["dq_benford_law"](spark, SF_SMALL).collect()
+    ]
+    assert [g[0] for g in got] == sorted(obs)
+    for digit, n_obs, p_o, p_b, chi in got:
+        assert n_obs == obs[digit]
+        assert p_o == _round_ieee_py(obs[digit] / n)
+        assert p_b == P[digit]
+        dev = obs[digit] - n * P[digit]
+        assert chi == _round_ieee_py(dev * dev / (n * P[digit]))
+    # all nine digits observed, deviation terms strictly positive (the
+    # uniform [0.01, 500] fixture happens to land NEAR Benford — its
+    # 4.7-decade span mimics the log-uniform shape; the audit reports
+    # the per-digit terms either way)
+    assert len(got) == 9
+    assert all(g[4] >= 0 for g in got) and sum(g[4] for g in got) > 0
