@@ -215,6 +215,7 @@ HEADLINE = [
     "rollup_bitmap_distinct",
     "join_dynamic_partition_pruning",
     "dq_benford_law",
+    "ts_fourier_periodogram",
 ]
 
 

@@ -4320,3 +4320,115 @@ def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_PGRAM_PERIODS = (3, 7, 14, 30)
+_TWO_PI = 6.283185307179586
+
+
+@query(
+    "ts_fourier_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), d0 AS (SELECT min(day) AS day0 FROM daily),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s1
+      FROM daily
+    ), pts AS (
+      SELECT datediff('day', day0, day) AS t,
+             CAST(cents AS DOUBLE)
+               - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS d
+      FROM daily CROSS JOIN d0 CROSS JOIN mom
+    ), per AS (
+      SELECT unnest(ARRAY{list(_PGRAM_PERIODS)}) AS period
+    ), terms AS (
+      SELECT period,
+             CAST({_sql_round_ieee(
+                 f"d * cos({_TWO_PI!r} * CAST(t AS DOUBLE)"
+                 f"         / CAST(period AS DOUBLE))", 6)}
+               AS DECIMAL(38,6)) AS tc,
+             CAST({_sql_round_ieee(
+                 f"d * sin({_TWO_PI!r} * CAST(t AS DOUBLE)"
+                 f"         / CAST(period AS DOUBLE))", 6)}
+               AS DECIMAL(38,6)) AS ts_
+      FROM pts CROSS JOIN per
+    )
+    SELECT period,
+           {_sql_round_ieee(
+               "(CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)"
+               " + CAST(sum(ts_) AS DOUBLE) * CAST(sum(ts_) AS DOUBLE))"
+               " / CAST((SELECT n FROM mom) AS DOUBLE)", 4)} AS power
+    FROM terms GROUP BY period ORDER BY period
+    """,
+)
+def ts_fourier_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the mean-removed daily purchase-revenue series at
+    candidate periods (3/7/14/30 days): power(P) = (Σd·cos + Σd·sin
+    quadrature) / n — the spectral seasonality detector that says WHICH
+    cycle a series carries before ts_seasonal_decompose assumes one.
+
+    Scale shape: facts collapse to the day domain once; the period grid
+    is a 4-literal broadcast, so the trig stage touches days×4 rows.
+    Mean removal uses exact integer moments; each projection term lands
+    on the 1e-6 grid and sums in DECIMAL (float-order-free — same
+    contract as the MI/AP term sums; cos/sin last-ulp divergence
+    between engines is absorbed by the grid exactly like ln/exp
+    elsewhere)."""
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    d0 = daily.agg(F.min("day").alias("day0"))
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+    )
+    pts = (
+        daily.crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(mom))
+        .select(
+            F.datediff("day", "day0").alias("t"),
+            (
+                F.col("cents").cast("double")
+                - F.col("s1").cast("double") / F.col("n").cast("double")
+            ).alias("d"),
+            "n",
+        )
+    )
+    per = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _PGRAM_PERIODS])).alias("period")
+    )
+    ang = F.lit(_TWO_PI) * F.col("t").cast("double") / F.col("period").cast("double")
+    terms = pts.crossJoin(F.broadcast(per)).select(
+        "period",
+        "n",
+        _round_ieee(F.col("d") * F.cos(ang), 6).cast("decimal(38,6)").alias("tc"),
+        _round_ieee(F.col("d") * F.sin(ang), 6).cast("decimal(38,6)").alias("ts_"),
+    )
+    return (
+        terms.groupBy("period", "n")
+        .agg(F.sum("tc").alias("sc"), F.sum("ts_").alias("ss"))
+        .select(
+            "period",
+            _round_ieee(
+                (
+                    F.col("sc").cast("double") * F.col("sc").cast("double")
+                    + F.col("ss").cast("double") * F.col("ss").cast("double")
+                )
+                / F.col("n").cast("double"),
+                4,
+            ).alias("power"),
+        )
+        .orderBy("period")
+    )

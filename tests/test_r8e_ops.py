@@ -1109,3 +1109,35 @@ def test_benford_matches_python_reference(spark):
     # the per-digit terms either way)
     assert len(got) == 9
     assert all(g[4] >= 0 for g in got) and sum(g[4] for g in got) > 0
+
+
+def test_periodogram_matches_python_reference(spark):
+    daily = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY day",
+    )
+    n = len(daily)
+    s1 = sum(c for _, c in daily)
+    day0 = daily[0][0]
+    TWO_PI = 6.283185307179586
+    want = []
+    for period in (3, 7, 14, 30):
+        sc = ss = 0
+        for day, c in daily:
+            t = (day - day0).days
+            d = float(c) - float(s1) / float(n)
+            ang = TWO_PI * float(t) / float(period)
+            sc += round(_round_ieee_py(d * math.cos(ang)) * 1e6)
+            ss += round(_round_ieee_py(d * math.sin(ang)) * 1e6)
+        power = _round_ieee_py(
+            ((sc / 1e6) ** 2 + (ss / 1e6) ** 2) / float(n), 4
+        )
+        want.append((period, power))
+    got = [
+        (r.period, r.power)
+        for r in QUERIES["ts_fourier_periodogram"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    assert all(p >= 0 for _, p in want)
