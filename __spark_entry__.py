@@ -84,8 +84,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_bounce_rate, stats_levene, ml_ndcg_at_k,
 #     sample_balanced_downsample, orders_open_backlog_daily,
 #     er_sorted_neighborhood, stats_friedman, rollup_bitmap_distinct,
-#     join_dynamic_partition_pruning, dq_benford_law, and
-#     ts_fourier_periodogram
+#     join_dynamic_partition_pruning, dq_benford_law,
+#     ts_fourier_periodogram, and stream_bitmap_distinct
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

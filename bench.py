@@ -216,6 +216,7 @@ HEADLINE = [
     "join_dynamic_partition_pruning",
     "dq_benford_law",
     "ts_fourier_periodogram",
+    "stream_bitmap_distinct",
 ]
 
 

@@ -658,3 +658,81 @@ def stream_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_cnt"), "user_id")
     )
+
+
+@query(
+    "stream_bitmap_distinct",
+    oracle="""
+    WITH perday AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events)
+    SELECT day, n_distinct,
+           (SELECT n FROM tot) AS merged_distinct_all
+    FROM perday ORDER BY day
+    """,
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of `rollup_bitmap_distinct`: each micro-batch
+    commits its own (day, bucket) bitmap cells as an idempotent ledger;
+    the live state is the bitmap_or_agg of the ledgers — OR is
+    idempotent AND commutative, so the merged state equals the
+    batch-built bitmaps for ANY batch split AND under replayed batches
+    (a strictly stronger invariance than the CMS's additive merge,
+    which replay would double-count). The full value oracle (plain
+    COUNT DISTINCT at both grains) checks exactly that, making this
+    the EXACT live distinct-user feed the HLL tier approximates."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    sink = tempfile.mkdtemp(prefix="shelf-stream-bm-")
+    checkpoint = tempfile.mkdtemp(prefix="shelf-stream-bm-ckpt-")
+
+    def bitmap_batch(batch_df, batch_id: int) -> None:
+        cells = (
+            batch_df.select(
+                F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+            )
+            .groupBy(
+                "day", F.bitmap_bucket_number(F.col("user_id")).alias("bucket")
+            )
+            .agg(
+                F.bitmap_construct_agg(
+                    F.bitmap_bit_position(F.col("user_id"))
+                ).alias("bm")
+            )
+        )
+        cells.write.mode("overwrite").parquet(os.path.join(sink, f"b{batch_id}"))
+
+    q = S.foreach_batch_upsert(stream, checkpoint, bitmap_batch)
+    q.awaitTermination()
+    parts = [os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("b")]
+    if not parts:
+        return spark.createDataFrame(
+            [], "day date, n_distinct bigint, merged_distinct_all bigint"
+        )
+    cells = (
+        spark.read.parquet(*parts)
+        .groupBy("day", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+    )
+    perday = cells.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_distinct")
+    )
+    merged = (
+        cells.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("merged_distinct_all"))
+    )
+    return (
+        perday.crossJoin(F.broadcast(merged))
+        .select("day", "n_distinct", "merged_distinct_all")
+        .orderBy("day")
+    )

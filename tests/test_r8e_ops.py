@@ -1141,3 +1141,23 @@ def test_periodogram_matches_python_reference(spark):
     ]
     assert got == want
     assert all(p >= 0 for _, p in want)
+
+
+def test_stream_bitmap_distinct_matches_batch_truth(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE), user_id FROM events",
+    )
+    byday: dict = {}
+    allu = set()
+    for day, u in rows:
+        byday.setdefault(day, set()).add(u)
+        allu.add(u)
+    want = [(d, len(s), len(allu)) for d, s in sorted(byday.items())]
+    got = [
+        (r.day, r.n_distinct, r.merged_distinct_all)
+        for r in QUERIES["stream_bitmap_distinct"](spark, SF_SMALL).collect()
+    ]
+    # the micro-batch OR-merged bitmap state equals the batch truth for
+    # this batch split — the idempotent-merge invariance, third-engine
+    assert got == want
