@@ -217,6 +217,7 @@ HEADLINE = [
     "dq_benford_law",
     "ts_fourier_periodogram",
     "stream_bitmap_distinct",
+    "events_user_lifetime_gini",
 ]
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .num import _round_ieee, _sql_round_ieee
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1941,3 +1942,89 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cand.orderBy("dist_cents", "key_a", "key_b").limit(_SN_TOP)
+
+
+_GINI = (
+    "((2.0 * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))"
+    " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))"
+)
+
+
+@query(
+    "events_user_lifetime_gini",
+    oracle=f"""
+    WITH peruser AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), dom AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM peruser GROUP BY cents
+    ), cum AS (
+      SELECT cents, cnt,
+             sum(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS base
+      FROM dom
+    ), mom AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(38,0)) * cnt) AS t,
+             sum(CAST(cents AS DECIMAL(38,0))
+                 * (cnt * CAST(base AS DECIMAL(38,0))
+                    + CAST(cnt AS DECIMAL(38,0)) * (cnt + 1) / 2)) AS s
+      FROM cum
+    )
+    SELECT n AS n_users,
+           CAST(t AS DOUBLE) / 100.0 AS total_revenue,
+           {_sql_round_ieee(_GINI, 6)} AS gini
+    FROM mom
+    """,
+)
+def events_user_lifetime_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user lifetime purchase revenue — the
+    whale-concentration number behind every "top X% of users drive Y%
+    of revenue" statement (the continuous complement of the discrete
+    agg_abc_classification cut).
+
+    Exactness: G = 2·Σrankᵢxᵢ/(nT) − (n+1)/n needs every user's rank,
+    but tied revenues occupy CONSECUTIVE ranks whose sum is closed-form
+    (cnt·base + cnt(cnt+1)/2), so the whole rank-weighted sum collapses
+    onto the COMPRESSED revenue domain — exact DECIMAL carriers, one
+    prefix pass, one fixed IEEE expression. (cnt·(cnt+1)/2 is always an
+    integer, so the decimal division by 2 is exact.)
+
+    Scale shape: one per-user rollup (the only fact-sized exchange),
+    one domain groupBy, one distributed prefix — users are never
+    globally sorted."""
+    from .prefix import attach_prefix_sums
+
+    peruser = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    dom = peruser.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
+    cum = attach_prefix_sums(dom, ["cents"], ["cnt"]).withColumn(
+        "base", F.col("cnt_upto") - F.col("cnt")
+    )
+    c38 = F.col("cents").cast("decimal(38,0)")
+    mom = cum.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(c38 * F.col("cnt")).alias("t"),
+        F.sum(
+            c38
+            * (
+                F.col("cnt") * F.col("base").cast("decimal(38,0)")
+                + F.col("cnt").cast("decimal(38,0)") * (F.col("cnt") + 1) / 2
+            )
+        ).alias("s"),
+    )
+    return mom.select(
+        F.col("n").alias("n_users"),
+        (F.col("t").cast("double") / 100.0).alias("total_revenue"),
+        _round_ieee(F.expr(_GINI), 6).alias("gini"),
+    )

@@ -1161,3 +1161,21 @@ def test_stream_bitmap_distinct_matches_batch_truth(spark):
     # the micro-batch OR-merged bitmap state equals the batch truth for
     # this batch split — the idempotent-merge invariance, third-engine
     assert got == want
+
+
+def test_gini_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT user_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+        " FROM events WHERE event_type = 'purchase' GROUP BY user_id",
+    )
+    xs = sorted(c for _, c in rows)
+    n = len(xs)
+    t = sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2.0 * float(s)) / (float(n) * float(t)) - (float(n) + 1.0) / float(n)
+    (r,) = QUERIES["events_user_lifetime_gini"](spark, SF_SMALL).collect()
+    assert r.n_users == n
+    assert r.total_revenue == t / 100.0
+    assert r.gini == _round_ieee_py(gini)
+    assert 0.0 <= r.gini < 1.0
