@@ -422,3 +422,66 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH f AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), dom AS (
+      SELECT grp, cents, CAST(sum(w) AS BIGINT) AS w FROM f GROUP BY 1, 2
+    ), cum AS (
+      SELECT grp, cents, w,
+             sum(w) OVER (PARTITION BY grp ORDER BY cents) AS cw
+      FROM dom
+    ), tot AS (SELECT grp, CAST(sum(w) AS BIGINT) AS tw FROM dom GROUP BY grp)
+    SELECT cum.grp,
+           (SELECT tw FROM tot WHERE tot.grp = cum.grp) AS total_weight,
+           CAST(min(cents) AS DOUBLE) / 100.0 AS weighted_median
+    FROM cum
+    WHERE cw >= ((SELECT tw FROM tot WHERE tot.grp = cum.grp) + 1) // 2
+    GROUP BY cum.grp ORDER BY cum.grp
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag — the
+    "median unit sold" rather than the median line item (a 50-unit line
+    pulls the median 50× harder), the right center for unit economics.
+    Lower weighted median: the smallest price whose cumulative weight
+    reaches ⌈W/2⌉, all in exact integers.
+
+    Scale shape: the agg_median_percentile compressed-domain machinery
+    generalized to weights — one (group, price-grid) rollup SUMMING
+    integer weights, partitioned running weight over the domain, one
+    broadcast of group totals. Facts touched once; never sorted."""
+    f = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    dom = f.groupBy("grp", "cents").agg(F.sum("w").cast("long").alias("w"))
+    from pyspark.sql.window import Window as W
+
+    wcum = W.partitionBy("grp").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = dom.withColumn("cw", F.sum("w").over(wcum))
+    tot = dom.groupBy("grp").agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .filter(F.col("cw") >= F.expr("(tw + 1) div 2"))
+        .groupBy("grp", "tw")
+        .agg((F.min("cents").cast("double") / 100.0).alias("weighted_median"))
+        .select(
+            "grp",
+            F.col("tw").alias("total_weight"),
+            "weighted_median",
+        )
+        .orderBy("grp")
+    )

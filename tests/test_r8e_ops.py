@@ -1179,3 +1179,28 @@ def test_gini_matches_python_reference(spark):
     assert r.total_revenue == t / 100.0
     assert r.gini == _round_ieee_py(gini)
     assert 0.0 <= r.gini < 1.0
+
+
+def test_weighted_median_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
+        " CAST(l_quantity AS BIGINT) FROM lineitem",
+    )
+    by: dict = {}
+    for g, c, w in rows:
+        by.setdefault(g, Counter())[c] += w
+    want = []
+    for g in sorted(by):
+        tw = sum(by[g].values())
+        cum = 0
+        for c in sorted(by[g]):
+            cum += by[g][c]
+            if cum >= (tw + 1) // 2:
+                want.append((g, tw, c / 100.0))
+                break
+    got = [
+        (r.grp, r.total_weight, r.weighted_median)
+        for r in QUERIES["agg_weighted_median"](spark, SF_SMALL).collect()
+    ]
+    assert got == want

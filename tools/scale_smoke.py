@@ -236,6 +236,7 @@ HEADLINE = [
     "ts_fourier_periodogram",
     "stream_bitmap_distinct",
     "events_user_lifetime_gini",
+    "agg_weighted_median",
 ]
 
 
