@@ -1043,3 +1043,101 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     ).orderBy("distance")
+
+
+_GCC = (
+    "(3.0 * CAST(n_tri AS DOUBLE) / CAST(n_wedges AS DOUBLE))"
+)
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    und AS (SELECT DISTINCT p1, p2 FROM pairs),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT p1 AS node FROM und UNION ALL SELECT p2 AS node FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (d1.d, u.p1) < (d2.d, u.p2) THEN u.p1 ELSE u.p2 END AS src,
+             CASE WHEN (d1.d, u.p1) < (d2.d, u.p2) THEN u.p2 ELSE u.p1 END AS dst,
+             CASE WHEN (d1.d, u.p1) < (d2.d, u.p2) THEN d2.d ELSE d1.d END AS dst_d
+      FROM und u
+      JOIN deg d1 ON u.p1 = d1.node
+      JOIN deg d2 ON u.p2 = d2.node
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM oriented e1
+      JOIN oriented e2 ON e1.src = e2.src
+                      AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) // 2 AS n_edges,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_nodes, n_edges, CAST(n_tri AS BIGINT) AS n_triangles, n_wedges,
+           {_sql_round_ieee(_GCC, 6)} AS global_clustering
+    FROM agg CROSS JOIN tri
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the basket
+    graph: C = 3·triangles / wedges — the one-number density-of-closure
+    summary (graph_triangle_count localizes triangles per node; this
+    normalizes the total against the wedge count that COULD close).
+
+    Scale shape: the same degree-oriented triangle counting as
+    graph_triangle_count (each edge counted from its lower-degree
+    endpoint → O(√m) work per row) but aggregated to ONE row, and the
+    wedge denominator is a closed-form sum over the NODE-sized degree
+    table — no wedge enumeration ever happens. Exact integer carriers,
+    one IEEE division."""
+    pairs = _basket_pairs(spark).select("p1", "p2")
+    und = pairs.distinct().localCheckpoint()
+    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    ).localCheckpoint()
+    d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    lower1 = (F.struct("d1", "p1") < F.struct("d2", "p2"))
+    oriented = (
+        und.join(d1, "p1").join(d2, "p2")
+        .select(
+            F.when(lower1, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(lower1, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    fat = adj.select(
+        F.col("src").alias("u"),
+        F.col("nbrs").alias("nbrs_u"),
+        F.explode("nbrs").alias("v"),
+    )
+    adj_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    tri = (
+        fat.join(adj_v.hint("SHUFFLE_HASH"), "v")
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("k"))
+        .agg(F.sum("k").cast("long").alias("n_tri"))
+    )
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return agg.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        F.col("n_tri").alias("n_triangles"),
+        "n_wedges",
+        _round_ieee(F.expr(_GCC), 6).alias("global_clustering"),
+    )

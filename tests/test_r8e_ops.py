@@ -1204,3 +1204,36 @@ def test_weighted_median_matches_python_reference(spark):
         for r in QUERIES["agg_weighted_median"](spark, SF_SMALL).collect()
     ]
     assert got == want
+
+
+def test_clustering_coefficient_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+    baskets: dict[int, list[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, []).append(p)
+    adj: dict[int, set[int]] = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    n_nodes = len(adj)
+    n_edges = sum(len(s) for s in adj.values()) // 2
+    n_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    n_tri = (
+        sum(
+            1
+            for a in adj
+            for b in adj[a]
+            if b > a
+            for c in (adj[a] & adj[b])
+            if c > b
+        )
+    )
+    (r,) = QUERIES["graph_clustering_coefficient"](spark, SF_SMALL).collect()
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (
+        n_nodes, n_edges, n_tri, n_wedges,
+    )
+    assert r.global_clustering == _round_ieee_py(3.0 * n_tri / n_wedges)
+    assert 0.0 < r.global_clustering <= 1.0

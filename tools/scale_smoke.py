@@ -237,6 +237,7 @@ HEADLINE = [
     "stream_bitmap_distinct",
     "events_user_lifetime_gini",
     "agg_weighted_median",
+    "graph_clustering_coefficient",
 ]
 
 
