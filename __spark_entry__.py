@@ -86,8 +86,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     er_sorted_neighborhood, stats_friedman, rollup_bitmap_distinct,
 #     join_dynamic_partition_pruning, dq_benford_law,
 #     ts_fourier_periodogram, stream_bitmap_distinct,
-#     events_user_lifetime_gini, agg_weighted_median, and
-#     graph_clustering_coefficient
+#     events_user_lifetime_gini, agg_weighted_median,
+#     graph_clustering_coefficient, and stats_wilcoxon_signed_rank
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

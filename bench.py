@@ -220,6 +220,7 @@ HEADLINE = [
     "events_user_lifetime_gini",
     "agg_weighted_median",
     "graph_clustering_coefficient",
+    "stats_wilcoxon_signed_rank",
 ]
 
 

@@ -4432,3 +4432,105 @@ def ts_fourier_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# Wilcoxon signed-rank z from exact half-unit carriers: 2W⁺ is an exact
+# integer; E[2W⁺] = n(n+1)/2, Var[2W⁺] = n(n+1)(2n+1)/6 − Σ(t³−t)/12.
+_WSR_Z = (
+    "((CAST(two_w AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)"
+    " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)"
+    "        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0"
+    "        - CAST(tie AS DOUBLE) / 12.0))"
+)
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH halves AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN date_part('day', ts) <= 15
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS h1,
+             CAST(sum(CASE WHEN date_part('day', ts) > 15
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS h2
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), d AS (
+      SELECT h2 - h1 AS dv FROM halves WHERE h2 <> h1
+    ), dom AS (
+      SELECT abs(dv) AS a,
+             CAST(count(*) AS BIGINT) AS t,
+             CAST(count(*) FILTER (WHERE dv > 0) AS BIGINT) AS tp
+      FROM d GROUP BY 1
+    ), cum AS (
+      SELECT a, t, tp,
+             sum(t) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS upto
+      FROM dom
+    ), mom AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             sum(CAST(tp AS DECIMAL(38,0))
+                 * (2 * (upto - t) + t + 1)) AS two_w,
+             sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie
+      FROM cum
+    )
+    SELECT n,
+           CAST(two_w AS DOUBLE) / 2.0 AS w_plus,
+           {_sql_round_ieee(_WSR_Z, 6)} AS z_score
+    FROM mom
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-user purchase spend SHIFT
+    between the first and second half of the month? The PAIRED member
+    of the rank-test family (two-sample = Mann-Whitney, k-sample =
+    Kruskal-Wallis, repeated-measures = Friedman, paired = here), with
+    midrank ties on |d| and zero-differences dropped per the standard
+    procedure.
+
+    Scale shape: one per-user rollup produces the paired differences
+    (exact cents); |d| ranks live on the COMPRESSED |d| domain with a
+    distributed prefix — the per-cell positive count tp rides the same
+    domain row, so 2W⁺ is one exact DECIMAL moment and z one
+    fixed-shape IEEE expression."""
+    from .prefix import attach_prefix_sums
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    halves = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0))
+            .cast("long")
+            .alias("h1"),
+            F.sum(F.when(F.dayofmonth("ts") > 15, cents).otherwise(0))
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    d = halves.filter(F.col("h2") != F.col("h1")).select(
+        (F.col("h2") - F.col("h1")).alias("dv")
+    )
+    dom = d.groupBy(F.abs(F.col("dv")).alias("a")).agg(
+        F.count("*").cast("long").alias("t"),
+        F.count(F.when(F.col("dv") > 0, 1)).cast("long").alias("tp"),
+    )
+    cum = attach_prefix_sums(dom, ["a"], ["t"])
+    mom = cum.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("tp").cast("decimal(38,0)")
+            * (2 * (F.col("t_upto") - F.col("t")) + F.col("t") + 1)
+        ).alias("two_w"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie"),
+    )
+    return mom.select(
+        "n",
+        (F.col("two_w").cast("double") / 2.0).alias("w_plus"),
+        _round_ieee(F.expr(_WSR_Z), 6).alias("z_score"),
+    )

@@ -1237,3 +1237,40 @@ def test_clustering_coefficient_matches_python_reference(spark):
     )
     assert r.global_clustering == _round_ieee_py(3.0 * n_tri / n_wedges)
     assert 0.0 < r.global_clustering <= 1.0
+
+
+def test_wilcoxon_signed_rank_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT user_id,"
+        " sum(CASE WHEN date_part('day', ts) <= 15"
+        "     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END),"
+        " sum(CASE WHEN date_part('day', ts) > 15"
+        "     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)"
+        " FROM events WHERE event_type = 'purchase' GROUP BY user_id",
+    )
+    diffs = [h2 - h1 for _, h1, h2 in rows if h1 != h2]
+    dom: dict[int, list[int]] = {}
+    for dv in diffs:
+        c = dom.setdefault(abs(dv), [0, 0])
+        c[0] += 1
+        c[1] += 1 if dv > 0 else 0
+    n = len(diffs)
+    two_w = tie = cum = 0
+    for a in sorted(dom):
+        t, tp = dom[a]
+        two_w += tp * (2 * cum + t + 1)
+        tie += t**3 - t
+        cum += t
+    z = _round_ieee_py(
+        (float(two_w) - float(n) * (float(n) + 1.0) / 2.0)
+        / math.sqrt(
+            float(n) * (float(n) + 1.0) * (2.0 * float(n) + 1.0) / 6.0
+            - float(tie) / 12.0
+        )
+    )
+    (r,) = QUERIES["stats_wilcoxon_signed_rank"](spark, SF_SMALL).collect()
+    assert (r.n, r.w_plus, r.z_score) == (n, two_w / 2.0, z)
+    # non-vacuous (sf0.001 has ~15 users with unequal halves; ~10x more
+    # at the driver's sf0.01)
+    assert n >= 10
