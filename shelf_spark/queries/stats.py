@@ -4534,3 +4534,122 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("two_w").cast("double") / 2.0).alias("w_plus"),
         _round_ieee(F.expr(_WSR_Z), 6).alias("z_score"),
     )
+
+
+_RUNS_Z = (
+    "((CAST(r AS DOUBLE)"
+    "  - (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+    "     / CAST(n AS DOUBLE) + 1.0))"
+    " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+    "        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+    "           - CAST(n AS DOUBLE))"
+    "        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "           * (CAST(n AS DOUBLE) - 1.0))))"
+)
+
+
+@query(
+    "stats_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), med AS (
+      SELECT min(cents) AS m FROM (
+        SELECT cents,
+               sum(1) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               (SELECT count(*) FROM daily) AS n
+        FROM daily
+      ) WHERE c >= (n + 1) // 2
+    ), signed AS (
+      SELECT day, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+      FROM daily WHERE cents <> (SELECT m FROM med)
+    ), ranked AS (
+      SELECT s, row_number() OVER (ORDER BY day) AS rk FROM signed
+    ), trans AS (
+      SELECT CAST(count(*) FILTER (WHERE a.s <> b.s) AS BIGINT) AS flips
+      FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(count(*) - sum(s) AS BIGINT) AS n0,
+             (SELECT flips FROM trans) + 1 AS r
+      FROM signed
+    )
+    SELECT n, n1, n0, CAST(r AS BIGINT) AS n_runs,
+           {_sql_round_ieee(_RUNS_Z, 6)} AS z_score
+    FROM mom
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test: is the daily revenue series RANDOM
+    around its median, or does it trend/oscillate? (Too few runs →
+    trending; too many → oscillating.) Median-days drop per the
+    standard procedure; z from the exact run count.
+
+    Scale shape: facts collapse to the day domain once; the median, the
+    sign sequence, and the run count all live on that calendar-bounded
+    relation. Sequence order comes from a PREFIX-derived rank and the
+    adjacent-transition count is a rank+1 EQUI-join (the
+    sorted-neighborhood trick) — no unpartitioned lag window even on
+    the small domain, keeping the plan-audit invariant registry-wide."""
+    from .prefix import attach_prefix_sums
+
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    vdom = daily.groupBy("cents").agg(F.count("*").cast("long").alias("t"))
+    vcum = attach_prefix_sums(vdom, ["cents"], ["t"])
+    nn = daily.agg(F.count("*").alias("nd"))
+    med = (
+        vcum.crossJoin(F.broadcast(nn))
+        .filter(F.col("t_upto") >= F.expr("(nd + 1) div 2"))
+        .agg(F.min("cents").alias("m"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    ddom = signed.groupBy("day").agg(
+        F.count("*").cast("long").alias("t"), F.max("s").alias("s")
+    )
+    ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
+        "s", F.col("t_upto").alias("rk")
+    ).localCheckpoint()
+    nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("s").alias("s2"))
+    trans = (
+        ranked.join(nxt, "rk")
+        .agg(
+            F.count(F.when(F.col("s") != F.col("s2"), 1))
+            .cast("long")
+            .alias("flips")
+        )
+    )
+    mom = (
+        signed.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("n1"),
+            (F.count("*") - F.sum("s")).cast("long").alias("n0"),
+        )
+        .crossJoin(F.broadcast(trans))
+        .withColumn("r", F.col("flips") + 1)
+    )
+    return mom.select(
+        "n", "n1", "n0",
+        F.col("r").cast("long").alias("n_runs"),
+        _round_ieee(F.expr(_RUNS_Z), 6).alias("z_score"),
+    )

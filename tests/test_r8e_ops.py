@@ -1274,3 +1274,24 @@ def test_wilcoxon_signed_rank_matches_python_reference(spark):
     # non-vacuous (sf0.001 has ~15 users with unequal halves; ~10x more
     # at the driver's sf0.01)
     assert n >= 10
+
+
+def test_runs_test_matches_python_reference(spark):
+    daily = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY day",
+    )
+    vals = sorted(c for _, c in daily)
+    m = vals[(len(vals) + 1) // 2 - 1]  # lower median
+    signs = [1 if c > m else 0 for _, c in daily if c != m]
+    n, n1 = len(signs), sum(signs)
+    n0 = n - n1
+    r = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    mu = 2.0 * n1 * n0 / n + 1.0
+    var = 2.0 * n1 * n0 * (2.0 * n1 * n0 - n) / (float(n) ** 2 * (n - 1.0))
+    z = _round_ieee_py((float(r) - mu) / math.sqrt(var))
+    (row,) = QUERIES["stats_runs_test"](spark, SF_SMALL).collect()
+    assert (row.n, row.n1, row.n0, row.n_runs, row.z_score) == (n, n1, n0, r, z)
+    assert n >= 20

@@ -239,6 +239,7 @@ HEADLINE = [
     "agg_weighted_median",
     "graph_clustering_coefficient",
     "stats_wilcoxon_signed_rank",
+    "stats_runs_test",
 ]
 
 
