@@ -87,8 +87,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     join_dynamic_partition_pruning, dq_benford_law,
 #     ts_fourier_periodogram, stream_bitmap_distinct,
 #     events_user_lifetime_gini, agg_weighted_median,
-#     graph_clustering_coefficient, stats_wilcoxon_signed_rank, and
-#     stats_runs_test
+#     graph_clustering_coefficient, stats_wilcoxon_signed_rank,
+#     stats_runs_test, and text_heaps_law_fit
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

@@ -1988,3 +1988,113 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xent"),
     ).orderBy(F.desc("xent"), "doc_id").limit(_BLM_TOP)
+
+
+_HEAPS_SLOPE = (
+    "((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), doctok AS (
+      SELECT doc_id, CAST(len(arr) AS BIGINT) AS ntok FROM arrs
+    ), firstseen AS (
+      SELECT w, min(doc_id) AS fs FROM (
+        SELECT doc_id, unnest(arr) AS w FROM arrs
+      ) GROUP BY w
+    ), mx AS (SELECT max(doc_id) AS mid FROM doctok),
+    grid AS (
+      SELECT k, CAST((SELECT mid FROM mx) * k // 10 AS BIGINT) AS cutoff
+      FROM (SELECT unnest(range(1, 11)) AS k)
+    ), pts AS (
+      SELECT g.k,
+             (SELECT CAST(sum(ntok) AS BIGINT) FROM doctok
+              WHERE doc_id <= g.cutoff) AS tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM firstseen
+              WHERE fs <= g.cutoff) AS vocab
+      FROM grid g
+    ), gridded AS (
+      SELECT k, tokens, vocab,
+             CAST({_sql_round_ieee("ln(CAST(tokens AS DOUBLE))", 6)}
+               AS DECIMAL(38,6)) AS gx,
+             CAST({_sql_round_ieee("ln(CAST(vocab AS DOUBLE))", 6)}
+               AS DECIMAL(38,6)) AS gy
+      FROM pts
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             sum(gx) AS sx, sum(gy) AS sy,
+             sum(gx * gy) AS sxy, sum(gx * gx) AS sxx
+      FROM gridded
+    )
+    SELECT k, tokens, vocab, {{b}} AS heaps_beta
+    FROM gridded CROSS JOIN mom ORDER BY k
+    """.format(b=_sql_round_ieee(_HEAPS_SLOPE, 6)),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β along the corpus
+    (β ≈ 0.4–0.6 for natural text; a templated corpus flatlines) — the
+    growth-side companion of text_zipf_fit's frequency-side law.
+
+    The trick that makes cumulative-distinct DISTRIBUTABLE: V(cutoff)
+    needs "distinct words among docs ≤ cutoff", which is NOT a
+    decomposable aggregate — but each word's FIRST-SEEN doc_id is, so
+    one groupBy(word).min(doc_id) turns every cumulative vocabulary
+    count into a simple filter-count over the word catalog. One corpus
+    pass total; the 10-point decile grid broadcasts; the log-log OLS
+    runs on 10 grid-rounded points with exact decimal moments."""
+    from .prefix import attach_prefix_sums  # noqa: F401  (family marker)
+
+    arrs = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    doctok = arrs.select("doc_id", F.size("arr").cast("long").alias("ntok"))
+    firstseen = (
+        arrs.select("doc_id", F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fs"))
+    )
+    mx = doctok.agg(F.max("doc_id").alias("mid"))
+    grid = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("long").alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .select("k", F.expr("mid * k div 10").alias("cutoff"))
+    )
+    toks = (
+        doctok.crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("k")
+        .agg(F.sum("ntok").cast("long").alias("tokens"))
+    )
+    vocab = (
+        firstseen.crossJoin(F.broadcast(grid))
+        .filter(F.col("fs") <= F.col("cutoff"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    pts = toks.join(vocab, "k")
+    gx = _round_ieee(F.log(F.col("tokens").cast("double")), 6).cast("decimal(38,6)")
+    gy = _round_ieee(F.log(F.col("vocab").cast("double")), 6).cast("decimal(38,6)")
+    gridded = pts.select("k", "tokens", "vocab", gx.alias("gx"), gy.alias("gy"))
+    mom = gridded.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("gx").alias("sx"),
+        F.sum("gy").alias("sy"),
+        F.sum(F.col("gx") * F.col("gy")).alias("sxy"),
+        F.sum(F.col("gx") * F.col("gx")).alias("sxx"),
+    )
+    return (
+        gridded.crossJoin(F.broadcast(mom))
+        .select(
+            "k", "tokens", "vocab",
+            _round_ieee(F.expr(_HEAPS_SLOPE), 6).alias("heaps_beta"),
+        )
+        .orderBy("k")
+    )

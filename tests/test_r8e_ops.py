@@ -1295,3 +1295,37 @@ def test_runs_test_matches_python_reference(spark):
     (row,) = QUERIES["stats_runs_test"](spark, SF_SMALL).collect()
     assert (row.n, row.n1, row.n0, row.n_runs, row.z_score) == (n, n1, n0, r, z)
     assert n >= 20
+
+
+def test_heaps_law_matches_python_reference(spark):
+    docs = sorted(_duck(SF_SMALL, "SELECT doc_id, text FROM documents"))
+    mid = max(d for d, _ in docs)
+    ntok = {d: len(t.split(" ")) for d, t in docs}
+    firstseen: dict[str, int] = {}
+    for d, t in docs:
+        for w in t.split(" "):
+            if w not in firstseen:
+                firstseen[w] = d
+    pts = []
+    for k in range(1, 11):
+        cutoff = mid * k // 10
+        tokens = sum(n for d, n in ntok.items() if d <= cutoff)
+        vocab = sum(1 for fs in firstseen.values() if fs <= cutoff)
+        pts.append((k, tokens, vocab))
+    gx = [round(_round_ieee_py(math.log(t)) * 1e6) for _, t, _ in pts]
+    gy = [round(_round_ieee_py(math.log(v)) * 1e6) for _, _, v in pts]
+    n = len(pts)
+    sx, sy = sum(gx) / 1e6, sum(gy) / 1e6
+    sxy = sum(a * b for a, b in zip(gx, gy)) / 1e12
+    sxx = sum(a * a for a in gx) / 1e12
+    beta = _round_ieee_py(
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    )
+    got = [
+        (r.k, r.tokens, r.vocab, r.heaps_beta)
+        for r in QUERIES["text_heaps_law_fit"](spark, SF_SMALL).collect()
+    ]
+    assert got == [(k, t, v, beta) for k, t, v in pts]
+    # the 31-word synthetic vocab saturates instantly: beta ≈ 0 — the
+    # fit itself (not a naturalness claim) is what's pinned
+    assert beta < 0.5

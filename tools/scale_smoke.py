@@ -240,6 +240,7 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "stats_wilcoxon_signed_rank",
     "stats_runs_test",
+    "text_heaps_law_fit",
 ]
 
 
