@@ -4653,3 +4653,75 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("n_runs"),
         _round_ieee(F.expr(_RUNS_Z), 6).alias("z_score"),
     )
+
+
+# Grubbs G from exact carriers: μ = s1/n, s² = (s2 − s1²/n)/(n−1),
+# G = max(mx − μ, μ − mn)/s — all one fixed IEEE expression.
+_GRUBBS_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_GRUBBS_SD = (
+    "sqrt((CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - 1.0))"
+)
+_GRUBBS_G = (
+    f"(greatest(CAST(mx AS DOUBLE) - {_GRUBBS_MU},"
+    f" {_GRUBBS_MU} - CAST(mn AS DOUBLE)) / {_GRUBBS_SD})"
+)
+
+
+@query(
+    "stats_grubbs_outlier",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+      WHERE event_type = 'purchase'
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(c AS DECIMAL(38,0))) AS s1,
+             sum(CAST(c AS DECIMAL(38,0)) * c) AS s2,
+             CAST(max(c) AS BIGINT) AS mx, CAST(min(c) AS BIGINT) AS mn
+      FROM v
+    )
+    SELECT n,
+           CAST(mx AS DOUBLE) / 100.0 AS max_value,
+           CAST(mn AS DOUBLE) / 100.0 AS min_value,
+           {_sql_round_ieee(_GRUBBS_G, 6)} AS g_stat,
+           (CAST(mx AS DOUBLE) - {_GRUBBS_MU}
+            >= {_GRUBBS_MU} - CAST(mn AS DOUBLE)) AS suspect_is_max
+    FROM mom
+    """,
+)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic for a single extreme outlier:
+    G = max(|x − x̄|)/s — the classical single-outlier screen
+    complementing the robust tiers (clean_outlier_iqr's fences,
+    events_anomaly_mad's MAD z-scores) with the parametric extreme
+    test. The farthest point from the mean is necessarily the max or
+    the min, so G needs only (n, Σc, Σc², max, min) — ONE map-side-
+    combined aggregate pass, exact integer carriers, one fixed IEEE
+    expression."""
+    v = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+        )
+    )
+    c38 = F.col("c").cast("decimal(38,0)")
+    mom = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c38).alias("s1"),
+        F.sum(c38 * F.col("c")).alias("s2"),
+        F.max("c").cast("long").alias("mx"),
+        F.min("c").cast("long").alias("mn"),
+    )
+    return mom.select(
+        "n",
+        (F.col("mx").cast("double") / 100.0).alias("max_value"),
+        (F.col("mn").cast("double") / 100.0).alias("min_value"),
+        _round_ieee(F.expr(_GRUBBS_G), 6).alias("g_stat"),
+        F.expr(
+            f"CAST(mx AS DOUBLE) - {_GRUBBS_MU}"
+            f" >= {_GRUBBS_MU} - CAST(mn AS DOUBLE)"
+        ).alias("suspect_is_max"),
+    )

@@ -1329,3 +1329,21 @@ def test_heaps_law_matches_python_reference(spark):
     # the 31-word synthetic vocab saturates instantly: beta ≈ 0 — the
     # fit itself (not a naturalness claim) is what's pinned
     assert beta < 0.5
+
+
+def test_grubbs_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) FROM events"
+        " WHERE event_type = 'purchase'",
+    )
+    cs = [r[0] for r in rows]
+    n = len(cs)
+    mu = sum(cs) / n
+    sd = math.sqrt((sum(c * c for c in cs) - sum(cs) ** 2 / n) / (n - 1))
+    g = _round_ieee_py(max(max(cs) - mu, mu - min(cs)) / sd)
+    (r,) = QUERIES["stats_grubbs_outlier"](spark, SF_SMALL).collect()
+    assert (r.n, r.max_value, r.min_value) == (n, max(cs) / 100.0, min(cs) / 100.0)
+    assert r.g_stat == g
+    assert r.suspect_is_max == (max(cs) - mu >= mu - min(cs))
+    assert g > 1.0

@@ -241,6 +241,7 @@ HEADLINE = [
     "stats_wilcoxon_signed_rank",
     "stats_runs_test",
     "text_heaps_law_fit",
+    "stats_grubbs_outlier",
 ]
 
 
