@@ -88,7 +88,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ts_fourier_periodogram, stream_bitmap_distinct,
 #     events_user_lifetime_gini, agg_weighted_median,
 #     graph_clustering_coefficient, stats_wilcoxon_signed_rank,
-#     stats_runs_test, text_heaps_law_fit, and stats_grubbs_outlier
+#     stats_runs_test, text_heaps_law_fit, stats_grubbs_outlier,
+#     ml_matthews_corrcoef, and ts_control_chart_xmr
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

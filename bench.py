@@ -224,6 +224,8 @@ HEADLINE = [
     "stats_runs_test",
     "text_heaps_law_fit",
     "stats_grubbs_outlier",
+    "ml_matthews_corrcoef",
+    "ts_control_chart_xmr",
 ]
 
 

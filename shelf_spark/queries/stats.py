@@ -4725,3 +4725,163 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" >= {_GRUBBS_MU} - CAST(mn AS DOUBLE)"
         ).alias("suspect_is_max"),
     )
+
+
+# MCC from exact confusion integers: the products tp·tn etc. reach n²,
+# so carriers widen to DOUBLE only inside the one fixed expression.
+_MCC = (
+    "((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+    "  - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+    " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+    "        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))"
+)
+
+
+@query(
+    "ml_matthews_corrcoef",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    conf AS (
+      SELECT t.threshold,
+             CAST(count(*) FILTER (WHERE score >= t.threshold AND y) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE score >= t.threshold AND NOT y) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE score < t.threshold AND y) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (WHERE score < t.threshold AND NOT y) AS BIGINT) AS tn
+      FROM scored CROSS JOIN (
+        SELECT unnest(ARRAY{list(_EVAL_THRESHOLDS)}) AS threshold) t
+      GROUP BY t.threshold
+    )
+    SELECT threshold, tp, fp, fn, tn, {_sql_round_ieee(_MCC, 6)} AS mcc
+    FROM conf ORDER BY threshold
+    """,
+)
+def ml_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient at the shared fixed thresholds —
+    the single confusion-matrix number that stays honest under class
+    imbalance (accuracy and even F1 can look good while MCC ≈ 0;
+    completes the eval set next to ml_cohens_kappa's chance-corrected
+    agreement). Same constant threshold fan-out, one confusion rollup,
+    one fixed IEEE expression of exact integers."""
+    scored = _scored(spark).crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(t) for t in _EVAL_THRESHOLDS])
+                ).alias("threshold")
+            )
+        )
+    )
+    pos = F.col("score") >= F.col("threshold")
+    conf = scored.groupBy("threshold").agg(
+        F.count(F.when(pos & F.col("y"), 1)).cast("long").alias("tp"),
+        F.count(F.when(pos & ~F.col("y"), 1)).cast("long").alias("fp"),
+        F.count(F.when(~pos & F.col("y"), 1)).cast("long").alias("fn"),
+        F.count(F.when(~pos & ~F.col("y"), 1)).cast("long").alias("tn"),
+    )
+    return conf.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        _round_ieee(F.expr(_MCC), 6).alias("mcc"),
+    ).orderBy("threshold")
+
+
+#: XmR (individuals + moving range) chart constants: 3/d₂ with d₂ =
+#: 1.128 for n=2 moving ranges.
+_XMR_K = 2.6595744680851063  # 3 / 1.128, pinned as a literal
+
+_XMR_CENTER = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)"
+_XMR_MRBAR = "(CAST(mr AS DOUBLE) / CAST(nmr AS DOUBLE) / 100.0)"
+_XMR_UCL = f"({_XMR_CENTER} + {_XMR_K!r} * {_XMR_MRBAR})"
+_XMR_LCL = f"({_XMR_CENTER} - {_XMR_K!r} * {_XMR_MRBAR})"
+
+
+@query(
+    "ts_control_chart_xmr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY day) AS rk FROM daily
+    ), mrs AS (
+      SELECT CAST(count(*) AS BIGINT) AS nmr,
+             CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS mr
+      FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s1
+      FROM daily
+    ), lim AS (SELECT * FROM mom CROSS JOIN mrs)
+    SELECT n AS n_days,
+           {{c}} AS center, {{m}} AS mr_bar, {{u}} AS ucl, {{l}} AS lcl,
+           (SELECT CAST(count(*) AS BIGINT) FROM daily CROSS JOIN lim
+            WHERE CAST(cents AS DOUBLE) / 100.0 > {_XMR_UCL}
+               OR CAST(cents AS DOUBLE) / 100.0 < {_XMR_LCL})
+             AS n_violations
+    FROM lim
+    """.format(
+        c=_sql_round_ieee(_XMR_CENTER, 6),
+        m=_sql_round_ieee(_XMR_MRBAR, 6),
+        u=_sql_round_ieee(_XMR_UCL, 6),
+        l=_sql_round_ieee(_XMR_LCL, 6),
+    ),
+)
+def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) control chart over daily
+    revenue: center line, 3σ-equivalent limits from the mean moving
+    range (2.66·MR̄ — Shewhart's d₂ constant pinned as a literal), and
+    the count of out-of-control days — the SPC primitive behind every
+    "did the pipeline's daily volume go out of control" monitor (the
+    sequential cousin of ts_changepoint_cusum).
+
+    Scale shape: day-domain everything; consecutive-day moving ranges
+    via prefix-rank + rank+1 EQUI-join (no unpartitioned lag window —
+    the runs-test discipline); exact integer carriers, fixed IEEE
+    limit expressions shared verbatim between the limit columns and
+    the violation predicate."""
+    from .prefix import attach_prefix_sums
+
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    ddom = daily.groupBy("day").agg(
+        F.count("*").cast("long").alias("t"), F.max("cents").alias("cents")
+    )
+    ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
+        F.col("t_upto").alias("rk"), "cents"
+    ).localCheckpoint()
+    nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("cents").alias("c2"))
+    mrs = ranked.join(nxt, "rk").agg(
+        F.count("*").cast("long").alias("nmr"),
+        F.sum(F.abs(F.col("cents") - F.col("c2"))).cast("long").alias("mr"),
+    )
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+    )
+    lim = mom.crossJoin(F.broadcast(mrs))
+    viol = (
+        daily.crossJoin(F.broadcast(lim))
+        .filter(
+            (F.col("cents").cast("double") / 100.0 > F.expr(_XMR_UCL))
+            | (F.col("cents").cast("double") / 100.0 < F.expr(_XMR_LCL))
+        )
+        .agg(F.count("*").cast("long").alias("n_violations"))
+    )
+    return lim.crossJoin(F.broadcast(viol)).select(
+        F.col("n").alias("n_days"),
+        _round_ieee(F.expr(_XMR_CENTER), 6).alias("center"),
+        _round_ieee(F.expr(_XMR_MRBAR), 6).alias("mr_bar"),
+        _round_ieee(F.expr(_XMR_UCL), 6).alias("ucl"),
+        _round_ieee(F.expr(_XMR_LCL), 6).alias("lcl"),
+        "n_violations",
+    )

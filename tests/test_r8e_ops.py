@@ -1347,3 +1347,44 @@ def test_grubbs_matches_python_reference(spark):
     assert r.g_stat == g
     assert r.suspect_is_max == (max(cs) - mu >= mu - min(cs))
     assert g > 1.0
+
+
+def test_mcc_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT n_chars, (lang = 'en') FROM documents")
+    got = QUERIES["ml_matthews_corrcoef"](spark, SF_SMALL).collect()
+    assert [r.threshold for r in got] == [200, 300, 400]
+    for r in got:
+        tp = sum(1 for s, y in rows if s >= r.threshold and y)
+        fp = sum(1 for s, y in rows if s >= r.threshold and not y)
+        fn = sum(1 for s, y in rows if s < r.threshold and y)
+        tn = sum(1 for s, y in rows if s < r.threshold and not y)
+        mcc = (float(tp) * tn - float(fp) * fn) / math.sqrt(
+            float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        )
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.mcc == _round_ieee_py(mcc)
+        assert -1.0 <= r.mcc <= 1.0
+
+
+def test_xmr_chart_matches_python_reference(spark):
+    daily = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY day",
+    )
+    cs = [c for _, c in daily]
+    n = len(cs)
+    center = sum(cs) / n / 100.0
+    mrs = [abs(a - b) for a, b in zip(cs, cs[1:])]
+    mr_bar = sum(mrs) / len(mrs) / 100.0
+    K = 2.6595744680851063
+    ucl, lcl = center + K * mr_bar, center - K * mr_bar
+    viol = sum(1 for c in cs if c / 100.0 > ucl or c / 100.0 < lcl)
+    (r,) = QUERIES["ts_control_chart_xmr"](spark, SF_SMALL).collect()
+    assert r.n_days == n
+    assert r.center == _round_ieee_py(center)
+    assert r.mr_bar == _round_ieee_py(mr_bar)
+    assert r.ucl == _round_ieee_py(ucl)
+    assert r.lcl == _round_ieee_py(lcl)
+    assert r.n_violations == viol
