@@ -89,7 +89,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_user_lifetime_gini, agg_weighted_median,
 #     graph_clustering_coefficient, stats_wilcoxon_signed_rank,
 #     stats_runs_test, text_heaps_law_fit, stats_grubbs_outlier,
-#     ml_matthews_corrcoef, and ts_control_chart_xmr
+#     ml_matthews_corrcoef, ts_control_chart_xmr, ts_peak_detection,
+#     and ts_snaive_backtest
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

@@ -226,6 +226,8 @@ HEADLINE = [
     "stats_grubbs_outlier",
     "ml_matthews_corrcoef",
     "ts_control_chart_xmr",
+    "ts_peak_detection",
+    "ts_snaive_backtest",
 ]
 
 

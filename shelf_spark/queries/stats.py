@@ -4885,3 +4885,143 @@ def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_ieee(F.expr(_XMR_LCL), 6).alias("lcl"),
         "n_violations",
     )
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), ranked AS (
+      SELECT day, cents, row_number() OVER (ORDER BY day) AS rk FROM daily
+    )
+    SELECT m.day, CAST(m.cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(m.cents - p.cents AS BIGINT) AS rise_cents,
+           CAST(m.cents - n.cents AS BIGINT) AS fall_cents
+    FROM ranked m
+    JOIN ranked p ON p.rk = m.rk - 1
+    JOIN ranked n ON n.rk = m.rk + 1
+    WHERE m.cents > p.cents AND m.cents > n.cents
+    ORDER BY m.day
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of the daily revenue series (higher than both
+    neighbors), with the rise/fall magnitudes — the peak-finding
+    primitive under promotion-impact and burst analyses.
+
+    Scale shape: day-domain only; the ±1-neighbor comparisons are
+    prefix-rank EQUI-joins (the runs-test/XmR discipline — no
+    unpartitioned lag window), exact integer comparisons."""
+    from .prefix import attach_prefix_sums
+
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ddom = daily.groupBy("day").agg(
+        F.count("*").cast("long").alias("t"), F.max("cents").alias("cents")
+    )
+    ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
+        "day", "cents", F.col("t_upto").alias("rk")
+    ).localCheckpoint()
+    prev = ranked.select((F.col("rk") + 1).alias("rk"), F.col("cents").alias("pc"))
+    nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("cents").alias("nc"))
+    return (
+        ranked.join(prev, "rk")
+        .join(nxt, "rk")
+        .filter((F.col("cents") > F.col("pc")) & (F.col("cents") > F.col("nc")))
+        .select(
+            "day",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            (F.col("cents") - F.col("pc")).cast("long").alias("rise_cents"),
+            (F.col("cents") - F.col("nc")).cast("long").alias("fall_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "ts_snaive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), joined AS (
+      SELECT a.day, a.cents AS actual,
+             f.cents AS forecast, abs(a.cents - f.cents) AS err
+      FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_backtest_days,
+           (floor((CAST(sum(err) AS DOUBLE) / count(*) / 100.0)
+                  * 1000000.0 + 0.5) / 1000000.0) AS mae,
+           (floor((CAST(sum(CAST(err AS DECIMAL(38,0)) * 1000000 // actual)
+                        AS DOUBLE) / count(*) / 1000000.0)
+                  * 1000000.0 + 0.5) / 1000000.0) AS mape_like
+    FROM joined
+    """,
+)
+def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast every day as the SAME WEEKDAY
+    one week earlier and score MAE + a MAPE-like relative error — the
+    baseline every fancier forecaster (ts_holt_linear_forecast) must
+    beat before it earns its keep; forecast eval as a first-class op.
+
+    Exactness: the per-day relative error uses integer micro-units
+    (err·10⁶ // actual — exact integer division, no float ratio per
+    row), so both aggregates are order-free exact sums with one final
+    IEEE division each. Day-domain self-join on day−7 — calendar-
+    bounded equi-join, facts touched once."""
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    fc = daily.select(F.date_add("day", 7).alias("day"), F.col("cents").alias("f"))
+    joined = daily.join(fc, "day").select(
+        F.col("cents").alias("actual"),
+        F.abs(F.col("cents") - F.col("f")).alias("err"),
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_backtest_days"),
+        (
+            F.floor(
+                (F.sum("err").cast("double") / F.count("*") / 100.0) * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("mae"),
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.expr(
+                            "CAST(err AS DECIMAL(38,0)) * 1000000 div actual"
+                        )
+                    ).cast("double")
+                    / F.count("*")
+                    / 1000000.0
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("mape_like"),
+    )

@@ -1388,3 +1388,48 @@ def test_xmr_chart_matches_python_reference(spark):
     assert r.ucl == _round_ieee_py(ucl)
     assert r.lcl == _round_ieee_py(lcl)
     assert r.n_violations == viol
+
+
+def test_peak_detection_matches_python_reference(spark):
+    daily = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY day",
+    )
+    want = []
+    for i in range(1, len(daily) - 1):
+        d, c = daily[i]
+        if c > daily[i - 1][1] and c > daily[i + 1][1]:
+            want.append((d, c / 100.0, c - daily[i - 1][1], c - daily[i + 1][1]))
+    got = [
+        (r.day, r.revenue, r.rise_cents, r.fall_cents)
+        for r in QUERIES["ts_peak_detection"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    assert len(want) >= 3
+
+
+def test_snaive_backtest_matches_python_reference(spark):
+    daily = dict(
+        _duck(
+            SF_SMALL,
+            "SELECT CAST(date_trunc('day', ts) AS DATE),"
+            " sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+            " FROM events WHERE event_type = 'purchase' GROUP BY 1",
+        )
+    )
+    import datetime
+
+    errs, rels = [], []
+    for d, c in daily.items():
+        prev = daily.get(d - datetime.timedelta(days=7))
+        if prev is not None:
+            errs.append(abs(c - prev))
+            rels.append(abs(c - prev) * 1000000 // c)
+    n = len(errs)
+    mae = _round_ieee_py(sum(errs) / n / 100.0)
+    mape = _round_ieee_py(sum(rels) / n / 1000000.0)
+    (r,) = QUERIES["ts_snaive_backtest"](spark, SF_SMALL).collect()
+    assert (r.n_backtest_days, r.mae, r.mape_like) == (n, mae, mape)
+    assert n >= 20
