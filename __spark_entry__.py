@@ -90,7 +90,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     graph_clustering_coefficient, stats_wilcoxon_signed_rank,
 #     stats_runs_test, text_heaps_law_fit, stats_grubbs_outlier,
 #     ml_matthews_corrcoef, ts_control_chart_xmr, ts_peak_detection,
-#     and ts_snaive_backtest
+#     ts_snaive_backtest, and ann_ivf_exhaustive (the value-exact
+#     exhaustive-probe IVF twin that retires the rows-only demerit on
+#     ann_ivf_topk's pipeline)
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

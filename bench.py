@@ -228,6 +228,7 @@ HEADLINE = [
     "ts_control_chart_xmr",
     "ts_peak_detection",
     "ts_snaive_backtest",
+    "ann_ivf_exhaustive",
 ]
 
 

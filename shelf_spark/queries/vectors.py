@@ -102,17 +102,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # IVF probing is approximate → rows-only check
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: centroid per `label` cell, probe the top-N_PROBE
-    cells per query, exact search within probed cells only.
-
-    The `label` column stands in for a k-means cell assignment (the
-    clustering step itself is offline in a real pipeline). Cost model at
-    scale: centroids table is tiny (broadcast); the corpus is pruned by
-    the cell-id join before any distance math — the vector analogue of
-    partition pruning. Approximate by construction → rows-only check.
-    """
+def _ivf_topk(spark: SparkSession, n_probe: int) -> DataFrame:
+    """Shared IVF pipeline: centroid per `label` cell, probe the top
+    ``n_probe`` cells per query, exact search within probed cells (see
+    ann_ivf_topk for the cost model). With ``n_probe`` ≥ the cell count
+    the probe is EXHAUSTIVE and the pipeline must reproduce brute force
+    exactly — the property ann_ivf_exhaustive value-checks."""
     v = spark.table("embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("nrm", _norm(F.col("vec")))
@@ -149,7 +144,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crnk",
             F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("ccos"), "label")),
         )
-        .filter(F.col("crnk") <= N_PROBE)
+        .filter(F.col("crnk") <= n_probe)
         .select("q_id", "q_vec", "q_nrm", "label")
     )
     # exact search within probed cells
@@ -170,6 +165,58 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
     )
+
+
+@query("ann_ivf_topk")  # IVF probing is approximate → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroid per `label` cell, probe the top-N_PROBE
+    cells per query, exact search within probed cells only.
+
+    The `label` column stands in for a k-means cell assignment (the
+    clustering step itself is offline in a real pipeline). Cost model at
+    scale: centroids table is tiny (broadcast); the corpus is pruned by
+    the cell-id join before any distance math — the vector analogue of
+    partition pruning. Approximate by construction → rows-only check
+    (recall bounds pinned in tests; the exhaustive twin below value-
+    checks the pipeline itself)."""
+    return _ivf_topk(spark, N_PROBE)
+
+
+@query(
+    "ann_ivf_exhaustive",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM v WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q_vec, vec), s -> s[1] * s[2]))
+               / (q_nrm * nrm) AS cosine
+      FROM q CROSS JOIN v
+      WHERE v.vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT q_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT twin of ann_ivf_topk (the dedup_minhash_lsh_selfdup
+    pattern applied to IVF): probe EVERY cell (n_probe ≥ cell count),
+    which makes the IVF pipeline mathematically equal to brute-force
+    cosine top-k — so the whole machinery (centroid build, probe
+    ranking, in-cell exact search, final rank) is checked against the
+    brute-force ORACLE with full value hashing. The primary op keeps
+    its honest rows-only status (pruning approximates BY DESIGN —
+    recall measured in tests/test_queries.py); this twin retires the
+    "is the pipeline itself correct?" question."""
+    return _ivf_topk(spark, 10_000)
 
 
 @query(

@@ -246,6 +246,7 @@ HEADLINE = [
     "ts_control_chart_xmr",
     "ts_peak_detection",
     "ts_snaive_backtest",
+    "ann_ivf_exhaustive",
 ]
 
 
