@@ -5025,3 +5025,186 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("mape_like"),
     )
+
+
+_COHENS_D = (
+    "((CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "  - CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((((CAST(s2a AS DOUBLE)"
+    "           - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE)))"
+    "         + ((CAST(s2b AS DOUBLE)"
+    "             - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE))))"
+    "        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))"
+)
+_CLIFFS_DELTA = (
+    "(CAST(two_u AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1.0)"
+)
+
+
+@query(
+    "stats_effect_sizes",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             (event_type = 'purchase') AS is_a
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), dom AS (
+      SELECT c,
+             CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (WHERE NOT is_a) AS BIGINT) AS c2
+      FROM g GROUP BY c
+    ), cum AS (
+      SELECT c, c1, c2, c1 + c2 AS t,
+             sum(c1 + c2) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_upto
+      FROM dom
+    ), mom AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+             sum(CAST(c1 AS DECIMAL(38,0)) * c) AS s1a,
+             sum(CAST(c2 AS DECIMAL(38,0)) * c) AS s1b,
+             sum(CAST(c1 AS DECIMAL(38,0)) * c * c) AS s2a,
+             sum(CAST(c2 AS DECIMAL(38,0)) * c * c) AS s2b,
+             sum(CAST(c1 AS DECIMAL(38,0))
+                 * (2 * (t_upto - t) + t + 1)) AS two_r1
+      FROM cum
+    ), fin AS (
+      SELECT n1, n2, s1a, s1b, s2a, s2b,
+             two_r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS two_u
+      FROM mom
+    )
+    SELECT n1, n2, {{d}} AS cohens_d, {{cd}} AS cliffs_delta
+    FROM fin
+    """.format(
+        d=_sql_round_ieee(_COHENS_D, 6), cd=_sql_round_ieee(_CLIFFS_DELTA, 6)
+    ),
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for the purchase-vs-click comparison: Cohen's d
+    (standardized mean difference, pooled SD) and Cliff's delta (the
+    ordinal effect 2U/(n₁n₂) − 1, readable directly off the
+    Mann-Whitney U) — the magnitude numbers that belong NEXT TO the
+    p-value-shaped tests (stats_welch_ttest / stats_mann_whitney_u
+    report significance; these report whether the difference matters).
+
+    Scale shape: ONE compressed-domain pass yields every carrier —
+    per-group cents moments for d AND the midrank sum for delta ride
+    the same (value, c1, c2) grid rows; both statistics are fixed IEEE
+    expressions of exact DECIMAL integers."""
+    from .prefix import attach_prefix_sums
+
+    g = (
+        spark.table("events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+            (F.col("event_type") == "purchase").alias("is_a"),
+        )
+    )
+    dom = g.groupBy("c").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("long").alias("c1"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("c2"),
+    )
+    cum = attach_prefix_sums(
+        dom.withColumn("t", F.col("c1") + F.col("c2")), ["c"], ["t"]
+    )
+    c1d = F.col("c1").cast("decimal(38,0)")
+    c2d = F.col("c2").cast("decimal(38,0)")
+    mom = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(c1d * F.col("c")).alias("s1a"),
+        F.sum(c2d * F.col("c")).alias("s1b"),
+        F.sum(c1d * F.col("c") * F.col("c")).alias("s2a"),
+        F.sum(c2d * F.col("c") * F.col("c")).alias("s2b"),
+        F.sum(
+            c1d * (2 * (F.col("t_upto") - F.col("t")) + F.col("t") + 1)
+        ).alias("two_r1"),
+    )
+    fin = mom.withColumn(
+        "two_u",
+        F.col("two_r1") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1),
+    )
+    return fin.select(
+        "n1",
+        "n2",
+        _round_ieee(F.expr(_COHENS_D), 6).alias("cohens_d"),
+        _round_ieee(F.expr(_CLIFFS_DELTA), 6).alias("cliffs_delta"),
+    )
+
+
+@query(
+    "ml_expected_calibration_error",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    mx AS (SELECT CAST(max(score) AS DOUBLE) AS smax FROM scored),
+    binned AS (
+      SELECT CAST(floor(least(CAST(score AS DOUBLE) / smax * 10.0, 9.0)) AS BIGINT)
+               AS bin,
+             CAST(score AS DOUBLE) / smax AS conf, y
+      FROM scored CROSS JOIN mx
+    ), bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+             sum(CAST({_sql_round_ieee("conf", 9)} AS DECIMAL(38,9)))
+               AS conf_sum
+      FROM binned GROUP BY bin
+    ), tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM bins),
+    terms AS (
+      SELECT CAST({_sql_round_ieee(
+          "(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))"
+          " * abs(CAST(n_pos AS DOUBLE) / CAST(n_b AS DOUBLE)"
+          "       - CAST(conf_sum AS DOUBLE) / CAST(n_b AS DOUBLE))", 9)}
+             AS DECIMAL(38,9)) AS term
+      FROM bins CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           CAST((SELECT count(*) FROM bins) AS BIGINT) AS n_bins,
+           {_sql_round_ieee("CAST(sum(term) AS DOUBLE)", 6)} AS ece
+    FROM terms
+    """,
+)
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error: confidence = score normalized onto
+    [0,1] by the corpus max, 10 equal-width bins, ECE =
+    Σ (n_b/N)·|accuracy_b − mean-confidence_b| — the one-number summary
+    of ml_calibration_bins' reliability table (an over/under-confident
+    scorer shows up here even when AUC looks fine).
+
+    Determinism: per-row confidences land on the 1e-9 grid before the
+    per-bin DECIMAL sums (exact, order-free); the per-bin |acc − conf|
+    terms ride the same grid-then-decimal contract as the MI/AP family;
+    binning compares identical IEEE doubles on both engines. One fact
+    pass + a 10-row reduction."""
+    scored = _scored(spark)
+    mx = scored.agg(F.max("score").cast("double").alias("smax"))
+    conf = F.col("score").cast("double") / F.col("smax")
+    binned = scored.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.least(conf * 10.0, F.lit(9.0))).cast("long").alias("bin"),
+        conf.alias("conf"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.count(F.when(F.col("y"), 1)).cast("long").alias("n_pos"),
+        F.sum(_round_ieee(F.col("conf"), 9).cast("decimal(38,9)")).alias(
+            "conf_sum"
+        ),
+    )
+    tot = bins.agg(F.sum("n_b").cast("long").alias("n"))
+    term = _round_ieee(
+        (F.col("n_b").cast("double") / F.col("n").cast("double"))
+        * F.abs(
+            F.col("n_pos").cast("double") / F.col("n_b").cast("double")
+            - F.col("conf_sum").cast("double") / F.col("n_b").cast("double")
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    nb = bins.agg(F.count("*").cast("long").alias("n_bins"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(term.alias("term"), "n")
+        .groupBy("n")
+        .agg(_round_ieee(F.sum("term").cast("double"), 6).alias("ece"))
+        .crossJoin(F.broadcast(nb))
+        .select("n", "n_bins", "ece")
+    )

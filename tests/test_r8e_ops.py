@@ -1433,3 +1433,58 @@ def test_snaive_backtest_matches_python_reference(spark):
     (r,) = QUERIES["ts_snaive_backtest"](spark, SF_SMALL).collect()
     assert (r.n_backtest_days, r.mae, r.mape_like) == (n, mae, mape)
     assert n >= 20
+
+
+def test_effect_sizes_match_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT), event_type"
+        " FROM events WHERE event_type IN ('purchase', 'click')",
+    )
+    a = [c for c, t in rows if t == "purchase"]
+    b = [c for c, t in rows if t == "click"]
+    n1, n2 = len(a), len(b)
+    s1a, s1b = sum(a), sum(b)
+    s2a, s2b = sum(c * c for c in a), sum(c * c for c in b)
+    d = (s1a / n1 - s1b / n2) / math.sqrt(
+        ((s2a - s1a * s1a / n1) + (s2b - s1b * s1b / n2)) / (n1 + n2 - 2)
+    )
+    # Cliff's delta brute force: P(a > b) - P(a < b)
+    from bisect import bisect_left, bisect_right
+
+    sb = sorted(b)
+    gt = sum(bisect_left(sb, x) for x in a)
+    lt = sum(len(sb) - bisect_right(sb, x) for x in a)
+    delta = (gt - lt) / (n1 * n2)
+    (r,) = QUERIES["stats_effect_sizes"](spark, SF_SMALL).collect()
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.cohens_d == _round_ieee_py(d)
+    assert abs(r.cliffs_delta - delta) < 1e-6
+    assert -1.0 <= r.cliffs_delta <= 1.0
+
+
+def test_ece_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT n_chars, (lang = 'en') FROM documents")
+    smax = max(s for s, _ in rows)
+    bins: dict[int, list] = {}
+    for s, y in rows:
+        conf = s / smax
+        b = int(math.floor(min(conf * 10.0, 9.0)))
+        st = bins.setdefault(b, [0, 0, 0])
+        st[0] += 1
+        st[1] += int(y)
+        st[2] += round(_round_ieee_py(conf, 9) * 1e9)
+    n = len(rows)
+    terms = []
+    for n_b, n_pos, conf_nanos in bins.values():
+        conf_mean = conf_nanos / 1e9 / n_b
+        terms.append(
+            round(
+                _round_ieee_py((n_b / n) * abs(n_pos / n_b - conf_mean), 9)
+                * 1e9
+            )
+        )
+    ece = _round_ieee_py(sum(terms) / 1e9)
+    (r,) = QUERIES["ml_expected_calibration_error"](spark, SF_SMALL).collect()
+    assert (r.n, r.n_bins, r.ece) == (n, len(bins), ece)
+    assert 0.0 <= r.ece <= 1.0

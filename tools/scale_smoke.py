@@ -247,6 +247,8 @@ HEADLINE = [
     "ts_peak_detection",
     "ts_snaive_backtest",
     "ann_ivf_exhaustive",
+    "stats_effect_sizes",
+    "ml_expected_calibration_error",
 ]
 
 
