@@ -92,8 +92,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ml_matthews_corrcoef, ts_control_chart_xmr, ts_peak_detection,
 #     ts_snaive_backtest, and ann_ivf_exhaustive (the value-exact
 #     exhaustive-probe IVF twin that retires the rows-only demerit on
-#     ann_ivf_topk's pipeline), stats_effect_sizes, and
-#     ml_expected_calibration_error
+#     ann_ivf_topk's pipeline), stats_effect_sizes,
+#     ml_expected_calibration_error, and dedup_keep_best_per_cluster
+#     (the 300th operator: the end-to-end dedup ACTION — pairs →
+#     components → keep-longest ledger, value-checked through the
+#     recursive-CTE closure)
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

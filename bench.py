@@ -231,6 +231,7 @@ HEADLINE = [
     "ann_ivf_exhaustive",
     "stats_effect_sizes",
     "ml_expected_calibration_error",
+    "dedup_keep_best_per_cluster",
 ]
 
 

@@ -1180,3 +1180,105 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "n_in_class", "n_selected", "id_checksum", "h_threshold")
         .orderBy("grp")
     )
+
+
+@query(
+    "dedup_keep_best_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+               ELSE [text] END)) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.doc, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comp AS (SELECT doc AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc),
+    labeled AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             (c.doc_id IS NOT NULL) AS in_cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rk
+      FROM labeled
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE in_cluster) AS BIGINT) AS n_in_clusters,
+           CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION, end-to-end: exact-Jaccard near-dup pairs →
+    connected components (star contraction) → keep exactly ONE document
+    per cluster, the longest (n_chars DESC, doc_id tiebreak), drop the
+    rest — reported as the per-source kept/dropped ledger a corpus
+    release ships with. Composes dedup_ngram_jaccard's prefix-filtered
+    pair generation and dedup_near_dup_clusters' O(log² n) contraction
+    into the operation a training pipeline actually executes.
+
+    Scale shape: pair generation and contraction as in the parent ops
+    (text never moves after pairs are built); the keep-best choice is a
+    partitioned rank over CLUSTER-sized groups (WindowGroupLimit-shaped
+    rk=1 filter), and the ledger is one source-bounded rollup. The
+    oracle replays the whole chain — recursive-CTE closure included —
+    so the final keep/drop decisions are value-checked end-to-end."""
+    d = spark.table("documents")
+    pairs = jaccard_pairs_exact(d, JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    comp = star_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    labeled = (
+        d.select("doc_id", "source", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            F.col("component").isNotNull().alias("in_cluster"),
+        )
+    )
+    wr = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = labeled.withColumn("rk", F.row_number().over(wr))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("in_cluster"), 1)).cast("long").alias("n_in_clusters"),
+            F.count(F.when(F.col("rk") == 1, 1)).cast("long").alias("n_kept"),
+            F.count(F.when(F.col("rk") > 1, 1)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

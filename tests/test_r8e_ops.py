@@ -1488,3 +1488,60 @@ def test_ece_matches_python_reference(spark):
     (r,) = QUERIES["ml_expected_calibration_error"](spark, SF_SMALL).collect()
     assert (r.n, r.n_bins, r.ece) == (n, len(bins), ece)
     assert 0.0 <= r.ece <= 1.0
+
+
+def test_keep_best_per_cluster_matches_python_reference(spark):
+    docs = _duck(SF_SMALL, "SELECT doc_id, source, n_chars, text FROM documents")
+
+    def shingles(text: str) -> frozenset:
+        ws = text.split(" ")
+        if len(ws) < 3:
+            return frozenset([text])
+        return frozenset(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+
+    sh = {d: shingles(t) for d, _, _, t in docs}
+    ids = sorted(sh)
+    # brute-force exact-Jaccard pairs (reference only; engines use
+    # prefix filtering / inverted index)
+    import itertools
+
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    in_cluster = set()
+    for a, b in itertools.combinations(ids, 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.6:
+            in_cluster |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    meta = {d: (src, nc) for d, src, nc, _ in docs}
+    clusters: dict = {}
+    for d in ids:
+        cid = find(d) if d in in_cluster else d
+        clusters.setdefault(cid, []).append(d)
+    ledger: dict = {}
+    for cid, members in clusters.items():
+        best = max(members, key=lambda x: (meta[x][1], -x))
+        for m in members:
+            src = meta[m][0]
+            row = ledger.setdefault(src, [0, 0, 0, 0])
+            row[0] += 1
+            row[1] += 1 if m in in_cluster else 0
+            if m == best:
+                row[2] += 1
+            else:
+                row[3] += 1
+    want = [(s, *ledger[s]) for s in sorted(ledger)]
+    got = [
+        (r.source, r.n_docs, r.n_in_clusters, r.n_kept, r.n_dropped)
+        for r in QUERIES["dedup_keep_best_per_cluster"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    assert sum(r[4] for r in want) > 0  # the action actually drops docs
