@@ -984,3 +984,88 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH firstv AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), firstp AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN firstv f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f.v_ts
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT CAST(date_diff('second', f.v_ts, p.p_ts) AS BIGINT) AS sec
+      FROM firstv f JOIN firstp p ON f.user_id = p.user_id
+    ), dom AS (
+      SELECT sec, CAST(count(*) AS BIGINT) AS cnt FROM lat GROUP BY sec
+    ), cum AS (
+      SELECT sec, cnt,
+             sum(cnt) OVER (ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM dom
+    ), n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dom)
+    SELECT (SELECT n FROM n) AS n_converters,
+           (SELECT min(sec) FROM cum WHERE c >= ((SELECT n FROM n) + 1) // 2)
+             AS p50_seconds,
+           (SELECT min(sec) FROM cum
+            WHERE c >= ((SELECT n FROM n) * 9 + 9) // 10) AS p90_seconds,
+           (SELECT min(sec) FROM cum) IS NOT NULL AS has_data
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, the latency from FIRST view to FIRST
+    subsequent purchase, summarized as exact p50/p90 — the funnel-speed
+    number next to events_funnel's conversion RATE (how many convert vs
+    how fast they do).
+
+    Scale shape: two keyed min-aggregates and one user-keyed join build
+    the latencies (facts touched twice, shuffled on user_id both
+    times); the quantiles are EXACT on the compressed latency-seconds
+    domain with a distributed prefix — the ⌈q·n⌉ cut is integer
+    cross-multiplied, never a float percentile."""
+    from .prefix import attach_prefix_sums
+
+    ev = spark.table("events")
+    firstv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firstv, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    lat = firstp.select(
+        (
+            F.col("p_ts").cast("timestamp").cast("long")
+            - F.col("v_ts").cast("timestamp").cast("long")
+        ).alias("sec")
+    )
+    dom = lat.groupBy("sec").agg(F.count("*").cast("long").alias("cnt"))
+    cum = attach_prefix_sums(dom, ["sec"], ["cnt"])
+    nn = dom.agg(F.sum("cnt").cast("long").alias("n"))
+    j = cum.crossJoin(F.broadcast(nn))
+    p50 = j.filter(F.col("cnt_upto") >= F.expr("(n + 1) div 2")).agg(
+        F.min("sec").alias("p50_seconds")
+    )
+    p90 = j.filter(F.col("cnt_upto") >= F.expr("(n * 9 + 9) div 10")).agg(
+        F.min("sec").alias("p90_seconds")
+    )
+    return (
+        nn.select(F.col("n").alias("n_converters"))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_converters",
+            "p50_seconds",
+            "p90_seconds",
+            F.col("p50_seconds").isNotNull().alias("has_data"),
+        )
+    )

@@ -1545,3 +1545,36 @@ def test_keep_best_per_cluster_matches_python_reference(spark):
     ]
     assert got == want
     assert sum(r[4] for r in want) > 0  # the action actually drops docs
+
+
+def test_time_to_convert_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL, "SELECT user_id, event_type, ts FROM events ORDER BY ts"
+    )
+    firstv: dict = {}
+    firstp: dict = {}
+    for u, et, ts in rows:
+        if et == "view" and u not in firstv:
+            firstv[u] = ts
+        if et == "purchase" and u in firstv and ts >= firstv[u] and u not in firstp:
+            firstp[u] = ts
+    # engines count SECOND BOUNDARIES (each timestamp floors to its
+    # second before differencing) — truncate per-timestamp, not the diff
+    lats = sorted(
+        int(
+            (
+                firstp[u].replace(microsecond=0)
+                - firstv[u].replace(microsecond=0)
+            ).total_seconds()
+        )
+        for u in firstp
+    )
+    n = len(lats)
+    p50 = lats[(n + 1) // 2 - 1]
+    p90 = lats[(n * 9 + 9) // 10 - 1]
+    (r,) = QUERIES["events_time_to_convert"](spark, SF_SMALL).collect()
+    assert (r.n_converters, r.p50_seconds, r.p90_seconds, r.has_data) == (
+        n, p50, p90, True,
+    )
+    # sf0.001 has ~15 view→purchase converters; ~10x more at sf0.01
+    assert n >= 10 and p50 < p90

@@ -250,6 +250,7 @@ HEADLINE = [
     "stats_effect_sizes",
     "ml_expected_calibration_error",
     "dedup_keep_best_per_cluster",
+    "events_time_to_convert",
 ]
 
 
