@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import davg, sql_davg
+from .num import davg, sql_davg, _round_ieee, _sql_round_ieee
 from .registry import query
 
 TOP_K = 10
@@ -1460,4 +1460,92 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= _BHAM_K)
         .select("q_id", "neighbor_id", "hamming", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "vectors_cosine_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm,
+             substr(sha256(CAST(vec_id AS VARCHAR)), 1, 2) AS bkt
+      FROM embeddings
+    ), pairs AS (
+      SELECT list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
+               / (a.nrm * b.nrm) AS cosine
+      FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ), binned AS (
+      SELECT CAST(floor(least(greatest((cosine + 1.0) * 10.0, 0.0), 19.0))
+               AS BIGINT) AS bin,
+             CAST({_sql_round_ieee("cosine", 9)} AS DECIMAL(38,9)) AS cg
+      FROM pairs
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs_total,
+             {_sql_round_ieee("CAST(sum(cg) AS DOUBLE) / count(*)", 6)}
+               AS mean_cosine
+      FROM binned
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           (SELECT n_pairs_total FROM tot) AS n_pairs_total,
+           (SELECT mean_cosine FROM tot) AS mean_cosine
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def vectors_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine HISTOGRAM over a deterministic hash-bucketed pair
+    sample — the embedding-collapse diagnostic: a healthy space shows a
+    broad distribution centered near 0; anisotropy/collapse shows up as
+    mass piled at high cosine (the condition vectors_abtt_postprocess
+    exists to fix, here made measurable).
+
+    Scale shape: pairs form ONLY inside 256 sha-prefix buckets —
+    n²/256 sampled pairs via one equi-join (never all-pairs); at larger
+    corpora widen the bucket count ∝ n to keep the sample linear (the
+    occupancy-bound discipline from semantic dedup). Cosines grid-round
+    at 1e-9 into exact decimal sums for the mean; bin edges are floor()
+    on identical IEEE doubles (the ECE cast lesson applied)."""
+    v = (
+        spark.table("embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+        .withColumn(
+            "bkt", F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 2)
+        )
+    )
+    b = v.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bkt",
+    )
+    pairs = (
+        v.join(b, "bkt")
+        .filter(F.col("vec_id") < F.col("vid_b"))
+        .select(
+            (
+                _dot(F.col("vec"), F.col("vec_b"))
+                / (F.col("nrm") * F.col("nrm_b"))
+            ).alias("cosine")
+        )
+    )
+    binned = pairs.select(
+        F.floor(
+            F.least(F.greatest((F.col("cosine") + 1.0) * 10.0, F.lit(0.0)), F.lit(19.0))
+        )
+        .cast("long")
+        .alias("bin"),
+        _round_ieee(F.col("cosine"), 9).cast("decimal(38,9)").alias("cg"),
+    )
+    tot = binned.agg(
+        F.count("*").cast("long").alias("n_pairs_total"),
+        _round_ieee(
+            F.sum("cg").cast("double") / F.count("*"), 6
+        ).alias("mean_cosine"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select("bin", "n_pairs", "n_pairs_total", "mean_cosine")
+        .orderBy("bin")
     )

@@ -1578,3 +1578,42 @@ def test_time_to_convert_matches_python_reference(spark):
     )
     # sf0.001 has ~15 view→purchase converters; ~10x more at sf0.01
     assert n >= 10 and p50 < p90
+
+
+def test_cosine_histogram_matches_python_reference(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in rows
+    }
+    import itertools
+
+    def bucket(vid: int) -> str:
+        return hashlib.sha256(str(vid).encode()).hexdigest()[:2]
+
+    by: dict[str, list[int]] = {}
+    for vid in vecs:
+        by.setdefault(bucket(vid), []).append(vid)
+    bins: Counter = Counter()
+    micros = []
+    for members in by.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            va, vb = vecs[a], vecs[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            c = dot / (na * nb)
+            bins[int(math.floor(min(max((c + 1.0) * 10.0, 0.0), 19.0)))] += 1
+            micros.append(round(_round_ieee_py(c, 9) * 1e9))
+    n = len(micros)
+    mean = _round_ieee_py(sum(micros) / 1e9 / n)
+    got = [
+        (r.bin, r.n_pairs, r.n_pairs_total, r.mean_cosine)
+        for r in QUERIES["vectors_cosine_histogram"](spark, SF_SMALL).collect()
+    ]
+    assert got == [(b, bins[b], n, mean) for b in sorted(bins)]
+    assert n > 50  # the bucket sample is non-trivial

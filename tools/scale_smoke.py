@@ -251,6 +251,7 @@ HEADLINE = [
     "ml_expected_calibration_error",
     "dedup_keep_best_per_cluster",
     "events_time_to_convert",
+    "vectors_cosine_histogram",
 ]
 
 
