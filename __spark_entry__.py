@@ -96,8 +96,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ml_expected_calibration_error, and dedup_keep_best_per_cluster
 #     (the 300th operator: the end-to-end dedup ACTION — pairs →
 #     components → keep-longest ledger, value-checked through the
-#     recursive-CTE closure), events_time_to_convert, and
-#     vectors_cosine_histogram
+#     recursive-CTE closure), events_time_to_convert,
+#     vectors_cosine_histogram, and ml_brier_score
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

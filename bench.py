@@ -234,6 +234,7 @@ HEADLINE = [
     "dedup_keep_best_per_cluster",
     "events_time_to_convert",
     "vectors_cosine_histogram",
+    "ml_brier_score",
 ]
 
 

@@ -5208,3 +5208,74 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(nb))
         .select("n", "n_bins", "ece")
     )
+
+
+@query(
+    "ml_brier_score",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    mx AS (SELECT CAST(max(score) AS DOUBLE) AS smax FROM scored),
+    terms AS (
+      SELECT CAST({_sql_round_ieee(
+          "(CAST(score AS DOUBLE) / smax"
+          " - CASE WHEN y THEN 1.0 ELSE 0.0 END)"
+          " * (CAST(score AS DOUBLE) / smax"
+          "    - CASE WHEN y THEN 1.0 ELSE 0.0 END)", 9)}
+             AS DECIMAL(38,9)) AS t,
+             CASE WHEN y THEN 1 ELSE 0 END AS yi
+      FROM scored CROSS JOIN mx
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(yi) AS BIGINT) AS np,
+             sum(t) AS ts_
+      FROM terms
+    )
+    SELECT n,
+           {_sql_round_ieee(
+               "CAST(ts_ AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS brier,
+           {_sql_round_ieee(
+               "(CAST(np AS DOUBLE) / CAST(n AS DOUBLE))"
+               " * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))", 6)}
+             AS brier_climatology,
+           {_sql_round_ieee(
+               "1.0 - (CAST(ts_ AS DOUBLE) / CAST(n AS DOUBLE))"
+               " / ((CAST(np AS DOUBLE) / CAST(n AS DOUBLE))"
+               "    * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)))", 6)}
+             AS brier_skill
+    FROM mom
+    """,
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the max-normalized confidence against the truth,
+    with the climatology reference ȳ(1−ȳ) and the skill score
+    1 − BS/BS_ref — the PROPER scoring rule completing the probability-
+    quality trio (ml_calibration_bins shows WHERE miscalibration lives,
+    ml_expected_calibration_error sizes it, Brier also penalizes
+    resolution loss; skill < 0 means the scorer is worse than always
+    predicting the base rate).
+
+    Scale shape: one map pass, per-row squared-error terms on the 1e-9
+    grid summed in DECIMAL (order-free); base rate from exact integer
+    counts; all three outputs are fixed IEEE expressions."""
+    scored = _scored(spark)
+    mx = scored.agg(F.max("score").cast("double").alias("smax"))
+    conf = F.col("score").cast("double") / F.col("smax")
+    yv = F.when(F.col("y"), F.lit(1.0)).otherwise(F.lit(0.0))
+    terms = scored.crossJoin(F.broadcast(mx)).select(
+        _round_ieee((conf - yv) * (conf - yv), 9)
+        .cast("decimal(38,9)")
+        .alias("t"),
+        F.when(F.col("y"), 1).otherwise(0).alias("yi"),
+    )
+    mom = terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yi").cast("long").alias("np"),
+        F.sum("t").alias("ts_"),
+    )
+    base = F.col("np").cast("double") / F.col("n").cast("double")
+    bs = F.col("ts_").cast("double") / F.col("n").cast("double")
+    return mom.select(
+        "n",
+        _round_ieee(bs, 6).alias("brier"),
+        _round_ieee(base * (1.0 - base), 6).alias("brier_climatology"),
+        _round_ieee(1.0 - bs / (base * (1.0 - base)), 6).alias("brier_skill"),
+    )

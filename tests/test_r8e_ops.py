@@ -1617,3 +1617,21 @@ def test_cosine_histogram_matches_python_reference(spark):
     ]
     assert got == [(b, bins[b], n, mean) for b in sorted(bins)]
     assert n > 50  # the bucket sample is non-trivial
+
+
+def test_brier_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT n_chars, (lang = 'en') FROM documents")
+    smax = max(s for s, _ in rows)
+    n = len(rows)
+    np_ = sum(1 for _, y in rows if y)
+    ts = sum(
+        round(_round_ieee_py((s / smax - (1.0 if y else 0.0)) ** 2, 9) * 1e9)
+        for s, y in rows
+    )
+    bs = ts / 1e9 / n
+    base = np_ / n
+    (r,) = QUERIES["ml_brier_score"](spark, SF_SMALL).collect()
+    assert r.n == n
+    assert r.brier == _round_ieee_py(bs)
+    assert r.brier_climatology == _round_ieee_py(base * (1 - base))
+    assert r.brier_skill == _round_ieee_py(1.0 - bs / (base * (1 - base)))
