@@ -235,6 +235,7 @@ HEADLINE = [
     "events_time_to_convert",
     "vectors_cosine_histogram",
     "ml_brier_score",
+    "sample_negative_table",
 ]
 
 

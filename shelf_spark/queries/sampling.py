@@ -1282,3 +1282,71 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_negative_table",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), powed AS (
+      SELECT w, c,
+             CAST({_sql_round_ieee("pow(CAST(c AS DOUBLE), 0.75)", 6)}
+                  * 1000000.0 AS DECIMAL(38,0)) AS micro
+      FROM vocab
+    ), cum AS (
+      SELECT w, c, micro,
+             sum(micro) OVER (ORDER BY w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM powed
+    ), tot AS (SELECT sum(micro) AS t FROM powed)
+    SELECT w AS word, c AS n_occurrences,
+           CAST(hi - micro AS BIGINT) AS range_lo,
+           CAST(hi AS BIGINT) AS range_hi,
+           {_sql_round_ieee(
+               "CAST(micro AS DOUBLE) / CAST(t AS DOUBLE)", 9)} AS p_negative
+    FROM cum CROSS JOIN tot
+    ORDER BY word
+    """,
+)
+def sample_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: P(w) ∝ count(w)^0.75,
+    materialized as CONSECUTIVE integer ranges [lo, hi) over the vocab
+    — the artifact a trainer consumes (draw u uniform in [0, total),
+    binary-search the range) to sample negatives without ever touching
+    the corpus again.
+
+    Determinism: each word's unnormalized mass is pow(c, 0.75) rounded
+    onto the 1e-6 grid and carried as an exact DECIMAL micro-integer,
+    so the cumulative range ENDPOINTS are exact integers assembled by a
+    distributed prefix over the word-ordered vocab domain — identical
+    on both engines down to the last unit. One corpus pass + one
+    vocab-sized prefix."""
+    from .prefix import attach_prefix_sums
+
+    tok = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    powed = vocab.withColumn(
+        "micro",
+        (_round_ieee(F.pow(F.col("c").cast("double"), 0.75), 6) * 1000000.0)
+        .cast("decimal(38,0)"),
+    )
+    cum = attach_prefix_sums(powed, ["w"], ["micro"])
+    tot = powed.agg(F.sum("micro").alias("t"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").alias("n_occurrences"),
+            (F.col("micro_upto") - F.col("micro")).cast("long").alias("range_lo"),
+            F.col("micro_upto").cast("long").alias("range_hi"),
+            _round_ieee(
+                F.col("micro").cast("double") / F.col("t").cast("double"), 9
+            ).alias("p_negative"),
+        )
+        .orderBy("word")
+    )

@@ -1635,3 +1635,30 @@ def test_brier_matches_python_reference(spark):
     assert r.brier == _round_ieee_py(bs)
     assert r.brier_climatology == _round_ieee_py(base * (1 - base))
     assert r.brier_skill == _round_ieee_py(1.0 - bs / (base * (1 - base)))
+
+
+def test_negative_table_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT text FROM documents")
+    vocab: Counter = Counter()
+    for (t,) in rows:
+        vocab.update(t.split(" "))
+    micros = {
+        w: round(_round_ieee_py(c**0.75) * 1e6) for w, c in vocab.items()
+    }
+    total = sum(micros.values())
+    want, cum = [], 0
+    for w in sorted(vocab):
+        m = micros[w]
+        want.append(
+            (w, vocab[w], cum, cum + m, _round_ieee_py(m / total, 9))
+        )
+        cum += m
+    got = [
+        (r.word, r.n_occurrences, r.range_lo, r.range_hi, r.p_negative)
+        for r in QUERIES["sample_negative_table"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # ranges tile [0, total) exactly with no gaps
+    assert want[-1][3] == total
+    for (_, _, _, hi, _), (_, _, lo2, _, _) in zip(want, want[1:]):
+        assert hi == lo2
