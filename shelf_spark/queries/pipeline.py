@@ -2098,3 +2098,87 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH red AS (
+      SELECT doc_id, source, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g'),
+                 '{_LONG_DIGITS_RE}', '<NUM>', 'g'),
+               '{_DENYLIST_RE}', '<TERM>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE redacted <> text) AS BIGINT)
+             AS n_docs_redacted,
+           CAST(sum(len(text) - len(redacted)
+                    + 7 * len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                    + 4 * len(regexp_extract_all(text, '{_IPV4_RE}'))
+                    + 5 * len(regexp_extract_all(text, '{_LONG_DIGITS_RE}'))
+                    + 6 * len(regexp_extract_all(text, '{_DENYLIST_RE}')))
+               AS BIGINT) AS n_chars_removed,
+           CAST(sum(len(redacted)) AS BIGINT) AS chars_after
+    FROM red GROUP BY source ORDER BY source
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the action after text_pii_scan's detection:
+    emails → <EMAIL>, IPv4 → <IP>, long digit runs → <NUM>, deny-list
+    terms → <TERM>, reported as
+    the per-source redaction ledger (docs touched, original characters
+    removed, corpus size after). Patterns stay inside the RE2 ∩ Java
+    common dialect (no lookarounds), so both engines rewrite the same
+    spans; the chars-removed accounting adds back the placeholder
+    lengths so it counts ORIGINAL text excised, not net length drift.
+
+    Scale shape: three chained JVM-side regexp_replace passes — map-
+    only, whole-stage-codegen, pipelines with the scan — plus one
+    source-bounded rollup. The synthetic corpus has no real PII (the
+    scan op documents this), so the DENY-LIST class — which the corpus
+    does contain — keeps the rewrite path NON-VACUOUS (the join_anti
+    0-vs-0 lesson applied at birth): the ledger reports real
+    replacements while the email/IP/digit classes pin the shape."""
+    d = spark.table("documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                _IPV4_RE,
+                "<IP>",
+            ),
+            _LONG_DIGITS_RE,
+            "<NUM>",
+        ),
+        _DENYLIST_RE,
+        "<TERM>",
+    )
+    red = d.select("doc_id", "source", "text", redacted.alias("redacted"))
+    removed = (
+        F.length("text")
+        - F.length("redacted")
+        + 7 * F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+        + 4 * F.size(F.regexp_extract_all(F.col("text"), F.lit(_IPV4_RE), 0))
+        + 5
+        * F.size(F.regexp_extract_all(F.col("text"), F.lit(_LONG_DIGITS_RE), 0))
+        + 6
+        * F.size(F.regexp_extract_all(F.col("text"), F.lit(_DENYLIST_RE), 0))
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("redacted") != F.col("text"), 1))
+            .cast("long")
+            .alias("n_docs_redacted"),
+            F.sum(removed).cast("long").alias("n_chars_removed"),
+            F.sum(F.length("redacted")).cast("long").alias("chars_after"),
+        )
+        .orderBy("source")
+    )

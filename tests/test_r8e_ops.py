@@ -1662,3 +1662,36 @@ def test_negative_table_matches_python_reference(spark):
     assert want[-1][3] == total
     for (_, _, _, hi, _), (_, _, lo2, _, _) in zip(want, want[1:]):
         assert hi == lo2
+
+
+def test_pii_redact_matches_python_reference(spark):
+    import re
+
+    rows = _duck(SF_SMALL, "SELECT doc_id, source, text FROM documents")
+    pats = [
+        (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
+        (re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"), "<IP>"),
+        (re.compile(r"[0-9]{6,}"), "<NUM>"),
+        (re.compile(r"\b(key|hash)\b"), "<TERM>"),
+    ]
+    ledger: dict = {}
+    for _, src, text in rows:
+        red = text
+        for p, repl in pats:
+            red = p.sub(repl, red)
+        removed = len(text) - len(red)
+        for p, repl in pats:
+            removed += len(repl) * len(p.findall(text))
+        row = ledger.setdefault(src, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if red != text else 0
+        row[2] += removed
+        row[3] += len(red)
+    want = [(s, *ledger[s]) for s in sorted(ledger)]
+    got = [
+        (r.source, r.n_docs, r.n_docs_redacted, r.n_chars_removed, r.chars_after)
+        for r in QUERIES["text_pii_redact"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # non-vacuous: the deny-list class genuinely rewrites documents
+    assert sum(r[2] for r in want) > 0

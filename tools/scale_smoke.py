@@ -254,6 +254,7 @@ HEADLINE = [
     "vectors_cosine_histogram",
     "ml_brier_score",
     "sample_negative_table",
+    "text_pii_redact",
 ]
 
 
