@@ -237,6 +237,9 @@ HEADLINE = [
     "ml_brier_score",
     "sample_negative_table",
     "text_pii_redact",
+    "stats_kendall_tau",
+    "ts_mann_kendall",
+    "ts_acf",
 ]
 
 

@@ -5279,3 +5279,311 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_ieee(base * (1.0 - base), 6).alias("brier_climatology"),
         _round_ieee(1.0 - bs / (base * (1.0 - base)), 6).alias("brier_skill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (rank-correlation family completion)
+# ---------------------------------------------------------------------------
+
+#: tau-b from exact pair counts: 2(C-D)/sqrt((n(n-1)-u1)(n(n-1)-u2)) — the
+#: /2 in n0/n1/n2 cancels by doubling numerator and denominator, keeping
+#: every intermediate an exact integer until this one shared IEEE
+#: expression.
+_KENDALL_TAU = (
+    "(2.0 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    "         - CAST(u1 AS DOUBLE))"
+    "        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    "           - CAST(u2 AS DOUBLE))))"
+)
+
+
+@query(
+    "stats_kendall_tau",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS y
+      FROM lineitem
+    ), cells AS (
+      SELECT x, y, CAST(count(*) AS DECIMAL(19,0)) AS cn FROM f GROUP BY x, y
+    ), cd AS (
+      SELECT CAST(sum(CASE WHEN a.y < b.y THEN a.cn * b.cn END)
+                  AS DECIMAL(38,0)) AS conc,
+             CAST(sum(CASE WHEN a.y > b.y THEN a.cn * b.cn END)
+                  AS DECIMAL(38,0)) AS disc
+      FROM cells a JOIN cells b ON a.x < b.x
+    ), mx AS (
+      SELECT CAST(sum(t * (t - 1)) AS DECIMAL(38,0)) AS u1
+      FROM (SELECT CAST(sum(cn) AS DECIMAL(19,0)) AS t FROM cells GROUP BY x)
+    ), my AS (
+      SELECT CAST(sum(t * (t - 1)) AS DECIMAL(38,0)) AS u2
+      FROM (SELECT CAST(sum(cn) AS DECIMAL(19,0)) AS t FROM cells GROUP BY y)
+    ), tot AS (SELECT CAST(sum(cn) AS DECIMAL(19,0)) AS n FROM cells)
+    SELECT CAST(n AS BIGINT) AS n, conc, disc,
+           {_sql_round_ieee(_KENDALL_TAU, 6)} AS tau_b
+    FROM cd, mx, my, tot
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between line-item quantity and extended price —
+    the concordant/discordant-pair rank correlation completing the rank
+    family (stats_spearman_rho's midrank Pearson measures monotone
+    association by ranks; tau-b measures it by pair orderings, with the
+    tie-correct denominator).
+
+    Scale shape: the O(n²) pair count collapses onto the BOUNDED joint
+    grid (50 quantity cells × ~110 coarse price cells): one fact-table
+    groupBy compresses n rows to ≤5.5k cells, and the pair pass is a
+    broadcast non-equi self-join of that grid — constant work at any
+    corpus size. Tie terms u1/u2 come from the grid's marginals. Cell
+    counts carry as DECIMAL(19,0) so pair products land exactly in
+    DECIMAL(38,0) (headroom: C ≤ n² needs n < 10¹⁹); tau-b is ONE shared
+    IEEE expression over the five exact integer moments."""
+    f = spark.table("lineitem").select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("y"),
+    )
+    cells = (
+        f.groupBy("x", "y")
+        .agg(F.count("*").cast("decimal(19,0)").alias("cn"))
+        .localCheckpoint()  # grid relation, consumed by 4 passes below
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("cn").alias("na")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("cn").alias("nb")
+    )
+    cd = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).agg(
+        F.sum(F.when(F.col("ya") < F.col("yb"), F.col("na") * F.col("nb")))
+        .cast("decimal(38,0)")
+        .alias("conc"),
+        F.sum(F.when(F.col("ya") > F.col("yb"), F.col("na") * F.col("nb")))
+        .cast("decimal(38,0)")
+        .alias("disc"),
+    )
+    u1 = (
+        cells.groupBy("x")
+        .agg(F.sum("cn").cast("decimal(19,0)").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("decimal(38,0)").alias("u1"))
+    )
+    u2 = (
+        cells.groupBy("y")
+        .agg(F.sum("cn").cast("decimal(19,0)").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("decimal(38,0)").alias("u2"))
+    )
+    tot = cells.agg(F.sum("cn").cast("decimal(19,0)").alias("n"))
+    return (
+        cd.crossJoin(F.broadcast(u1))
+        .crossJoin(F.broadcast(u2))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "conc",
+            "disc",
+            _round_ieee(F.expr(_KENDALL_TAU), 6).alias("tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (Theil-Sen's significance companion)
+# ---------------------------------------------------------------------------
+
+#: Continuity-corrected Z from the exact S statistic and tie-corrected
+#: variance — one shared IEEE expression on both engines.
+_MK_Z = (
+    "(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)"
+    "      WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)"
+    "      ELSE 0.0 END"
+    " / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    "         * (2.0 * CAST(n AS DOUBLE) + 5.0)"
+    "         - CAST(u AS DOUBLE)) / 18.0))"
+)
+
+
+@query(
+    "ts_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(18,0)) AS rev
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.day < b.day
+    ), ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS u
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev)
+      WHERE t > 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n, s_stat,
+           {_sql_round_ieee(_MK_Z, 6)} AS z_stat
+    FROM s, ties, tot
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily revenue series —
+    S = Σ_{{i<j}} sign(x_j − x_i) with the tie-corrected variance and
+    continuity-corrected Z. The significance companion to
+    ts_theil_sen_trend's slope: Theil-Sen says HOW steep, Mann-Kendall
+    says whether the trend is distinguishable from noise at all.
+
+    Scale shape: facts compress onto the TIME-BOUNDED day domain in one
+    aggregate (revenue as exact integer cents — sign comparisons are
+    integer-exact, no float ties); the O(days²) sign-pair pass is a
+    broadcast non-equi self-join of that ~2.4k-row domain (a 10-year
+    corpus is ~6.6M pairs — constant in corpus size, linear in years).
+    Tie groups come from one more domain-sized aggregate; Z is ONE
+    shared IEEE expression over (n, S, u)."""
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("decimal(18,0)")
+            .alias("rev")
+        )
+        .localCheckpoint()  # day-domain relation, consumed by 3 passes
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    s = a.join(F.broadcast(b), F.col("day_a") < F.col("day_b")).agg(
+        F.sum(
+            F.when(F.col("rev_b") > F.col("rev_a"), 1)
+            .when(F.col("rev_b") < F.col("rev_a"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("u")
+        )
+    )
+    tot = daily.agg(F.count("*").cast("long").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tot))
+        .select("n", "s_stat", _round_ieee(F.expr(_MK_Z), 6).alias("z_stat"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function (ACF) of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 7, 14)
+
+#: r_k with the FIXED full-series mean/variance (the statistical ACF, not
+#: per-lag Pearson — ts_cross_correlation already covers that shape):
+#: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², expanded so every moment is an
+#: exact integer and only this one shared expression runs in IEEE:
+#: num·n² = n²·P_k − n·S·(H_k+T_k) + (n−k)·S², den·n² = n²·Q − n·S².
+_ACF_R = (
+    "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(pk AS DOUBLE)"
+    "  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)"
+    "    * (CAST(hk AS DOUBLE) + CAST(tk AS DOUBLE))"
+    "  + (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))"
+    "    * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+    "    - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))"
+)
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(19,0)) AS rev
+      FROM orders GROUP BY 1
+    ), gmom AS (
+      SELECT CAST(count(*) AS DECIMAL(19,0)) AS n,
+             CAST(sum(rev) AS DECIMAL(38,0)) AS s,
+             CAST(sum(rev * rev) AS DECIMAL(38,0)) AS q
+      FROM daily
+    ), lagged AS (
+      SELECT l.lag,
+             CAST(sum(a.rev * b.rev) AS DECIMAL(38,0)) AS pk,
+             CAST(sum(a.rev) AS DECIMAL(38,0)) AS hk,
+             CAST(sum(b.rev) AS DECIMAL(38,0)) AS tk,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM (SELECT unnest(ARRAY{list(_ACF_LAGS)}) AS lag) l
+        JOIN daily a ON true
+        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_terms,
+           {_sql_round_ieee(_ACF_R, 6)} AS acf
+    FROM lagged, gmom ORDER BY lag
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelogram of daily revenue at lags {{1,2,3,7,14}} — the
+    canonical seasonality/persistence diagnostic (the weekly lag-7 spike
+    is what ts_seasonal_decompose assumes; this measures it). Uses the
+    statistical ACF normalization — FIXED full-series mean and variance —
+    which ts_cross_correlation's per-lag Pearson deliberately does not.
+
+    Scale shape: one fact aggregate onto the time-bounded day domain
+    (revenue as exact integer cents); the lag self-join runs on that
+    (days × lags)-sized relation. The mean-centered form is expanded so
+    P_k, H_k, T_k, S, Q are exact DECIMAL(38,0) moments (headroom: n·X²
+    at 100 TB daily cents ~2.5e15 → n²·P ~1e41 would overflow, so the
+    n² scaling happens in the final shared IEEE expression, never in
+    decimal); r_k is that ONE expression on both engines."""
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("decimal(19,0)")
+            .alias("rev")
+        )
+        .localCheckpoint()  # day domain, consumed by glob + both join sides
+    )
+    glob = daily.agg(
+        F.count("*").cast("decimal(19,0)").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).cast("decimal(38,0)").alias("q"),
+    )
+    lags = spark.createDataFrame([(int(l),) for l in _ACF_LAGS], "lag int")
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.expr("date_add(day_a, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("rev_a") * F.col("rev_b"))
+            .cast("decimal(38,0)")
+            .alias("pk"),
+            F.sum("rev_a").cast("decimal(38,0)").alias("hk"),
+            F.sum("rev_b").cast("decimal(38,0)").alias("tk"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        lagged.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_terms",
+            _round_ieee(F.expr(_ACF_R), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
