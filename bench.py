@@ -240,6 +240,9 @@ HEADLINE = [
     "stats_kendall_tau",
     "ts_mann_kendall",
     "ts_acf",
+    "events_concurrent_sessions",
+    "set_union_by_name",
+    "text_phrase_search",
 ]
 
 

@@ -1069,3 +1069,101 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p50_seconds").isNotNull().alias("has_data"),
         )
     )
+
+
+@query(
+    "events_concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ), bounds AS (
+      SELECT ts, k, CAST(sum(d) AS BIGINT) AS delta
+      FROM (
+        SELECT s_start AS ts, 0 AS k, 1 AS d FROM sessions
+        UNION ALL
+        SELECT s_end AS ts, 1 AS k, -1 AS d FROM sessions
+      ) GROUP BY ts, k
+    ), running AS (
+      SELECT ts, k, delta,
+             CAST(sum(delta) OVER (ORDER BY ts, k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS conc
+      FROM bounds
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent,
+           CAST(sum(CASE WHEN k = 0 THEN delta ELSE 0 END) AS BIGINT)
+             AS n_session_starts
+    FROM running GROUP BY 1
+    """,
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning sweep
+    line. Sessionize (events_sessionize's 30-min gap), emit +1/-1
+    boundary deltas at session start/end, take a GLOBAL running sum over
+    (ts, kind) and the per-day max. Tie semantics: starts (k=0) order
+    before ends (k=1) at the same timestamp, so a 1-event session peaks
+    at 1 and end-meets-start counts as overlapping (inclusive ends).
+    Peaks are observed AT boundary events — a day whose true peak is
+    pure carry-over from the previous day reports its boundary-time max
+    (documented, mirrored exactly by the oracle).
+
+    Scale shape: sessionization is the standard one-shuffle
+    gaps-and-islands; boundaries collapse by (ts, kind) onto a
+    ~2·sessions-sized relation, and the global running concurrency uses
+    the DISTRIBUTED prefix-sum helper (range-repartition + per-partition
+    offsets) — no single-task window anywhere. The per-day max is one
+    more bounded-domain aggregate."""
+    from .prefix import attach_prefix_sums
+
+    e = spark.table("events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    gap = (
+        F.col("ts").cast("timestamp").cast("double")
+        - prev_ts.cast("timestamp").cast("double")
+    )
+    numbered = e.withColumn(
+        "is_new", F.when(prev_ts.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("is_new").over(w_run).cast("long"))
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    bounds = (
+        sessions.select(
+            F.col("s_start").alias("ts"), F.lit(0).alias("k"), F.lit(1).alias("d")
+        )
+        .unionAll(
+            sessions.select(
+                F.col("s_end").alias("ts"), F.lit(1).alias("k"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("ts", "k")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    running = attach_prefix_sums(bounds, ["ts", "k"], ["delta"])
+    return (
+        running.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.max("delta_upto").cast("long").alias("peak_concurrent"),
+            F.sum(F.when(F.col("k") == 0, F.col("delta")).otherwise(0))
+            .cast("long")
+            .alias("n_session_starts"),
+        )
+    )

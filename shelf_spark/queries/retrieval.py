@@ -685,3 +685,65 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+#: Phrase-query terms: a bigram guaranteed present in the synthetic
+#: vocabulary at every SF (non-vacuity: the join_anti 0-vs-0 lesson).
+_PHRASE = ("order", "fast")
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), pos AS (
+      SELECT doc_id, gs.i AS p, l[gs.i] AS term
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) gs
+      WHERE l[gs.i] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(a.p) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: find every document containing the
+    exact phrase "{' '.join(_PHRASE)}" with its occurrence count and
+    first position — the adjacency-join primitive under every
+    phrase/proximity query (text_inverted_index stores postings; this is
+    the query side that needs POSITIONS, not just doc lists).
+
+    Scale shape: the posting build is a map-only posexplode that filters
+    to the two query terms BEFORE any shuffle — the adjacency join moves
+    only the query terms' postings (term-selectivity pushdown, the
+    inverted-index contract), never the full position lists. One hash
+    shuffle on doc_id for the self-join + one for the per-doc rollup;
+    overlapping matches are counted naturally (each qualifying position
+    pair is one row)."""
+    toks = spark.table("documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    )
+    pos = toks.select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "term"
+    ).where(F.col("term").isin(*_PHRASE))
+    a = pos.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.where(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_b") == F.col("doc_id")) & (F.col("pb") == F.col("pa") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("pa").cast("long").alias("first_pos"),
+        )
+    )

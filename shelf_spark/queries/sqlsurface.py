@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .num import _round_ieee, _sql_round_ieee
+from .num import _round_ieee, _sql_round_ieee, sql_dsum_i
 from .registry import query
 
 
@@ -252,3 +252,53 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplicities survive — a guaranteed non-vacuous result (the
     # join_anti 0-vs-0 lesson applied at birth).
     return late.exceptAll(early)
+
+
+@query(
+    "set_union_by_name",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderpriority, o_totalprice, o_custkey, o_orderkey
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT count(*) AS n_rows,
+           count(o_orderpriority) AS n_with_priority,
+           count(*) - count(o_orderpriority) AS n_null_padded,
+           count(DISTINCT o_custkey) AS n_custkeys,
+           {sql_dsum_i("o_totalprice", 2)} AS total_price
+    FROM u
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshots of the same logical table
+    whose column ORDER differs and one of which grew an extra column —
+    aligned by NAME with null-padding for the missing column
+    (`unionByName(allowMissingColumns=True)` ↔ DuckDB's
+    `UNION ALL BY NAME`). The aggregate proves alignment: positional
+    union would scramble custkey/price and break every count.
+
+    The operation every long-lived ingest pipeline needs the week a
+    producer adds a field: at 100 TB you cannot rewrite old partitions
+    to the new schema, so the engine must align by name at read time.
+    Scale shape: union is a zero-shuffle plan glue; the aggregate is one
+    partial+final pass."""
+    from .num import dsum_i
+
+    o = spark.table("orders")
+    old_snap = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_snap = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderpriority", "o_totalprice", "o_custkey", "o_orderkey"
+    )
+    u = old_snap.unionByName(new_snap, allowMissingColumns=True)
+    return u.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        (F.count("*") - F.count("o_orderpriority")).alias("n_null_padded"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        dsum_i(F.col("o_totalprice"), 2).alias("total_price"),
+    )

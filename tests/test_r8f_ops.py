@@ -132,3 +132,79 @@ def test_acf_matches_python_reference(spark):
         for r in QUERIES["ts_acf"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_concurrent_sessions_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts, event_id",
+    )
+    from datetime import timedelta
+
+    sessions = []
+    cur_user, cur_start, cur_end = None, None, None
+    for u, ts, _ in rows:
+        if u != cur_user or (ts - cur_end) > timedelta(minutes=30):
+            if cur_user is not None:
+                sessions.append((cur_start, cur_end))
+            cur_user, cur_start, cur_end = u, ts, ts
+        else:
+            cur_end = ts
+    if cur_user is not None:
+        sessions.append((cur_start, cur_end))
+
+    bounds: Counter = Counter()
+    for s, e in sessions:
+        bounds[(s, 0)] += 1
+        bounds[(e, 1)] -= 1
+    conc = 0
+    want: dict = {}
+    starts: Counter = Counter()
+    for (ts, k), d in sorted(bounds.items()):
+        conc += d
+        day = ts.date()
+        want[day] = max(want.get(day, 0), conc)
+        if k == 0:
+            starts[day] += d
+    got = {
+        r.day: (r.peak_concurrent, r.n_session_starts)
+        for r in QUERIES["events_concurrent_sessions"](spark, SF_SMALL).collect()
+    }
+    assert got == {d: (p, starts[d]) for d, p in want.items()}
+
+
+def test_union_by_name_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders",
+    )
+    n_rows = len(rows)
+    n_with_priority = sum(1 for k, _, _, _ in rows if k % 2 == 1)
+    custkeys = {c for _, c, _, _ in rows}
+    cents = sum(int(math.floor(p * 100 + 0.5)) for _, _, p, _ in rows)
+    got = QUERIES["set_union_by_name"](spark, SF_SMALL).collect()[0]
+    assert got.n_rows == n_rows
+    assert got.n_with_priority == n_with_priority
+    assert got.n_null_padded == n_rows - n_with_priority
+    assert got.n_custkeys == len(custkeys)
+    assert got.total_price == cents / 100.0
+
+
+def test_phrase_search_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT doc_id, text FROM documents")
+    want = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        hits = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if toks[i] == "order" and toks[i + 1] == "fast"
+        ]
+        if hits:
+            want[doc_id] = (len(hits), hits[0])
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in QUERIES["text_phrase_search"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want  # non-vacuity: the phrase must exist at sf0.001
