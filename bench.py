@@ -243,6 +243,8 @@ HEADLINE = [
     "events_concurrent_sessions",
     "set_union_by_name",
     "text_phrase_search",
+    "multimodal_image_dhash",
+    "ml_mrr",
 ]
 
 

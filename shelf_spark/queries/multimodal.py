@@ -919,3 +919,114 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_segments bigint, longest_segment bigint"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_image_dhash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id + x.x + y.y) % 256 AS v,
+             (y.y * least(d.h, 8)) // d.h AS by,
+             (x.x * least(d.w, 9)) // d.w AS bx
+      FROM d,
+           LATERAL (SELECT unnest(range(0, d.w)) AS x) x,
+           LATERAL (SELECT unnest(range(0, d.h)) AS y) y
+    ), blk AS (
+      SELECT doc_id, by, bx, sum(v) AS s, count(*) AS n
+      FROM px GROUP BY doc_id, by, bx
+    ), bits AS (
+      SELECT a.doc_id,
+             string_agg(CASE WHEN b.s * a.n > a.s * b.n THEN '1' ELSE '0' END,
+                        '' ORDER BY a.by, a.bx) AS dhash
+      FROM blk a JOIN blk b
+        ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+      GROUP BY a.doc_id
+    ), dims AS (
+      SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+             CAST(max(h) AS BIGINT) AS height
+      FROM px GROUP BY doc_id
+    )
+    SELECT dims.doc_id, dims.width, dims.height,
+           coalesce(bits.dhash, '') AS dhash
+    FROM dims LEFT JOIN bits USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL BMP decode: fold the
+    grayscale image into a min(w,9)×min(h,8) block-mean grid and emit one
+    bit per horizontally-adjacent pair (right mean > left mean) — the
+    gradient fingerprint that, unlike multimodal_image_ahash's global-
+    mean threshold, is invariant to uniform brightness shifts (the
+    re-encode artifact aHash is weakest against; production image-dedup
+    stacks run both). The mean comparison cross-multiplies in int64
+    (s_right·n_left > s_left·n_right) — integer-exact, no float means;
+    a 1-column image legitimately emits the empty hash ('' both engines).
+
+    Scale shape: same contract as :func:`_ahash_signatures` — two
+    Arrow-batched mapInPandas stages, ZERO shuffles, pixels never leave
+    their partition; at 100 TB the encode stage is replaced by
+    binaryFile splits and downstream dedup shuffles only ≤8-byte
+    signatures. Oracle recomputes the full pipe from the pixel
+    arithmetic (value match proves encoder + real BMP parse + block
+    fold end-to-end)."""
+    import struct
+
+    import numpy as np
+
+    d = spark.table("documents").filter(F.col("doc_id") % 2 == 1).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_make_media(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "dhash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h = struct.unpack_from("<ii", payload, 18)
+                off = struct.unpack_from("<I", payload, 10)[0]
+                row_bytes = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    payload, dtype=np.uint8, count=h * row_bytes, offset=off
+                ).reshape(h, row_bytes)
+                px = rows[:, : w * 3 : 3].astype(np.int64)
+                gw, gh = min(w, 9), min(h, 8)
+                bx = np.arange(w) * gw // w
+                by = np.arange(h) * gh // h
+                s = np.zeros((gh, gw), dtype=np.int64)
+                n = np.zeros((gh, gw), dtype=np.int64)
+                for i in range(gh):
+                    ri = px[by == i]
+                    for j in range(gw):
+                        blkpx = ri[:, bx == j]
+                        s[i, j] = blkpx.sum()
+                        n[i, j] = blkpx.size
+                bits = []
+                for i in range(gh):
+                    for j in range(gw - 1):
+                        bits.append(
+                            "1" if s[i, j + 1] * n[i, j] > s[i, j] * n[i, j + 1]
+                            else "0"
+                        )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash"].append("".join(bits))
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(encode_batches, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        dhash_batches,
+        schema="doc_id bigint, width bigint, height bigint, dhash string",
+    ).orderBy("doc_id")

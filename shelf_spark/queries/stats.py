@@ -5587,3 +5587,92 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# mean reciprocal rank (retrieval-eval family, pairs ml_ndcg_at_k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_mrr",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+      FROM documents
+    ), ranked AS (
+      SELECT source, rel,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ), firsts AS (
+      SELECT source, CAST(min(rk) AS BIGINT) AS first_rel_rank
+      FROM ranked WHERE rel = 1 GROUP BY source
+    ), pergrp AS (
+      SELECT s.source, f.first_rel_rank,
+             CAST({_sql_round_ieee(
+                 "CASE WHEN f.first_rel_rank IS NULL THEN 0.0"
+                 " ELSE 1.0 / CAST(f.first_rel_rank AS DOUBLE) END", 9)}
+                  AS DECIMAL(38,9)) AS rr
+      FROM (SELECT DISTINCT source FROM scored) s
+        LEFT JOIN firsts f USING (source)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(first_rel_rank) AS BIGINT) AS n_with_hit,
+           {_sql_round_ieee(
+               "CAST(sum(rr) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mrr
+    FROM pergrp
+    """,
+)
+def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank over per-source rankings: each source is a
+    "query", its documents ranked by score (n_chars, ties by doc_id),
+    relevance = lang='en'; RR = 1/rank of the first relevant document
+    (0 when a source has none). The first-hit metric every search / RAG
+    eval reports next to NDCG (ml_ndcg_at_k grades the whole top-k;
+    MRR grades time-to-first-answer).
+
+    Determinism: each source's single RR division is one IEEE op,
+    rounded onto the 1e-9 grid and summed in DECIMAL (order-free, the
+    per-term-rounding discipline); the final mean is one more shared
+    IEEE division. Scale shape: rank-within-source is a PARTITIONED
+    window; min(rk) over relevant rows is a source-bounded aggregate;
+    the left join keeps no-hit sources honest (MRR over only-hit
+    queries silently inflates)."""
+    scored = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+    )
+    wr = W.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    ranked = scored.select("source", "rel", F.row_number().over(wr).alias("rk"))
+    firsts = (
+        ranked.where(F.col("rel") == 1)
+        .groupBy("source")
+        .agg(F.min("rk").cast("long").alias("first_rel_rank"))
+    )
+    pergrp = (
+        scored.select("source")
+        .distinct()
+        .join(firsts, "source", "left")
+        .select(
+            "first_rel_rank",
+            _round_ieee(
+                F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("first_rel_rank").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("rr"),
+        )
+    )
+    return pergrp.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.count("first_rel_rank").cast("long").alias("n_with_hit"),
+        _round_ieee(
+            F.sum("rr").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mrr"),
+    )

