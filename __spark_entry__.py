@@ -100,7 +100,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     vectors_cosine_histogram, ml_brier_score, sample_negative_table,
 #     and text_pii_redact, stats_kendall_tau, ts_mann_kendall, ts_acf,
 #     events_concurrent_sessions, set_union_by_name, text_phrase_search,
-#     multimodal_image_dhash, ml_mrr
+#     multimodal_image_dhash, ml_mrr, ml_best_f1_threshold,
+#     dq_freshness_lag, graph_modularity
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

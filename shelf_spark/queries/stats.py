@@ -5676,3 +5676,174 @@ def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rr").cast("double") / F.count("*").cast("double"), 6
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# best-F1 threshold sweep (decision-threshold tuning)
+# ---------------------------------------------------------------------------
+
+_F1_EXPR = _sql_round_ieee(
+    "2.0 * CAST(tp AS DOUBLE)"
+    " / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE))",
+    6,
+)
+
+
+@query(
+    "ml_best_f1_threshold",
+    oracle=f"""
+    WITH scored AS ({_SQL_SCORED}),
+    dom AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS nt,
+             CAST(count(*) FILTER (WHERE y) AS BIGINT) AS np
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, nt, np,
+             CAST(sum(nt) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS nt_upto,
+             CAST(sum(np) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS np_upto
+      FROM dom
+    ),
+    tot AS (
+      SELECT CAST(sum(nt) AS BIGINT) AS t, CAST(sum(np) AS BIGINT) AS p
+      FROM dom
+    ),
+    conf AS (
+      SELECT score AS threshold,
+             p - np_upto + np AS tp,
+             (t - nt_upto + nt) - (p - np_upto + np) AS fp,
+             p - (p - np_upto + np) AS fn
+      FROM cum CROSS JOIN tot
+    )
+    SELECT threshold, tp, fp, fn,
+           {_sql_round_ieee(
+               "CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))",
+               6)} AS precision_,
+           {_sql_round_ieee(
+               "CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))",
+               6)} AS recall_,
+           {_F1_EXPR} AS f1
+    FROM conf
+    ORDER BY f1 DESC, threshold LIMIT 1
+    """,
+)
+def ml_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold tuning: sweep every distinct score as the
+    "predict positive when score ≥ t" cut, compute the exact confusion
+    counts per cut from cumulative sums over the score domain, and
+    return the F1-maximizing threshold (ties broken to the lowest
+    threshold) — what a pipeline runs after ml_roc_auc says the ranking
+    is good to pick the operating point.
+
+    Scale shape: the sweep never touches facts per threshold — ONE
+    groupBy compresses n rows onto the score domain, cumulative
+    counts come from the DISTRIBUTED prefix-sum helper (every
+    threshold's TP/FP/FN is suffix arithmetic on two prefix columns +
+    two grand totals), and the argmax is a domain-sized top-1. All
+    counts exact integers; the three ratios are fixed IEEE expressions,
+    so the DESC order both engines sort by is bitwise identical."""
+    from .prefix import attach_prefix_sums
+
+    dom = _scored(spark).groupBy("score").agg(
+        F.count("*").cast("long").alias("nt"),
+        F.count(F.when(F.col("y"), 1)).cast("long").alias("np"),
+    )
+    cum = attach_prefix_sums(dom, ["score"], ["nt", "np"])
+    tot = dom.agg(
+        F.sum("nt").cast("long").alias("t"), F.sum("np").cast("long").alias("p")
+    )
+    tp = F.col("p") - F.col("np_upto") + F.col("np")
+    fp = (F.col("t") - F.col("nt_upto") + F.col("nt")) - tp
+    fn = F.col("p") - tp
+    conf = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+    )
+    return (
+        conf.select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            _round_ieee(
+                F.col("tp").cast("double")
+                / (F.col("tp").cast("double") + F.col("fp").cast("double")),
+                6,
+            ).alias("precision_"),
+            _round_ieee(
+                F.col("tp").cast("double")
+                / (F.col("tp").cast("double") + F.col("fn").cast("double")),
+                6,
+            ).alias("recall_"),
+            _round_ieee(
+                2.0
+                * F.col("tp").cast("double")
+                / (
+                    2.0 * F.col("tp").cast("double")
+                    + F.col("fp").cast("double")
+                    + F.col("fn").cast("double")
+                ),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy(F.desc("f1"), "threshold")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-slice freshness lag (data-quality / SLA audit)
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_STALE_S = 86400  # stale when a slice trails the corpus by >1 day
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             max(ts) AS latest_ts
+      FROM events GROUP BY event_type
+    ), g AS (SELECT max(latest_ts) AS global_ts FROM per)
+    SELECT event_type, n_rows, latest_ts,
+           CAST(floor(epoch(global_ts)) - floor(epoch(latest_ts)) AS BIGINT)
+             AS lag_seconds,
+           (floor(epoch(global_ts)) - floor(epoch(latest_ts)))
+             > {_FRESHNESS_STALE_S} AS is_stale
+    FROM per CROSS JOIN g
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice freshness audit: each event_type's newest timestamp,
+    its lag behind the corpus-wide newest, and a >1-day staleness flag —
+    the "did a producer stop publishing?" check every ingest DQ suite
+    runs (dq_profile sees value distributions; this sees TIME, the
+    dimension that silently breaks downstream training-data cutoffs).
+
+    Scale shape: one partial+final max/count aggregate onto the bounded
+    event_type domain; the global max is a 1-row broadcast. Lag uses
+    integer-second arithmetic (floor(epoch)) so the flag can never flip
+    on a sub-second float ulp."""
+    per = spark.table("events").groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("ts").alias("latest_ts"),
+    )
+    g = per.agg(F.max("latest_ts").alias("global_ts"))
+    lag = F.floor(F.col("global_ts").cast("timestamp").cast("double")) - F.floor(
+        F.col("latest_ts").cast("timestamp").cast("double")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_rows",
+        "latest_ts",
+        lag.cast("long").alias("lag_seconds"),
+        (lag > _FRESHNESS_STALE_S).alias("is_stale"),
+    )

@@ -255,3 +255,91 @@ def test_mrr_matches_python_reference(spark):
     assert got.n_queries == n_queries
     assert got.n_with_hit == n_with_hit
     assert got.mrr == _round_ieee_py((total_rr / 1e9) / n_queries)
+
+
+def test_best_f1_threshold_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT n_chars, lang = 'en' FROM documents")
+    from collections import defaultdict
+
+    dom: dict = defaultdict(lambda: [0, 0])
+    for score, y in rows:
+        dom[score][0] += 1
+        dom[score][1] += 1 if y else 0
+    p = sum(np for _, np in dom.values())
+    t = len(rows)
+    best = None
+    nt_upto = np_upto = 0
+    for score in sorted(dom):
+        nt, np_ = dom[score]
+        nt_upto += nt
+        np_upto += np_
+        tp = p - np_upto + np_
+        fp = (t - nt_upto + nt) - tp
+        fn = p - tp
+        f1 = _round_ieee_py(2.0 * tp / (2.0 * tp + fp + fn))
+        key = (-f1, score)
+        if best is None or key < best[0]:
+            best = (key, (score, tp, fp, fn, f1))
+    got = QUERIES["ml_best_f1_threshold"](spark, SF_SMALL).collect()[0]
+    score, tp, fp, fn, f1 = best[1]
+    assert (got.threshold, got.tp, got.fp, got.fn, got.f1) == (score, tp, fp, fn, f1)
+    assert got.precision_ == _round_ieee_py(tp / (tp + fp))
+    assert got.recall_ == _round_ieee_py(tp / (tp + fn))
+
+
+def test_freshness_lag_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT event_type, ts FROM events")
+    latest: dict = {}
+    counts: Counter = Counter()
+    for et, ts in rows:
+        counts[et] += 1
+        if et not in latest or ts > latest[et]:
+            latest[et] = ts
+    global_ts = max(latest.values())
+    import math as _m
+
+    want = {
+        et: (
+            counts[et],
+            latest[et],
+            int(_m.floor(global_ts.timestamp())) - int(_m.floor(latest[et].timestamp())),
+        )
+        for et in latest
+    }
+    got = {
+        r.event_type: (r.n_rows, r.latest_ts, r.lag_seconds)
+        for r in QUERIES["dq_freshness_lag"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_modularity_matches_python_reference(spark):
+    baskets = _duck(
+        SF_SMALL,
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+    )
+    c2 = duckdb.connect()
+    c2.execute(f"CREATE VIEW part AS SELECT * FROM '{SF_SMALL}/part.parquet'")
+    brands = dict(c2.execute("SELECT p_partkey, p_brand FROM part").fetchall())
+    by_order: dict = {}
+    for o, pk in baskets:
+        by_order.setdefault(o, set()).add(pk)
+    und = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                und.add((ps[i], ps[j]))
+    m = len(und)
+    a_in = sum(1 for p1, p2 in und if brands[p1] == brands[p2])
+    degs: Counter = Counter()
+    for p1, p2 in und:
+        degs[brands[p1]] += 1
+        degs[brands[p2]] += 1
+    b = sum(d * d for d in degs.values())
+    q = float(a_in) / float(m) - float(b) / (4.0 * float(m) * float(m))
+    got = QUERIES["graph_modularity"](spark, SF_SMALL).collect()[0]
+    assert got.m == m
+    assert got.n_communities == len(degs)
+    assert got.a_in == a_in
+    assert got.modularity == _round_ieee_py(q)

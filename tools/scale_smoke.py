@@ -263,6 +263,9 @@ HEADLINE = [
     "text_phrase_search",
     "multimodal_image_dhash",
     "ml_mrr",
+    "ml_best_f1_threshold",
+    "dq_freshness_lag",
+    "graph_modularity",
 ]
 
 
