@@ -248,6 +248,8 @@ HEADLINE = [
     "ml_best_f1_threshold",
     "dq_freshness_lag",
     "graph_modularity",
+    "cdc_diff_snapshots",
+    "ml_fairness_parity",
 ]
 
 

@@ -2028,3 +2028,71 @@ def events_user_lifetime_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t").cast("double") / 100.0).alias("total_revenue"),
         _round_ieee(F.expr(_GINI), 6).alias("gini"),
     )
+
+
+@query(
+    "cdc_diff_snapshots",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 4 <> 1
+    ), new_snap AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 4 = 3 THEN 100 ELSE 0 END AS price_c
+      FROM orders WHERE o_orderkey % 4 <> 2
+    )
+    SELECT CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           coalesce(o.k, n.k) AS o_orderkey,
+           CAST(o.price_c AS DOUBLE) / 100.0 AS old_price,
+           CAST(n.price_c AS DOUBLE) / 100.0 AS new_price
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.price_c <> n.price_c
+    """,
+)
+def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — the generator direction of CDC (cdc_apply_changes
+    consumes a change feed; this PRODUCES one): full-outer-join two
+    versions of the same logical table on the key and classify each row
+    insert / update / delete, emitting old and new values. What an
+    ingest runs when the upstream can only hand over full snapshots and
+    downstream wants a changelog (the standard snapshot-to-CDC bridge).
+    Snapshots are carved deterministically from orders: keys ≡1 (mod 4)
+    exist only in NEW (inserts), ≡2 only in OLD (deletes), ≡3 get a
+    +1.00 price change (updates), ≡0 are unchanged and excluded.
+
+    Exactness: change detection compares exact integer CENTS, never
+    float equality; the emitted prices are one IEEE division each.
+    Scale shape: ONE full-outer hash join on the key (both sides
+    shuffle once on the same key — at 100 TB this is the minimal-
+    movement plan for an unordered snapshot pair) and the unchanged
+    majority is filtered before any further movement."""
+    o = spark.table("orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    old_snap = o.where(F.col("o_orderkey") % 4 != 1).select(
+        F.col("o_orderkey").alias("k"), cents.alias("price_c")
+    )
+    new_snap = o.where(F.col("o_orderkey") % 4 != 2).select(
+        F.col("o_orderkey").alias("kn"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 4 == 3, F.lit(100)).otherwise(F.lit(0))
+        ).alias("price_cn"),
+    )
+    j = old_snap.join(new_snap, F.col("k") == F.col("kn"), "full_outer")
+    return j.where(
+        F.col("k").isNull()
+        | F.col("kn").isNull()
+        | (F.col("price_c") != F.col("price_cn"))
+    ).select(
+        F.when(F.col("k").isNull(), F.lit("insert"))
+        .when(F.col("kn").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.coalesce(F.col("k"), F.col("kn")).alias("o_orderkey"),
+        (F.col("price_c").cast("double") / 100.0).alias("old_price"),
+        (F.col("price_cn").cast("double") / 100.0).alias("new_price"),
+    )

@@ -5847,3 +5847,82 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("long").alias("lag_seconds"),
         (lag > _FRESHNESS_STALE_S).alias("is_stale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# demographic-parity fairness audit (four-fifths rule)
+# ---------------------------------------------------------------------------
+
+_PARITY_THRESHOLD = 300  # predict positive when score (n_chars) >= this
+
+
+@query(
+    "ml_fairness_parity",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, CASE WHEN n_chars >= {_PARITY_THRESHOLD} THEN 1 ELSE 0 END
+               AS pred
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pred) AS BIGINT) AS n_pos
+      FROM scored GROUP BY source
+    ), g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(n_pos) AS BIGINT) AS gp
+      FROM per
+    )
+    SELECT source, n, n_pos,
+           {_sql_round_ieee(
+               "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS pos_rate,
+           {_sql_round_ieee(
+               "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+               " / (CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))", 6)} AS di_ratio,
+           (CAST(n_pos AS DECIMAL(19,0)) * 10 * gn)
+             < (CAST(gp AS DECIMAL(19,0)) * 8 * n) AS flagged_four_fifths
+    FROM per CROSS JOIN g
+    """,
+)
+def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic-parity audit of the length-threshold classifier per
+    corpus slice: each source's positive-prediction rate, its disparate-
+    impact ratio against the corpus-wide rate, and the FOUR-FIFTHS-RULE
+    flag (slice rate < 80% of the global rate) — the fairness screen a
+    data pipeline runs before a filter ships, because a quality filter
+    that silently drops one source's documents at 3× the global rate IS
+    a selection-bias bug (filter_c4_style / filter_quality_percentile
+    decide what survives; this measures WHO pays).
+
+    Exactness: the flag never divides — it cross-multiplies exact
+    integer counts (n_pos·10·gn < gp·8·n in DECIMAL, headroom to
+    n ~ 10¹⁸), so the 80% boundary cannot flip on a float ulp; the two
+    reported ratios are fixed IEEE expressions. Scale shape: one
+    partial+final count aggregate onto the source catalog; the global
+    rate is a 1-row broadcast."""
+    scored = spark.table("documents").select(
+        "source",
+        F.when(F.col("n_chars") >= _PARITY_THRESHOLD, 1).otherwise(0).alias("pred"),
+    )
+    per = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pred").cast("long").alias("n_pos"),
+    )
+    g = per.agg(
+        F.sum("n").cast("long").alias("gn"), F.sum("n_pos").cast("long").alias("gp")
+    )
+    d19 = "decimal(19,0)"
+    return per.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        "n_pos",
+        _round_ieee(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6)
+        .alias("pos_rate"),
+        _round_ieee(
+            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+            / (F.col("gp").cast("double") / F.col("gn").cast("double")),
+            6,
+        ).alias("di_ratio"),
+        (
+            F.col("n_pos").cast(d19) * 10 * F.col("gn")
+            < F.col("gp").cast(d19) * 8 * F.col("n")
+        ).alias("flagged_four_fifths"),
+    )

@@ -343,3 +343,50 @@ def test_modularity_matches_python_reference(spark):
     assert got.n_communities == len(degs)
     assert got.a_in == a_in
     assert got.modularity == _round_ieee_py(q)
+
+
+def test_cdc_diff_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT o_orderkey, o_totalprice FROM orders")
+    old = {
+        k: int(math.floor(p * 100 + 0.5)) for k, p in rows if k % 4 != 1
+    }
+    new = {
+        k: int(math.floor(p * 100 + 0.5)) + (100 if k % 4 == 3 else 0)
+        for k, p in rows
+        if k % 4 != 2
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = ("insert", None, new[k] / 100.0)
+        elif k not in new:
+            want[k] = ("delete", old[k] / 100.0, None)
+        elif old[k] != new[k]:
+            want[k] = ("update", old[k] / 100.0, new[k] / 100.0)
+    got = {
+        r.o_orderkey: (r.op, r.old_price, r.new_price)
+        for r in QUERIES["cdc_diff_snapshots"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    ops = Counter(op for op, _, _ in want.values())
+    assert ops["insert"] and ops["delete"] and ops["update"]  # non-vacuous
+
+
+def test_fairness_parity_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT source, n_chars FROM documents")
+    per: dict = {}
+    for source, n_chars in rows:
+        n, p = per.get(source, (0, 0))
+        per[source] = (n + 1, p + (1 if n_chars >= 300 else 0))
+    gn = sum(n for n, _ in per.values())
+    gp = sum(p for _, p in per.values())
+    got = {
+        r.source: (r.n, r.n_pos, r.pos_rate, r.di_ratio, r.flagged_four_fifths)
+        for r in QUERIES["ml_fairness_parity"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per)
+    for source, (n, p) in per.items():
+        rate = _round_ieee_py(p / n)
+        di = _round_ieee_py((p / n) / (gp / gn))
+        flagged = p * 10 * gn < gp * 8 * n
+        assert got[source] == (n, p, rate, di, flagged), source
