@@ -102,7 +102,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_concurrent_sessions, set_union_by_name, text_phrase_search,
 #     multimodal_image_dhash, ml_mrr, ml_best_f1_threshold,
 #     dq_freshness_lag, graph_modularity, cdc_diff_snapshots,
-#     ml_fairness_parity
+#     ml_fairness_parity, text_kneser_ney_perplexity,
+#     multimodal_audio_spectrogram, scan_merge_schema
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

@@ -22,7 +22,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
+from .num import _round_ieee, _sql_round_ieee
 from .registry import query
 
 _DECODE_SCHEMA = (
@@ -1030,3 +1032,172 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_batches,
         schema="doc_id bigint, width bigint, height bigint, dhash string",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# audio spectrogram: framed DFT over real WAV decode, integer-nano exact
+# ---------------------------------------------------------------------------
+
+#: DFT bands (bins of the 16-point transform) and the twiddle factors as
+#: INTEGER NANOS — cos/sin(2πkj/16) pre-rounded onto the 1e-9 grid once,
+#: at module level. The literals ARE the spec: both engines multiply
+#: int16 samples by these exact integers and sum in int64, so the frame
+#: sums are bit-identical by construction; floats only enter in the one
+#: shared power expression.
+_DFT_N = 16
+_DFT_BANDS = (1, 2, 3, 4)
+
+
+def _tw_nanos() -> tuple:
+    import math as _m
+
+    out = []
+    for k in _DFT_BANDS:
+        for j in range(_DFT_N):
+            ang = 2.0 * _m.pi * k * j / _DFT_N
+            out.append(
+                (
+                    k,
+                    j,
+                    int(_m.floor(_m.cos(ang) * 1e9 + 0.5)),
+                    int(_m.floor(_m.sin(ang) * 1e9 + 0.5)),
+                )
+            )
+    return tuple(out)
+
+
+_TWIDDLES = _tw_nanos()
+_SQL_TWIDDLES = ", ".join(f"({k}, {j}, {c}, {s})" for k, j, c, s in _TWIDDLES)
+
+#: Per-frame band power from the exact integer-nano component sums —
+#: the ONE place floats appear, identical shape on both engines.
+_DFT_POWER = (
+    "((CAST(re_n AS DOUBLE) / 1000000000.0)"
+    " * (CAST(re_n AS DOUBLE) / 1000000000.0)"
+    " + (CAST(im_n AS DOUBLE) / 1000000000.0)"
+    "   * (CAST(im_n AS DOUBLE) / 1000000000.0))"
+)
+
+
+@query(
+    "multimodal_audio_spectrogram",
+    oracle=f"""
+    WITH tw(k, j, cv, sv) AS (VALUES {_SQL_TWIDDLES}),
+    p AS (
+      SELECT doc_id, 50 + doc_id % 100 AS n
+      FROM documents WHERE doc_id % 2 = 0
+    ), fr AS (
+      SELECT doc_id, n, unnest(generate_series(0, n // {_DFT_N} - 1)) AS f
+      FROM p
+    ), comp AS (
+      SELECT fr.doc_id, fr.f, tw.k,
+             CAST(sum(((fr.doc_id * 31 + (fr.f * {_DFT_N} + tw.j) * 17) % 2000
+                       - 1000) * tw.cv) AS BIGINT) AS re_n,
+             CAST(sum(((fr.doc_id * 31 + (fr.f * {_DFT_N} + tw.j) * 17) % 2000
+                       - 1000) * tw.sv) AS BIGINT) AS im_n
+      FROM fr JOIN tw ON true
+      GROUP BY 1, 2, 3
+    ), pw AS (
+      SELECT doc_id, k, f,
+             CAST({_sql_round_ieee(_DFT_POWER, 6)} AS DECIMAL(38,6)) AS p6
+      FROM comp
+    ), ranked AS (
+      SELECT doc_id, k, f, p6,
+             row_number() OVER (PARTITION BY doc_id, k
+                                ORDER BY p6 DESC, f) AS rk
+      FROM pw
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(p6) AS DOUBLE) AS power_total,
+           CAST(min(CASE WHEN rk = 1 THEN f END) AS BIGINT) AS peak_frame,
+           CAST(max(CASE WHEN rk = 1 THEN p6 END) AS DOUBLE) AS peak_power
+    FROM ranked GROUP BY doc_id, k
+    """,
+)
+def multimodal_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed spectrogram over REAL WAV decode: each audio doc's PCM
+    stream is cut into full {_DFT_N}-sample frames and transformed with
+    a {_DFT_N}-point DFT at bands k∈{_DFT_BANDS}; per (doc, band) the
+    op reports frame count, total band power, and the peak frame — the
+    frequency-domain screen (hum detection, band-limited silence, codec
+    artifacts) that energy/ZCR (multimodal_audio_features) cannot see.
+
+    The cross-engine-exactness trick: the twiddle factors are INTEGER
+    NANO literals fixed at module level, so every frame's DFT component
+    is an exact int64 sum (|re| ≤ 16·1000·10⁹ ≈ 1.6e13) computed
+    identically by numpy (Spark, over the stdlib-wave-decoded bytes)
+    and SQL (oracle, over the generator arithmetic); band power is the
+    ONE shared IEEE expression, rounded onto the 1e-6 grid before the
+    per-doc DECIMAL total. A value match proves the real WAV parse and
+    the transform end-to-end.
+
+    Scale shape: decode + DFT are Arrow-batched map-only stages (the
+    16×4 integer matmul rides inside the partition, samples never
+    shuffle); the only exchange carries (doc, frame, band) component
+    pairs — 4 ints per frame, not audio. Peak selection is a
+    PARTITIONED window over that bounded relation."""
+    import io
+    import wave
+
+    import numpy as np
+
+    d = spark.table("documents").filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    cmat = np.array(
+        [[c for k2, j, c, s in _TWIDDLES if k2 == k] for k in _DFT_BANDS],
+        dtype=np.int64,
+    )
+    smat = np.array(
+        [[s for k2, j, c, s in _TWIDDLES if k2 == k] for k in _DFT_BANDS],
+        dtype=np.int64,
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_make_media(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def dft_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "f": [], "k": [], "re_n": [], "im_n": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    data = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype=np.int16
+                    ).astype(np.int64)
+                nfr = len(data) // _DFT_N
+                for f in range(nfr):
+                    x = data[f * _DFT_N : (f + 1) * _DFT_N]
+                    re = cmat @ x
+                    im = smat @ x
+                    for bi, k in enumerate(_DFT_BANDS):
+                        out["doc_id"].append(int(doc_id))
+                        out["f"].append(f)
+                        out["k"].append(k)
+                        out["re_n"].append(int(re[bi]))
+                        out["im_n"].append(int(im[bi]))
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(encode_batches, schema="doc_id bigint, payload binary")
+    comp = media.mapInPandas(
+        dft_batches,
+        schema="doc_id bigint, f bigint, k bigint, re_n bigint, im_n bigint",
+    )
+    pw = comp.select(
+        "doc_id",
+        "k",
+        "f",
+        _round_ieee(F.expr(_DFT_POWER), 6).cast("decimal(38,6)").alias("p6"),
+    )
+    wr = W.partitionBy("doc_id", "k").orderBy(F.desc("p6"), "f")
+    ranked = pw.withColumn("rk", F.row_number().over(wr))
+    return ranked.groupBy("doc_id", F.col("k").cast("long").alias("band")).agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("p6").cast("double").alias("power_total"),
+        F.min(F.when(F.col("rk") == 1, F.col("f"))).cast("long").alias("peak_frame"),
+        F.max(F.when(F.col("rk") == 1, F.col("p6"))).cast("double").alias("peak_power"),
+    )

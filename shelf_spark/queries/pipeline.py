@@ -2182,3 +2182,131 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Interpolated Kneser-Ney with absolute discount D = 0.75 (exact in
+#: binary: 3/4). All five model quantities come from the bigram table:
+#: c12, c1 = Σ_w2 c12, nf(w1) = |{w2 : c12>0}|, nb(w2) = |{w1 : c12>0}|,
+#: B = total distinct bigram types. One shared IEEE expression per
+#: bigram, rounded onto the 1e-6 grid BEFORE the per-doc decimal sum.
+_KN_LOGP = (
+    "ln((CASE WHEN CAST(c12 AS DOUBLE) - 0.75 > 0.0"
+    "         THEN CAST(c12 AS DOUBLE) - 0.75 ELSE 0.0 END)"
+    "    / CAST(c1 AS DOUBLE)"
+    "    + (0.75 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE))"
+    "      * (CAST(nb AS DOUBLE) / CAST(b AS DOUBLE)))"
+)
+
+
+@query(
+    "text_kneser_ney_perplexity",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), pairs AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i) s
+    ), big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2
+    ), firsts AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS nf
+      FROM big GROUP BY 1
+    ), conts AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS nb FROM big GROUP BY 1
+    ), bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM big),
+    lp AS (
+      SELECT w1, w2,
+             CAST({_sql_round_ieee(_KN_LOGP, 6)} * 1000000.0
+                  AS DECIMAL(18,0)) AS micro
+      FROM big JOIN firsts USING (w1) JOIN conts USING (w2) CROSS JOIN bb
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             sum(micro) AS micros
+      FROM pairs JOIN lp USING (w1, w2)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           {_sql_round_ieee(
+               "-(CAST(micros AS DOUBLE) / 1000000.0)"
+               " / CAST(n_bigrams AS DOUBLE)", 6)} AS xent
+    FROM perdoc
+    ORDER BY xent DESC, doc_id LIMIT {_BLM_TOP}
+    """,
+)
+def text_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (absolute discount
+    D = 0.75): P(w₂|w₁) = max(c₁₂−D,0)/c₁ + D·N₁₊(w₁,·)/c₁ ·
+    N₁₊(·,w₂)/B — the production-standard smoothing
+    (text_bigram_lm_perplexity's add-½ over-penalizes frequent-but-
+    narrow histories; KN backs off to CONTINUATION counts, the "how
+    many contexts has w₂ ever followed" signal that makes it the KenLM
+    default). Same surprise-ranking output: top-20 highest
+    cross-entropy docs.
+
+    Exactness: D = 3/4 is exact in binary; the five model counts are
+    integers; each bigram's log-prob is ONE shared IEEE expression
+    rounded onto the 1e-6 grid before the per-doc DECIMAL sum
+    (order-free). Scale shape: bigrams zip map-side in the token
+    array; the LM is three rollups OF THE BIGRAM TABLE (first-word
+    totals+fanouts, continuation fanins, one type-count scalar) — no
+    extra corpus pass vs add-½; scoring is the same single
+    (w₁,w₂)-keyed hash join."""
+    arrs = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    pairs = (
+        arrs.filter(F.size("arr") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("arr") - 2),
+                    lambda i: F.struct(
+                        F.col("arr")[i].alias("w1"),
+                        F.col("arr")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    ).localCheckpoint()  # LM base relation: consumed by 4 rollups + join
+    firsts = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("nf"),
+    )
+    conts = big.groupBy("w2").agg(F.count("*").cast("long").alias("nb"))
+    bb = big.agg(F.count("*").cast("long").alias("b"))
+    micro = (
+        _round_ieee(F.expr(_KN_LOGP), 6) * 1000000.0
+    ).cast("decimal(18,0)")
+    lp = (
+        big.join(firsts, "w1")
+        .join(conts, "w2")
+        .crossJoin(F.broadcast(bb))
+        .select("w1", "w2", micro.alias("micro"))
+    )
+    perdoc = (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("micro").alias("micros"),
+        )
+    )
+    return (
+        perdoc.select(
+            "doc_id",
+            "n_bigrams",
+            _round_ieee(
+                -(F.col("micros").cast("double") / 1000000.0)
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("xent"),
+        )
+        .orderBy(F.desc("xent"), "doc_id")
+        .limit(_BLM_TOP)
+    )

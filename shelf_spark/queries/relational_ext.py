@@ -485,3 +485,64 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "scan_merge_schema",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dsum_i("o_totalprice", 2)} AS total_price
+    FROM u GROUP BY o_orderpriority
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON DISK: two parquet file generations of the same
+    table — an old one written BEFORE the o_orderpriority column existed
+    and a new one with it — read back through ONE scan with
+    ``mergeSchema=true``, which reconciles footers by name and
+    null-pads the missing column (set_union_by_name is this operation
+    at the DataFrame level; this proves it at the FILE level, where a
+    100 TB lake actually lives — old partitions are never rewritten
+    when a producer adds a field).
+
+    The two generations are carved deterministically from orders (even
+    keys = old schema, odd = new), so the plain-SQL oracle over the
+    source with an explicit NULL pad is sound. Aggregating BY the
+    evolved column proves the pad lands in the right column, not just
+    that rows survive. Scale shape: footer reconciliation is metadata
+    work at planning time; the scan itself stays one pass with column
+    pruning intact (ReadSchema carries the merged schema)."""
+    import os
+
+    tag = _layout_tag(sf_dir, "orders")
+    path = f"/tmp/shelf-spark-mergeschema/orders_{tag}"
+
+    o = spark.table("orders")
+    if not os.path.exists(os.path.join(path, "gen1", "_SUCCESS")):
+        (
+            o.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen0"))
+        )
+        (
+            o.where(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen1"))
+        )
+    u = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen0"), os.path.join(path, "gen1")
+    )
+    return u.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        dsum_i(F.col("o_totalprice"), 2).alias("total_price"),
+    )

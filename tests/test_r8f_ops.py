@@ -390,3 +390,92 @@ def test_fairness_parity_matches_python_reference(spark):
         di = _round_ieee_py((p / n) / (gp / gn))
         flagged = p * 10 * gn < gp * 8 * n
         assert got[source] == (n, p, rate, di, flagged), source
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT doc_id, text FROM documents")
+    docs = {d: t.split(" ") for d, t in rows}
+    big: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - 1):
+            big[(toks[i], toks[i + 1])] += 1
+    c1: Counter = Counter()
+    nf: Counter = Counter()
+    nb: Counter = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        nf[w1] += 1
+        nb[w2] += 1
+    b = len(big)
+    lp = {}
+    for (w1, w2), c in big.items():
+        disc = c - 0.75 if c - 0.75 > 0.0 else 0.0
+        p = disc / c1[w1] + (0.75 * nf[w1] / c1[w1]) * (nb[w2] / b)
+        lp[(w1, w2)] = int(math.floor(_round_ieee_py(math.log(p)) * 1e6 + 0.5))
+    perdoc = []
+    for d, toks in docs.items():
+        if len(toks) < 2:
+            continue
+        micros = sum(lp[(toks[i], toks[i + 1])] for i in range(len(toks) - 1))
+        nbg = len(toks) - 1
+        perdoc.append((d, nbg, _round_ieee_py(-(micros / 1e6) / nbg)))
+    want = sorted(perdoc, key=lambda r: (-r[2], r[0]))[:20]
+    got = [
+        (r.doc_id, r.n_bigrams, r.xent)
+        for r in QUERIES["text_kneser_ney_perplexity"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_audio_spectrogram_matches_python_reference(spark):
+    from shelf_spark.queries.multimodal import _TWIDDLES, _DFT_BANDS, _DFT_N
+
+    rows = _duck(SF_SMALL, "SELECT doc_id FROM documents WHERE doc_id % 2 = 0")
+    tw = {(k, j): (c, s) for k, j, c, s in _TWIDDLES}
+    want = {}
+    for (doc_id,) in rows:
+        n = 50 + doc_id % 100
+        x = [(doc_id * 31 + i * 17) % 2000 - 1000 for i in range(n)]
+        for k in _DFT_BANDS:
+            powers = []
+            for f in range(n // _DFT_N):
+                re = sum(
+                    x[f * _DFT_N + j] * tw[(k, j)][0] for j in range(_DFT_N)
+                )
+                im = sum(
+                    x[f * _DFT_N + j] * tw[(k, j)][1] for j in range(_DFT_N)
+                )
+                powers.append(
+                    _round_ieee_py((re / 1e9) * (re / 1e9) + (im / 1e9) * (im / 1e9))
+                )
+            micros = [int(math.floor(p * 1e6 + 0.5)) for p in powers]
+            peak_i = max(range(len(micros)), key=lambda i: (micros[i], -i))
+            want[(doc_id, k)] = (
+                len(powers),
+                sum(micros) / 1e6,
+                peak_i,
+                micros[peak_i] / 1e6,
+            )
+    got = {
+        (r.doc_id, r.band): (r.n_frames, r.power_total, r.peak_frame, r.peak_power)
+        for r in QUERIES["multimodal_audio_spectrogram"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_merge_schema_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
+    )
+    agg: dict = {}
+    for k, p, pri in rows:
+        key = pri if k % 2 == 1 else None
+        n, cents = agg.get(key, (0, 0))
+        agg[key] = (n + 1, cents + int(math.floor(p * 100 + 0.5)))
+    got = {
+        r.o_orderpriority: (r.n_orders, r.total_price)
+        for r in QUERIES["scan_merge_schema"](spark, SF_SMALL).collect()
+    }
+    assert got == {k: (n, c / 100.0) for k, (n, c) in agg.items()}
+    assert None in got and len(got) == 6  # null-padded old generation present

@@ -268,6 +268,9 @@ HEADLINE = [
     "graph_modularity",
     "cdc_diff_snapshots",
     "ml_fairness_parity",
+    "text_kneser_ney_perplexity",
+    "multimodal_audio_spectrogram",
+    "scan_merge_schema",
 ]
 
 
