@@ -103,7 +103,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     multimodal_image_dhash, ml_mrr, ml_best_f1_threshold,
 #     dq_freshness_lag, graph_modularity, cdc_diff_snapshots,
 #     ml_fairness_parity, text_kneser_ney_perplexity,
-#     multimodal_audio_spectrogram, scan_merge_schema
+#     multimodal_audio_spectrogram, scan_merge_schema,
+#     stream_freshness_lag, ts_ljung_box
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

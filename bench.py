@@ -253,6 +253,8 @@ HEADLINE = [
     "text_kneser_ney_perplexity",
     "multimodal_audio_spectrogram",
     "scan_merge_schema",
+    "stream_freshness_lag",
+    "ts_ljung_box",
 ]
 
 

@@ -5926,3 +5926,113 @@ def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("gp").cast(d19) * 8 * F.col("n")
         ).alias("flagged_four_fifths"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (is the daily series white noise?)
+# ---------------------------------------------------------------------------
+
+_LB_K = 7
+
+#: Per-lag Ljung-Box term: the exact-moment ACF (ts_acf's expanded form),
+#: squared and weighted by 1/(n−k) — one shared IEEE expression, rounded
+#: onto the 1e-9 grid before the cross-lag decimal sum.
+_LB_TERM = (
+    f"(({_ACF_R}) * ({_ACF_R})"
+    " / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)))"
+)
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(19,0)) AS rev
+      FROM orders GROUP BY 1
+    ), gmom AS (
+      SELECT CAST(count(*) AS DECIMAL(19,0)) AS n,
+             CAST(sum(rev) AS DECIMAL(38,0)) AS s,
+             CAST(sum(rev * rev) AS DECIMAL(38,0)) AS q
+      FROM daily
+    ), lagged AS (
+      SELECT l.lag,
+             CAST(sum(a.rev * b.rev) AS DECIMAL(38,0)) AS pk,
+             CAST(sum(a.rev) AS DECIMAL(38,0)) AS hk,
+             CAST(sum(b.rev) AS DECIMAL(38,0)) AS tk
+      FROM (SELECT unnest(generate_series(1, {_LB_K})) AS lag) l
+        JOIN daily a ON true
+        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+      GROUP BY l.lag
+    ), terms AS (
+      SELECT CAST({_sql_round_ieee(_LB_TERM, 9)} * 1000000000.0
+                  AS DECIMAL(18,0)) AS nano
+      FROM lagged, gmom
+    )
+    SELECT CAST((SELECT n FROM gmom) AS BIGINT) AS n_days,
+           CAST({_LB_K} AS BIGINT) AS k_lags,
+           {_sql_round_ieee(
+               "CAST((SELECT n FROM gmom) AS DOUBLE)"
+               " * (CAST((SELECT n FROM gmom) AS DOUBLE) + 2.0)"
+               " * (CAST(sum(nano) AS DOUBLE) / 1000000000.0)", 6)} AS q_stat
+    FROM terms
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: Q = n(n+2)·Σ_{{k≤K}}
+    r_k²/(n−k) over the first {_LB_K} autocorrelations — the "is there
+    ANY serial structure left?" gate (ts_acf shows the correlogram;
+    this collapses it into the one statistic a forecasting pipeline
+    checks on its RESIDUALS to decide whether ts_holt_linear_forecast /
+    ts_snaive_backtest already captured the signal).
+
+    Exactness: each r_k comes from ts_acf's expanded exact-moment form
+    (the n² rescaling lives in IEEE, moments in DECIMAL(38,0)); each
+    lag's term is ONE shared IEEE expression rounded onto the 1e-9
+    grid, the cross-lag sum is decimal (order-free), and the final
+    n(n+2) scaling is one more shared expression. Scale shape:
+    identical to ts_acf — one fact aggregate onto the time-bounded day
+    domain, then (days × K) work."""
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("decimal(19,0)")
+            .alias("rev")
+        )
+        .localCheckpoint()
+    )
+    gmom = daily.agg(
+        F.count("*").cast("decimal(19,0)").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).cast("decimal(38,0)").alias("q"),
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, _LB_K + 1)], "lag int")
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.expr("date_add(day_a, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("rev_a") * F.col("rev_b")).cast("decimal(38,0)").alias("pk"),
+            F.sum("rev_a").cast("decimal(38,0)").alias("hk"),
+            F.sum("rev_b").cast("decimal(38,0)").alias("tk"),
+        )
+    )
+    terms = lagged.crossJoin(F.broadcast(gmom)).select(
+        (_round_ieee(F.expr(_LB_TERM), 9) * 1.0e9).cast("decimal(18,0)").alias("nano")
+    )
+    tsum = terms.agg(F.sum("nano").alias("nanos"))
+    return tsum.crossJoin(F.broadcast(gmom)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(_LB_K).cast("long").alias("k_lags"),
+        _round_ieee(
+            F.col("n").cast("double")
+            * (F.col("n").cast("double") + 2.0)
+            * (F.col("nanos").cast("double") / 1.0e9),
+            6,
+        ).alias("q_stat"),
+    )

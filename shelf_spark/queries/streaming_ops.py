@@ -736,3 +736,96 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_distinct", "merged_distinct_all")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming freshness monitor (mergeable MAX state, live)
+# ---------------------------------------------------------------------------
+
+_SFRESH_STALE_S = 86400
+
+
+@query(
+    "stream_freshness_lag",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             max(ts) AS latest_ts
+      FROM events GROUP BY event_type
+    ), g AS (SELECT max(latest_ts) AS global_ts FROM per)
+    SELECT event_type, n_rows, latest_ts,
+           CAST(floor(epoch(global_ts)) - floor(epoch(latest_ts)) AS BIGINT)
+             AS lag_seconds,
+           (floor(epoch(global_ts)) - floor(epoch(latest_ts)))
+             > {_SFRESH_STALE_S} AS is_stale
+    FROM per CROSS JOIN g
+    """,
+)
+def stream_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING freshness monitor — the continuous twin of
+    dq_freshness_lag: every micro-batch commits an idempotent per-batch
+    (event_type, count, max ts) ledger via ``foreachBatch``; the merged
+    view takes max-of-maxes and sum-of-counts, both MERGEABLE for any
+    micro-batch split, which is exactly what the shared batch oracle's
+    value hash proves. This is the live "did a producer stop
+    publishing?" alarm — the one DQ check that only makes sense
+    streaming, because staleness is a property of NOW.
+
+    Scale shape: per batch one count/max aggregate onto the bounded
+    event_type domain (map-side combine; state = one timestamp + one
+    counter per type per batch); the cross-batch merge reads R-row
+    ledgers. Per-batch overwrite commits make at-least-once replay
+    safe (the CDC-upsert discipline)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming as S
+
+    stream = S.events_stream(spark, _events_path(sf_dir))
+    sink = tempfile.mkdtemp(prefix="shelf-stream-fresh-")
+    checkpoint = tempfile.mkdtemp(prefix="shelf-stream-fresh-ckpt-")
+
+    def score_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.max("ts").alias("latest_ts"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"b{batch_id}"))
+        )
+
+    q = S.foreach_batch_upsert(stream, checkpoint, score_batch)
+    q.awaitTermination()
+    parts = [
+        os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("b")
+    ]
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_rows bigint, latest_ts timestamp, "
+            "lag_seconds bigint, is_stale boolean",
+        )
+    per = (
+        spark.read.parquet(*parts)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.max("latest_ts").alias("latest_ts"),
+        )
+    )
+    g = per.agg(F.max("latest_ts").alias("global_ts"))
+    lag = F.floor(F.col("global_ts").cast("timestamp").cast("double")) - F.floor(
+        F.col("latest_ts").cast("timestamp").cast("double")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_rows",
+        "latest_ts",
+        lag.cast("long").alias("lag_seconds"),
+        (lag > _SFRESH_STALE_S).alias("is_stale"),
+    )

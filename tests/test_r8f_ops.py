@@ -479,3 +479,58 @@ def test_merge_schema_matches_python_reference(spark):
     }
     assert got == {k: (n, c / 100.0) for k, (n, c) in agg.items()}
     assert None in got and len(got) == 6  # null-padded old generation present
+
+
+def test_stream_freshness_matches_batch(spark):
+    # The streaming op's own oracle is the batch SQL; this pins the
+    # Spark streaming result against the BATCH Spark operator too
+    # (mergeable-max equivalence across the micro-batch split).
+    batch = {
+        r.event_type: (r.n_rows, r.latest_ts, r.lag_seconds, r.is_stale)
+        for r in QUERIES["dq_freshness_lag"](spark, SF_SMALL).collect()
+    }
+    stream = {
+        r.event_type: (r.n_rows, r.latest_ts, r.lag_seconds, r.is_stale)
+        for r in QUERIES["stream_freshness_lag"](spark, SF_SMALL).collect()
+    }
+    assert stream == batch
+
+
+def test_ljung_box_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT o_orderdate, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        " FROM orders",
+    )
+    daily: Counter = Counter()
+    for d, cents in rows:
+        daily[d] += cents
+    by_day = dict(daily)
+    n = len(by_day)
+    s = sum(by_day.values())
+    q = sum(v * v for v in by_day.values())
+    from datetime import timedelta
+
+    nanos = 0
+    for lag in range(1, 8):
+        pk = hk = tk = 0
+        for d, v in by_day.items():
+            d2 = d + timedelta(days=lag)
+            if d2 in by_day:
+                pk += v * by_day[d2]
+                hk += v
+                tk += by_day[d2]
+        num = (
+            float(n) * float(n) * float(pk)
+            - float(n) * float(s) * (float(hk) + float(tk))
+            + (float(n) - float(lag)) * float(s) * float(s)
+        )
+        den = float(n) * float(n) * float(q) - float(n) * float(s) * float(s)
+        r = num / den
+        term = _round_ieee_py(r * r / (float(n) - float(lag)), 9)
+        nanos += int(math.floor(term * 1e9 + 0.5))
+    want = _round_ieee_py(float(n) * (float(n) + 2.0) * (nanos / 1e9))
+    got = QUERIES["ts_ljung_box"](spark, SF_SMALL).collect()[0]
+    assert got.n_days == n
+    assert got.k_lags == 7
+    assert got.q_stat == want
