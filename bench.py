@@ -255,6 +255,9 @@ HEADLINE = [
     "scan_merge_schema",
     "stream_freshness_lag",
     "ts_ljung_box",
+    "vectors_dim_variance",
+    "er_golden_record",
+    "dq_referential_integrity",
 ]
 
 

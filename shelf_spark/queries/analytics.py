@@ -2096,3 +2096,163 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price_c").cast("double") / 100.0).alias("old_price"),
         (F.col("price_cn").cast("double") / 100.0).alias("new_price"),
     )
+
+
+@query(
+    "er_golden_record",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ), segcnt AS (
+      SELECT c_nationkey, bal_band, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS c
+      FROM blocked GROUP BY 1, 2, 3
+    ), segpick AS (
+      SELECT c_nationkey, bal_band, c_mktsegment AS seg_mode
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_nationkey, bal_band
+                   ORDER BY c DESC, c_mktsegment) AS rk
+        FROM segcnt
+      ) WHERE rk = 1
+    ), clusters AS (
+      SELECT c_nationkey, bal_band,
+             CAST(count(*) AS BIGINT) AS n_dupes,
+             CAST(min(c_custkey) AS BIGINT) AS master_id,
+             arg_max(c_name, c_custkey) AS latest_name,
+             round(max(c_acctbal), 2) AS best_acctbal
+      FROM blocked GROUP BY 1, 2
+    )
+    SELECT c.c_nationkey AS nationkey, c.bal_band, c.n_dupes, c.master_id,
+           c.latest_name, c.best_acctbal, s.seg_mode
+    FROM clusters c JOIN segpick s USING (c_nationkey, bal_band)
+    WHERE c.n_dupes >= 2
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the MERGE step of entity resolution
+    (er_sorted_neighborhood / er_fuzzy_name_match FIND duplicate pairs;
+    MDM then has to emit ONE master row per cluster). Customers are
+    blocked on (nationkey, acctbal-thousand band) as the duplicate key;
+    each cluster survives as: master_id = lowest key (stable identity),
+    latest_name = arg_max by custkey (most-recent-writer wins),
+    best_acctbal = max, segment = MODE with deterministic (count DESC,
+    segment) tie-break — one field-level survivorship rule of each
+    standard kind (stable / recency / max / consensus).
+
+    Scale shape: survivorship is ONE map-side-combinable aggregate per
+    cluster (min/max/arg_max carry a single candidate per key per map
+    partition); the mode needs one more (cluster, segment)-keyed count
+    pass and a PARTITIONED top-1 window over the aggregated counts —
+    never over base rows. Both engines break arg_max ties on the
+    unique custkey, so every surviving field is deterministic."""
+    blocked = spark.table("customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    segcnt = blocked.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wr = W.partitionBy("c_nationkey", "bal_band").orderBy(
+        F.desc("c"), "c_mktsegment"
+    )
+    segpick = (
+        segcnt.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("c_nationkey", "bal_band", F.col("c_mktsegment").alias("seg_mode"))
+    )
+    clusters = blocked.groupBy("c_nationkey", "bal_band").agg(
+        F.count("*").cast("long").alias("n_dupes"),
+        F.min("c_custkey").cast("long").alias("master_id"),
+        F.expr("max_by(c_name, c_custkey)").alias("latest_name"),
+        F.round(F.max("c_acctbal"), 2).alias("best_acctbal"),
+    )
+    return (
+        clusters.join(segpick, ["c_nationkey", "bal_band"])
+        .where(F.col("n_dupes") >= 2)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "bal_band",
+            "n_dupes",
+            "master_id",
+            "latest_name",
+            "best_acctbal",
+            "seg_mode",
+        )
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    WITH par AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0
+    ), rel1 AS (
+      SELECT 'orders->customer_degraded' AS relation,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(*) FILTER (WHERE par.c_custkey IS NULL) AS BIGINT)
+               AS n_orphans
+      FROM orders LEFT JOIN par ON o_custkey = par.c_custkey
+    ), rel2 AS (
+      SELECT 'lineitem->orders' AS relation,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+      FROM lineitem LEFT JOIN orders o ON l_orderkey = o.o_orderkey
+    ), u AS (SELECT * FROM rel1 UNION ALL SELECT * FROM rel2)
+    SELECT relation, n_child, n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+             AS orphan_rate,
+           (n_orphans = 0) AS passed
+    FROM u
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-foreign-key counts per
+    relation — lineitem→orders against the REAL parent (clean, proves
+    the zero case) and orders→customer against a deterministically
+    degraded parent (custkeys ≡0 mod 5 removed, simulating a lost
+    parent shard — guaranteed orphans, so the detector is proved
+    non-vacuously; the join_anti 0-vs-0 lesson applied at birth). The
+    first integrity check any warehouse DQ suite runs after a load.
+
+    Scale shape: each relation is one LEFT join + conditional count —
+    at 100 TB the orders→customer probe broadcasts or co-shuffles on
+    the same key every downstream join uses anyway; counts fold
+    map-side, no orphan ROWS move, only per-partition counters."""
+    par = spark.table("customer").where(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey"
+    )
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    rel1 = (
+        o.join(par, o.o_custkey == par.c_custkey, "left")
+        .agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(F.lit("orders->customer_degraded").alias("relation"), "n_child", "n_orphans")
+    )
+    ok = o.select("o_orderkey")
+    rel2 = (
+        li.join(ok, li.l_orderkey == ok.o_orderkey, "left")
+        .agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(F.lit("lineitem->orders").alias("relation"), "n_child", "n_orphans")
+    )
+    u = rel1.unionAll(rel2)
+    return u.select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double") / F.col("n_child").cast("double"), 6
+        ).alias("orphan_rate"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )

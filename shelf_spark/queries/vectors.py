@@ -1549,3 +1549,79 @@ def vectors_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_pairs", "n_pairs_total", "mean_cosine")
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension variance screen (dead/degenerate embedding dims)
+# ---------------------------------------------------------------------------
+
+#: Population variance / mean from the exact 8dp-grid moments — one
+#: shared IEEE expression each.
+_DIMVAR = (
+    "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "vectors_dim_variance",
+    oracle=f"""
+    WITH el AS (
+      SELECT gs.i - 1 AS dim, CAST(embedding[gs.i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs
+    ), mom AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(x * 1e8 + 0.5) AS DECIMAL(18,0)))
+                  AS DOUBLE) / 1e8 AS sx,
+             CAST(sum(CAST(floor(x * x * 1e8 + 0.5) AS DECIMAL(18,0)))
+                  AS DOUBLE) / 1e8 AS sxx
+      FROM el GROUP BY dim
+    )
+    SELECT dim, n,
+           {_sql_round_ieee("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+             AS mean_,
+           {_sql_round_ieee(_DIMVAR, 6)} AS variance,
+           ({_sql_round_ieee(_DIMVAR, 6)}) < 0.0001 AS is_degenerate
+    FROM mom ORDER BY dim
+    """,
+)
+def vectors_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance screen over the embedding corpus —
+    the dead-dimension detector (a dim whose variance ≈ 0 carries no
+    information: an initialization bug, a truncation artifact, or a
+    collapsed feature; vectors_matryoshka_eval measures prefix QUALITY,
+    this localizes which coordinates are broken). Flags dims with
+    population variance < 1e-4.
+
+    Determinism: per-element values and squares land on the 1e-8
+    INTEGER grid before summation (dsum_i's cheap tier — ~40% less per
+    element than double-to-decimal casts, which dominate an
+    every-element pass; sums stay exact in DECIMAL(18,0)-of-longs with
+    1e28 headroom); mean and variance are shared
+    IEEE closed forms over (n, Σx, Σx²). Scale shape: one posexplode
+    map stage, then a partial+final aggregate onto the d-sized dim
+    domain — the only exchange carries d·partitions moment triples,
+    vectors never shuffle whole."""
+    el = spark.table("embeddings").select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    d18 = "decimal(18,0)"
+    mom = el.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(F.floor(F.col("x") * 1e8 + F.lit(0.5)).cast(d18)).cast("double")
+         / 1e8).alias("sx"),
+        (F.sum(
+            F.floor(F.col("x") * F.col("x") * 1e8 + F.lit(0.5)).cast(d18)
+        ).cast("double") / 1e8).alias("sxx"),
+    )
+    var6 = _round_ieee(F.expr(_DIMVAR), 6)
+    return mom.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        _round_ieee(F.col("sx").cast("double") / F.col("n").cast("double"), 6)
+        .alias("mean_"),
+        var6.alias("variance"),
+        (var6 < 0.0001).alias("is_degenerate"),
+    ).orderBy("dim")

@@ -534,3 +534,90 @@ def test_ljung_box_matches_python_reference(spark):
     assert got.n_days == n
     assert got.k_lags == 7
     assert got.q_stat == want
+
+
+def test_dim_variance_matches_python_reference(spark):
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    rows = c2.execute("SELECT embedding FROM embeddings").fetchall()
+    from collections import defaultdict
+
+    mom: dict = defaultdict(lambda: [0, 0, 0])  # n, sx_grid, sxx_grid (1e-8 ints)
+    for (vec,) in rows:
+        for dim, xf in enumerate(vec):
+            x = float(xf)
+            m = mom[dim]
+            m[0] += 1
+            m[1] += int(math.floor(x * 1e8 + 0.5))
+            m[2] += int(math.floor(x * x * 1e8 + 0.5))
+    want = {}
+    for dim, (n, sxg, sxxg) in mom.items():
+        sx, sxx = sxg / 1e8, sxxg / 1e8
+        var = _round_ieee_py((n * sxx - sx * sx) / (float(n) * float(n)))
+        want[dim] = (n, _round_ieee_py(sx / n), var, var < 0.0001)
+    got = {
+        r.dim: (r.n, r.mean_, r.variance, r.is_degenerate)
+        for r in QUERIES["vectors_dim_variance"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_golden_record_matches_python_reference(spark):
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_SMALL}/customer.parquet'"
+    )
+    rows = c2.execute(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+        " FROM customer"
+    ).fetchall()
+    clusters: dict = {}
+    for k, name, nat, bal, seg in rows:
+        band = int(math.floor(bal / 1000))
+        clusters.setdefault((nat, band), []).append((k, name, bal, seg))
+    want = {}
+    for (nat, band), mem in clusters.items():
+        if len(mem) < 2:
+            continue
+        master = min(k for k, _, _, _ in mem)
+        latest = max(mem, key=lambda m: m[0])[1]
+        best = round(max(b for _, _, b, _ in mem), 2)
+        segc = Counter(s for _, _, _, s in mem)
+        seg = min(segc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[(nat, band)] = (len(mem), master, latest, best, seg)
+    got = {
+        (r.nationkey, r.bal_band): (
+            r.n_dupes, r.master_id, r.latest_name, r.best_acctbal, r.seg_mode
+        )
+        for r in QUERIES["er_golden_record"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want  # non-vacuity
+
+
+def test_referential_integrity_matches_python_reference(spark):
+    c2 = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        c2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    custs = {
+        k for (k,) in c2.execute("SELECT c_custkey FROM customer").fetchall()
+        if k % 5 != 0
+    }
+    orders = c2.execute("SELECT o_orderkey, o_custkey FROM orders").fetchall()
+    okeys = {k for k, _ in orders}
+    lkeys = [k for (k,) in c2.execute("SELECT l_orderkey FROM lineitem").fetchall()]
+    o_orph = sum(1 for _, c in orders if c not in custs)
+    l_orph = sum(1 for k in lkeys if k not in okeys)
+    got = {
+        r.relation: (r.n_child, r.n_orphans, r.orphan_rate, r.passed)
+        for r in QUERIES["dq_referential_integrity"](spark, SF_SMALL).collect()
+    }
+    assert got["orders->customer_degraded"] == (
+        len(orders), o_orph, _round_ieee_py(o_orph / len(orders)), o_orph == 0
+    )
+    assert got["lineitem->orders"] == (
+        len(lkeys), l_orph, _round_ieee_py(l_orph / len(lkeys)), True
+    )
+    assert o_orph > 0  # the degraded relation must actually detect orphans
