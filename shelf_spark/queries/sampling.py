@@ -1350,3 +1350,96 @@ def sample_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-origin (expanding-window) time-series CV folds
+# ---------------------------------------------------------------------------
+
+_RO_FOLDS = 5
+
+
+@query(
+    "sample_rolling_origin_folds",
+    oracle=f"""
+    WITH days AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events
+    ), bounds AS (
+      SELECT min(d) AS d0, max(d) + 1 AS d1 FROM days
+    ), folds AS (
+      SELECT f,
+             d0 + ((f + 1) * (d1 - d0)) // {_RO_FOLDS + 1} AS test_start,
+             d0 + ((f + 2) * (d1 - d0)) // {_RO_FOLDS + 1} AS test_end
+      FROM (SELECT unnest(generate_series(0, {_RO_FOLDS - 1})) AS f)
+      CROSS JOIN bounds
+    )
+    SELECT f AS fold, test_start, test_end,
+           CAST(count(CASE WHEN d < test_start THEN 1 END) AS BIGINT)
+             AS n_train,
+           CAST(count(CASE WHEN d >= test_start AND d < test_end THEN 1 END)
+                AS BIGINT) AS n_test
+    FROM folds JOIN days ON true
+    GROUP BY f, test_start, test_end
+    ORDER BY fold
+    """,
+)
+def sample_rolling_origin_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds over the
+    event stream: the time axis is cut into {_RO_FOLDS + 1} equal
+    segments; fold f trains on everything BEFORE segment f+1 and tests
+    on segment f+1 — the only CV scheme that never leaks the future
+    into training (sample_temporal_split_embargo is one such split;
+    forecasting backtests like ts_snaive_backtest need the whole
+    LADDER). Boundaries are integer day numbers derived from exact
+    epoch arithmetic, so fold membership can't flip on a float ulp.
+
+    Scale shape: one min/max pass fixes the boundaries ({_RO_FOLDS}
+    rows, broadcast); fold counts are ONE conditional aggregate over
+    the fact-fold cross (a {_RO_FOLDS}-way broadcast nested loop —
+    each fact row is counted against 5 integer comparisons, no
+    shuffle of facts beyond the final {_RO_FOLDS}-row rollup). A
+    trainer materializes fold f by re-applying the same day predicate
+    as a pushed-down filter."""
+    days = spark.table("events").select(
+        F.expr(
+            "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+            " div 86400"
+        ).alias("d")
+    )
+    bounds = days.agg(
+        F.min("d").alias("d0"), (F.max("d") + 1).alias("d1")
+    )
+    folds = (
+        spark.createDataFrame([(f,) for f in range(_RO_FOLDS)], "f int")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "f",
+            (
+                F.col("d0")
+                + F.expr(f"((f + 1) * (d1 - d0)) div {_RO_FOLDS + 1}")
+            ).alias("test_start"),
+            (
+                F.col("d0")
+                + F.expr(f"((f + 2) * (d1 - d0)) div {_RO_FOLDS + 1}")
+            ).alias("test_end"),
+        )
+    )
+    joined = days.crossJoin(F.broadcast(folds))
+    return (
+        joined.groupBy(F.col("f").cast("long").alias("fold"), "test_start", "test_end")
+        .agg(
+            F.count(F.when(F.col("d") < F.col("test_start"), 1))
+            .cast("long")
+            .alias("n_train"),
+            F.count(
+                F.when(
+                    (F.col("d") >= F.col("test_start"))
+                    & (F.col("d") < F.col("test_end")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_test"),
+        )
+        .orderBy("fold")
+    )

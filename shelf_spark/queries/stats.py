@@ -6036,3 +6036,91 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution-free exact median confidence interval (order statistics)
+# ---------------------------------------------------------------------------
+
+_MCI_Z = "1.959964"  # two-sided 95% normal quantile, shared literal
+
+#: Order-statistic ranks for the 95% median CI — floor/ceil of the same
+#: IEEE expression on both engines, so the ranks are identical integers.
+_MCI_LO = f"CAST(floor((CAST(n AS DOUBLE) - {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)"
+_MCI_HI = f"CAST(ceil((CAST(n AS DOUBLE) + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT)"
+
+
+@query(
+    "stats_median_ci_exact",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+    ), dom AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY v
+    ), cum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cc
+      FROM dom
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dom),
+    ranks AS (
+      SELECT n,
+             greatest({_MCI_LO}, 1) AS lo_rank,
+             least({_MCI_HI}, n) AS hi_rank,
+             CAST((n + 1) / 2 AS BIGINT) AS med_rank
+      FROM tot
+    )
+    SELECT n, lo_rank, hi_rank,
+           CAST(min(CASE WHEN cc >= lo_rank THEN v END) AS DOUBLE) / 100.0
+             AS ci_low,
+           CAST(min(CASE WHEN cc >= med_rank THEN v END) AS DOUBLE) / 100.0
+             AS median_,
+           CAST(min(CASE WHEN cc >= hi_rank THEN v END) AS DOUBLE) / 100.0
+             AS ci_high
+    FROM cum CROSS JOIN ranks
+    GROUP BY n, lo_rank, hi_rank
+    """,
+)
+def stats_median_ci_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of
+    extended price, by ORDER STATISTICS: the CI endpoints are the
+    ⌊(n−z√n)/2⌋-th and ⌈(n+z√n)/2+1⌉-th smallest values — no normality
+    assumption, no resampling (the binomial-rank construction;
+    stats_poisson_bootstrap_ci resamples the MEAN, this brackets the
+    MEDIAN exactly). The uncertainty statement every "median latency /
+    median price" dashboard should carry and almost never does.
+
+    Scale shape: facts compress onto the 2dp price grid in one
+    aggregate; cumulative counts come from the DISTRIBUTED prefix-sum
+    helper; each rank lookup is a conditional-min over the domain —
+    selection WITHOUT any global sort of facts. Ranks are floor/ceil
+    of one shared IEEE expression on the exact integer n, so both
+    engines select the identical order statistics."""
+    from .prefix import attach_prefix_sums
+
+    f = spark.table("lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    dom = f.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    cum = attach_prefix_sums(dom, ["v"], ["c"]).select(
+        "v", F.col("c_upto").alias("cc")
+    )
+    ranks = (
+        dom.agg(F.sum("c").cast("long").alias("n"))
+        .select(
+            "n",
+            F.greatest(F.expr(_MCI_LO), F.lit(1)).alias("lo_rank"),
+            F.least(F.expr(_MCI_HI), F.col("n")).alias("hi_rank"),
+            ((F.col("n") + 1) / 2).cast("long").alias("med_rank"),
+        )
+    )
+    sel = cum.crossJoin(F.broadcast(ranks))
+    return sel.groupBy("n", "lo_rank", "hi_rank").agg(
+        (F.min(F.when(F.col("cc") >= F.col("lo_rank"), F.col("v"))).cast("double")
+         / 100.0).alias("ci_low"),
+        (F.min(F.when(F.col("cc") >= F.col("med_rank"), F.col("v"))).cast("double")
+         / 100.0).alias("median_"),
+        (F.min(F.when(F.col("cc") >= F.col("hi_rank"), F.col("v"))).cast("double")
+         / 100.0).alias("ci_high"),
+    )

@@ -621,3 +621,36 @@ def test_referential_integrity_matches_python_reference(spark):
         len(lkeys), l_orph, _round_ieee_py(l_orph / len(lkeys)), True
     )
     assert o_orph > 0  # the degraded relation must actually detect orphans
+
+
+def test_median_ci_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT l_extendedprice FROM lineitem")
+    vals = sorted(int(math.floor(p * 100 + 0.5)) for (p,) in rows)
+    n = len(vals)
+    z = 1.959964
+    lo = max(int(math.floor((n - z * math.sqrt(n)) / 2.0)), 1)
+    hi = min(int(math.ceil((n + z * math.sqrt(n)) / 2.0 + 1.0)), n)
+    med = int((n + 1) / 2)
+    got = QUERIES["stats_median_ci_exact"](spark, SF_SMALL).collect()[0]
+    assert (got.n, got.lo_rank, got.hi_rank) == (n, lo, hi)
+    assert got.ci_low == vals[lo - 1] / 100.0
+    assert got.median_ == vals[med - 1] / 100.0
+    assert got.ci_high == vals[hi - 1] / 100.0
+    assert got.ci_low <= got.median_ <= got.ci_high
+
+
+def test_rolling_origin_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT ts FROM events")
+    days = [int(math.floor(ts.timestamp())) // 86400 for (ts,) in rows]
+    d0, d1 = min(days), max(days) + 1
+    got = {
+        r.fold: (r.test_start, r.test_end, r.n_train, r.n_test)
+        for r in QUERIES["sample_rolling_origin_folds"](spark, SF_SMALL).collect()
+    }
+    for f in range(5):
+        ts_ = d0 + ((f + 1) * (d1 - d0)) // 6
+        te = d0 + ((f + 2) * (d1 - d0)) // 6
+        n_train = sum(1 for d in days if d < ts_)
+        n_test = sum(1 for d in days if ts_ <= d < te)
+        assert got[f] == (ts_, te, n_train, n_test), f
+        assert n_train and n_test  # every fold non-vacuous

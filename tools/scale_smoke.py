@@ -276,6 +276,8 @@ HEADLINE = [
     "vectors_dim_variance",
     "er_golden_record",
     "dq_referential_integrity",
+    "stats_median_ci_exact",
+    "sample_rolling_origin_folds",
 ]
 
 
