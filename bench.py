@@ -260,6 +260,8 @@ HEADLINE = [
     "dq_referential_integrity",
     "stats_median_ci_exact",
     "sample_rolling_origin_folds",
+    "pipeline_corpus_curation_e2e",
+    "sink_orc_roundtrip",
 ]
 
 

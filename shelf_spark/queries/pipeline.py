@@ -2310,3 +2310,96 @@ def text_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("xent"), "doc_id")
         .limit(_BLM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation: filter → dedup → near-dedup → split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_corpus_curation_e2e",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, n_chars, text,
+             len(string_split(text, ' ')) AS ntok
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM base
+      WHERE n_chars BETWEEN 100 AND 520 AND ntok >= 20
+    ), exact AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ), near AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_chars, ntok,
+               row_number() OVER (
+                 PARTITION BY array_to_string(string_split(text, ' ')[1:5], ' ')
+                 ORDER BY doc_id) AS rn2
+        FROM exact
+      ) WHERE rn2 = 1
+    ), split_ AS (
+      SELECT source, n_chars, ntok,
+             CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < '7fff'
+                  THEN 'train' ELSE 'valid' END AS split
+      FROM near
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM split_ GROUP BY split, source
+    """,
+)
+def pipeline_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one composed plan — quality filter
+    (length + token-count gates) → exact dedup (keep-first per
+    sha256(text)) → prefix-fingerprint near-dedup (keep-first per
+    first-5-token fingerprint) → leak-free hash split → per-(split,
+    source) corpus card. Every stage exists as a standalone operator
+    (filter_c4_style, dedup_keep_first, dedup_near_dup_clusters,
+    sample_train_valid_split, docs_dataset_card); this proves they
+    COMPOSE into one Catalyst plan with correct end-to-end semantics —
+    the actual shape a training-data job ships, where the value check
+    must survive four stages of survivorship interacting.
+
+    Scale shape: the filter prunes before anything shuffles; each dedup
+    stage is ONE hash exchange on its fingerprint with a PARTITIONED
+    keep-first window (survivor rows only flow forward); the split is
+    a map-side hash; the card is one bounded rollup. Nothing in the
+    chain re-scans the corpus — four stages, three exchanges, one scan."""
+    base = spark.table("documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        F.size(F.split("text", " ")).alias("ntok"),
+    )
+    filtered = base.where(
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 520) & (F.col("ntok") >= 20)
+    )
+    w1 = W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    exact = filtered.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") == 1
+    )
+    fp = F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+    w2 = W.partitionBy(fp).orderBy("doc_id")
+    near = exact.withColumn("rn2", F.row_number().over(w2)).where(
+        F.col("rn2") == 1
+    )
+    split = F.when(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4) < "7fff",
+        F.lit("train"),
+    ).otherwise(F.lit("valid"))
+    return (
+        near.select(split.alias("split"), "source", "n_chars", "ntok")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )

@@ -546,3 +546,40 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         dsum_i(F.col("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum_i("l_extendedprice", 2)} AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip: the fact table is written once as
+    ORC (Spark's second first-class columnar format — the one a
+    Hive-era lake already holds) and the rollup reads it back,
+    proving values survive the format conversion bit-exactly (the
+    oracle reads the original parquet). A 100 TB migration runs
+    exactly this check per table before cutting over; predicate
+    pushdown and column pruning work on the ORC scan the same way
+    (the plan's ReadSchema carries only the four needed columns).
+
+    The ORC copy is content-equal to the source, so the plain-SQL
+    oracle is sound — same contract as the bucketed/partitioned/
+    merge-schema layout twins."""
+    import os
+
+    tag = _layout_tag(sf_dir, "lineitem")
+    path = f"/tmp/shelf-spark-orc/lineitem_{tag}"
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.table("lineitem").write.mode("overwrite").orc(path)
+    li = spark.read.orc(path)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        dsum_i(F.col("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -654,3 +654,58 @@ def test_rolling_origin_matches_python_reference(spark):
         n_test = sum(1 for d in days if ts_ <= d < te)
         assert got[f] == (ts_, te, n_train, n_test), f
         assert n_train and n_test  # every fold non-vacuous
+
+
+def test_corpus_curation_e2e_matches_python_reference(spark):
+    import hashlib
+
+    rows = _duck(SF_SMALL, "SELECT doc_id, source, n_chars, text FROM documents")
+    filtered = [
+        (d, src, nc, t, len(t.split(" ")))
+        for d, src, nc, t in rows
+        if 100 <= nc <= 520 and len(t.split(" ")) >= 20
+    ]
+    seen_exact: dict = {}
+    for d, src, nc, t, ntok in sorted(filtered):
+        h = hashlib.sha256(t.encode()).hexdigest()
+        if h not in seen_exact:
+            seen_exact[h] = (d, src, nc, t, ntok)
+    seen_near: dict = {}
+    for d, src, nc, t, ntok in sorted(seen_exact.values()):
+        fp = " ".join(t.split(" ")[:5])
+        if fp not in seen_near:
+            seen_near[fp] = (d, src, nc, ntok)
+    agg: dict = {}
+    for d, src, nc, ntok in seen_near.values():
+        split = (
+            "train"
+            if hashlib.sha256(str(d).encode()).hexdigest()[:4] < "7fff"
+            else "valid"
+        )
+        n, tok, chars = agg.get((split, src), (0, 0, 0))
+        agg[(split, src)] = (n + 1, tok + ntok, chars + nc)
+    got = {
+        (r.split, r.source): (r.n_docs, r.total_tokens, r.avg_chars)
+        for r in QUERIES["pipeline_corpus_curation_e2e"](spark, SF_SMALL).collect()
+    }
+    want = {
+        k: (n, tok, round(chars / n, 6)) for k, (n, tok, chars) in agg.items()
+    }
+    assert got == want
+    assert len(filtered) > len(seen_exact) or len(seen_exact) >= len(seen_near)
+
+
+def test_orc_roundtrip_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT l_returnflag, l_linestatus, l_extendedprice FROM lineitem",
+    )
+    agg: dict = {}
+    for rf, ls, p in rows:
+        n, cents = agg.get((rf, ls), (0, 0))
+        agg[(rf, ls)] = (n + 1, cents + int(math.floor(p * 100 + 0.5)))
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, r.total_price)
+        for r in QUERIES["sink_orc_roundtrip"](spark, SF_SMALL).collect()
+    }
+    assert got == {k: (n, c / 100.0) for k, (n, c) in agg.items()}
