@@ -262,6 +262,7 @@ HEADLINE = [
     "sample_rolling_origin_folds",
     "pipeline_corpus_curation_e2e",
     "sink_orc_roundtrip",
+    "scan_csv_malformed",
 ]
 
 

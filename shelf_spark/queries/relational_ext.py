@@ -583,3 +583,68 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         dsum_i(F.col("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
+             AS n_corrupt,
+           CAST(count(*) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT)
+             AS n_good,
+           {sql_dsum_i("CASE WHEN o_orderkey % 97 <> 0 THEN o_totalprice"
+                       " ELSE 0 END", 2)} AS total_good
+    FROM orders
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input survival: a CSV extract of orders is written with
+    a deterministic fraction of corrupt rows (keys ≡0 mod 97 carry a
+    non-numeric amount), then read back in PERMISSIVE mode with a
+    ``_corrupt_record`` column — the row-level quarantine every real
+    ingest needs, because at 100 TB the question is never IF a feed
+    has garbage rows but whether the pipeline quarantines them without
+    dropping the good ones. The op reports total / corrupt / good
+    counts and the exact sum over surviving rows; the oracle recomputes
+    all four from the corruption rule, so a value match proves Spark's
+    CSV parser classified EVERY row exactly as constructed (a parser
+    that silently nulls a good row or swallows a bad one shifts the
+    counts or the sum).
+
+    Scale shape: CSV scan + one conditional aggregate; quarantined rows
+    cost one string column, never a job failure."""
+    import os
+
+    tag = _layout_tag(sf_dir, "orders")
+    path = f"/tmp/shelf-spark-csvmal/orders_{tag}"
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.table("orders")
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.when(F.col("o_orderkey") % 97 == 0, F.lit("NOT_A_NUMBER"))
+                .otherwise(F.col("o_totalprice").cast("string"))
+                .alias("v"),
+            )
+            .write.mode("overwrite")
+            .option("header", "false")
+            .csv(path)
+        )
+    df = (
+        spark.read.schema("k LONG, v DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    from .num import dsum_i
+
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.col("_corrupt_record")).cast("long").alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_good"),
+        dsum_i(F.coalesce(F.col("v"), F.lit(0.0)), 2).alias("total_good"),
+    )

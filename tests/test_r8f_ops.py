@@ -709,3 +709,16 @@ def test_orc_roundtrip_matches_python_reference(spark):
         for r in QUERIES["sink_orc_roundtrip"](spark, SF_SMALL).collect()
     }
     assert got == {k: (n, c / 100.0) for k, (n, c) in agg.items()}
+
+
+def test_csv_malformed_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT o_orderkey, o_totalprice FROM orders")
+    n = len(rows)
+    n_corrupt = sum(1 for k, _ in rows if k % 97 == 0)
+    cents = sum(
+        int(math.floor(p * 100 + 0.5)) for k, p in rows if k % 97 != 0
+    )
+    got = QUERIES["scan_csv_malformed"](spark, SF_SMALL).collect()[0]
+    assert (got.n_rows, got.n_corrupt, got.n_good) == (n, n_corrupt, n - n_corrupt)
+    assert got.total_good == cents / 100.0
+    assert n_corrupt > 0  # the quarantine path is actually exercised
