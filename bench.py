@@ -263,6 +263,8 @@ HEADLINE = [
     "pipeline_corpus_curation_e2e",
     "sink_orc_roundtrip",
     "scan_csv_malformed",
+    "stats_tukey_hsd",
+    "stats_power_analysis",
 ]
 
 

@@ -6124,3 +6124,195 @@ def stats_median_ci_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(F.when(F.col("cc") >= F.col("hi_rank"), F.col("v"))).cast("double")
          / 100.0).alias("ci_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc (which group pairs actually differ, after ANOVA)
+# ---------------------------------------------------------------------------
+
+#: Studentized-range critical value q(k=5, df=inf, alpha=.05) — shared
+#: literal; the event-count df is ~1e4+ at sf0.01, so the asymptote is
+#: the right table row at every SF.
+_TUKEY_QCRIT = "3.858"
+
+#: MSW = SSW/(N−k) from the ANOVA carriers; the pairwise studentized
+#: statistic q_ab = |m_a − m_b| / sqrt(MSW/2 · (1/n_a + 1/n_b)) — one
+#: shared IEEE expression over the pivoted exact moments.
+_TUKEY_MSW = (
+    f"({_ANOVA_SSW} / (CAST(n AS DOUBLE) - {float(len(_ANOVA_GROUPS))}))"
+)
+_TUKEY_Q = (
+    "(abs(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    "     - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    f" / sqrt(({_TUKEY_MSW} / 2.0)"
+    "        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))"
+)
+
+
+@query(
+    "stats_tukey_hsd",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), bygrp AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             sum(CAST(c AS DECIMAL(38,0))) AS s_g,
+             sum(CAST(c AS DECIMAL(38,0)) * c) AS q_g
+      FROM v GROUP BY grp
+    ), one AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s, sum(q_g) AS q,
+             {", ".join(
+                 f"sum(n_g) FILTER (WHERE grp = '{g}') AS n_{g},"
+                 f" sum(s_g) FILTER (WHERE grp = '{g}') AS s_{g}"
+                 for g in _ANOVA_GROUPS
+             )}
+      FROM bygrp
+    ), pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.n_g AS n_a, a.s_g AS s_a, b.n_g AS n_b, b.s_g AS s_b
+      FROM bygrp a JOIN bygrp b ON a.grp < b.grp
+    )
+    SELECT grp_a, grp_b,
+           {_sql_round_ieee(
+               "(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+               " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 100.0", 6)}
+             AS mean_diff,
+           {_sql_round_ieee(_TUKEY_Q, 6)} AS q_stat,
+           ({_sql_round_ieee(_TUKEY_Q, 6)}) > {_TUKEY_QCRIT} AS significant
+    FROM pairs CROSS JOIN one
+    ORDER BY grp_a, grp_b
+    """,
+)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey honestly-significant-difference post-hoc: the 10 pairwise
+    studentized-range comparisons that tell you WHICH event types'
+    value distributions differ after stats_anova_oneway's F says "at
+    least one does" — the step every ANOVA writeup needs next, with the
+    family-wise error rate the naive 10 t-tests would blow.
+
+    Exactness: the ANOVA pivot discipline — exact integer (n, Σc, Σc²)
+    per group in DECIMAL, MSW and every q_ab ONE shared IEEE
+    expression over the named carriers; the significance flag compares
+    the ROUNDED statistic against the literal critical value, so both
+    engines flip together. Scale shape: one fact aggregate onto the
+    5-group domain, a 10-row pair join of that domain, the 1-row
+    carrier broadcast — fact rows are touched exactly once."""
+    v = spark.table("events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    c38 = F.col("c").cast("decimal(38,0)")
+    bygrp = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(c38).alias("s_g"),
+        F.sum(c38 * F.col("c")).alias("q_g"),
+    ).localCheckpoint()  # 5-row domain, consumed by pairs + carriers
+    one = bygrp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        *[
+            agg
+            for g in _ANOVA_GROUPS
+            for agg in (
+                F.sum(F.when(F.col("grp") == g, F.col("n_g"))).alias(f"n_{g}"),
+                F.sum(F.when(F.col("grp") == g, F.col("s_g"))).alias(f"s_{g}"),
+            )
+        ],
+    )
+    a = bygrp.select(
+        F.col("grp").alias("grp_a"), F.col("n_g").alias("n_a"), F.col("s_g").alias("s_a")
+    )
+    b = bygrp.select(
+        F.col("grp").alias("grp_b"), F.col("n_g").alias("n_b"), F.col("s_g").alias("s_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    q6 = _round_ieee(F.expr(_TUKEY_Q), 6)
+    return (
+        pairs.crossJoin(F.broadcast(one))
+        .select(
+            "grp_a",
+            "grp_b",
+            _round_ieee(
+                (
+                    F.col("s_a").cast("double") / F.col("n_a").cast("double")
+                    - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+                )
+                / 100.0,
+                6,
+            ).alias("mean_diff"),
+            q6.alias("q_stat"),
+            (q6 > float(_TUKEY_QCRIT)).alias("significant"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-size planner (power analysis for two proportions)
+# ---------------------------------------------------------------------------
+
+_POWER_Z_A2 = "1.959964"  # alpha = .05 two-sided
+_POWER_Z_B = "0.841621"   # power = .80
+_POWER_MDE = "0.10"       # +10% relative lift to detect
+
+_POWER_N = (
+    f"ceil((({_POWER_Z_A2} + {_POWER_Z_B}) * ({_POWER_Z_A2} + {_POWER_Z_B}))"
+    " * (p1 * (1.0 - p1) + p2 * (1.0 - p2))"
+    " / ((p2 - p1) * (p2 - p1)))"
+)
+
+
+@query(
+    "stats_power_analysis",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purch
+      FROM events
+    ), rates AS (
+      SELECT n_events, n_purch,
+             CAST(n_purch AS DOUBLE) / CAST(n_events AS DOUBLE) AS p1,
+             (CAST(n_purch AS DOUBLE) / CAST(n_events AS DOUBLE))
+               * (1.0 + {_POWER_MDE}) AS p2
+      FROM base
+    )
+    SELECT n_events, n_purch,
+           {_sql_round_ieee("p1", 6)} AS base_rate,
+           {_sql_round_ieee("p2", 6)} AS target_rate,
+           CAST({_POWER_N} AS BIGINT) AS n_per_arm
+    FROM rates
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planner: from the corpus's exact purchase base
+    rate, the per-arm sample size needed to detect a +10% relative lift
+    at α=.05 (two-sided) with 80% power — the question every
+    experimentation review asks BEFORE launch (ab_test_proportions
+    judges the experiment after; this says how long it must run).
+    n = (z_{{α/2}}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/(p₂−p₁)², z's as shared
+    literals.
+
+    Scale shape: one conditional-count aggregate; base rate from exact
+    integers; the ceil of one shared IEEE expression lands on the same
+    integer on both engines."""
+    base = spark.table("events").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    p1 = F.col("n_purch").cast("double") / F.col("n_events").cast("double")
+    rates = base.select(
+        "n_events", "n_purch", p1.alias("p1"), (p1 * (1.0 + float(_POWER_MDE))).alias("p2")
+    )
+    return rates.select(
+        "n_events",
+        "n_purch",
+        _round_ieee(F.col("p1"), 6).alias("base_rate"),
+        _round_ieee(F.col("p2"), 6).alias("target_rate"),
+        F.expr(_POWER_N).cast("long").alias("n_per_arm"),
+    )

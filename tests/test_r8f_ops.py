@@ -722,3 +722,61 @@ def test_csv_malformed_matches_python_reference(spark):
     assert (got.n_rows, got.n_corrupt, got.n_good) == (n, n_corrupt, n - n_corrupt)
     assert got.total_good == cents / 100.0
     assert n_corrupt > 0  # the quarantine path is actually exercised
+
+
+def test_tukey_hsd_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT event_type, value FROM events")
+    from collections import defaultdict
+
+    g: dict = defaultdict(lambda: [0, 0, 0])  # n, s, q (cents)
+    for grp, v in rows:
+        c = int(math.floor(v * 100 + 0.5))
+        g[grp][0] += 1
+        g[grp][1] += c
+        g[grp][2] += c * c
+    n = sum(m[0] for m in g.values())
+    q_tot = sum(m[2] for m in g.values())
+    # The engines sum the per-group ratio in FIXED literal group order
+    # (click, error, purchase, signup, view) — mirror that order.
+    order = ("click", "error", "purchase", "signup", "view")
+    ratio = 0.0
+    for grp in order:
+        m = g[grp]
+        ratio += float(m[1]) * float(m[1]) / float(m[0])
+    msw = (float(q_tot) - ratio) / (float(n) - 5.0)
+    got = {
+        (r.grp_a, r.grp_b): (r.mean_diff, r.q_stat, r.significant)
+        for r in QUERIES["stats_tukey_hsd"](spark, SF_SMALL).collect()
+    }
+    import itertools
+
+    for ga, gb in itertools.combinations(sorted(g), 2):
+        na, sa = g[ga][0], g[ga][1]
+        nb, sb = g[gb][0], g[gb][1]
+        diff = float(sa) / na - float(sb) / nb
+        qs = abs(diff) / math.sqrt((msw / 2.0) * (1.0 / na + 1.0 / nb))
+        q6 = _round_ieee_py(qs)
+        assert got[(ga, gb)] == (
+            _round_ieee_py(diff / 100.0), q6, q6 > 3.858
+        ), (ga, gb)
+
+
+def test_power_analysis_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT count(*), count(*) FILTER (WHERE event_type = 'purchase')"
+        " FROM events",
+    )
+    n_events, n_purch = rows[0]
+    p1 = n_purch / n_events
+    p2 = p1 * 1.1
+    za, zb = 1.959964, 0.841621
+    n_arm = math.ceil(
+        (za + zb) * (za + zb) * (p1 * (1 - p1) + p2 * (1 - p2))
+        / ((p2 - p1) * (p2 - p1))
+    )
+    got = QUERIES["stats_power_analysis"](spark, SF_SMALL).collect()[0]
+    assert (got.n_events, got.n_purch) == (n_events, n_purch)
+    assert got.base_rate == _round_ieee_py(p1)
+    assert got.target_rate == _round_ieee_py(p2)
+    assert got.n_per_arm == n_arm
