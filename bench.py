@@ -265,6 +265,7 @@ HEADLINE = [
     "scan_csv_malformed",
     "stats_tukey_hsd",
     "stats_power_analysis",
+    "ts_holt_winters",
 ]
 
 

@@ -6316,3 +6316,148 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_ieee(F.col("p2"), 6).alias("target_rate"),
         F.expr(_POWER_N).cast("long").alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal forecast (period 7, alpha=beta=gamma=0.5)
+# ---------------------------------------------------------------------------
+
+_HW_H = 7
+
+
+def _hw_sql() -> str:
+    """Build the recursive-CTE oracle: state = (l, t, s0..s6); every
+    reuse of l_new is INLINED textually (the ts_holt_linear lesson), so
+    the float op sequence is pinned on both engines."""
+    y = lambda k: f"(SELECT y FROM idx WHERE i = {k})"  # noqa: E731
+    l0 = "(" + " + ".join(y(k) for k in range(1, 8)) + ") / 7.0"
+    m2 = "(" + " + ".join(y(k) for k in range(8, 15)) + ") / 7.0"
+    t0 = f"(({m2}) - ({l0})) / 7.0"
+    seas_init = ", ".join(f"{y(k)} - ({l0}) AS s{k - 1}" for k in range(1, 8))
+    sold = (
+        "CASE (d.i - 1) % 7 "
+        + " ".join(f"WHEN {j} THEN hw.s{j}" for j in range(7))
+        + " END"
+    )
+    lnew = f"(0.5 * (d.y - ({sold})) + 0.5 * (hw.l + hw.t))"
+    s_steps = ", ".join(
+        f"CASE WHEN (d.i - 1) % 7 = {j}"
+        f" THEN 0.5 * (d.y - {lnew}) + 0.5 * hw.s{j}"
+        f" ELSE hw.s{j} END AS s{j}"
+        for j in range(7)
+    )
+    s_fc = (
+        "CASE (nn + h - 1) % 7 "
+        + " ".join(f"WHEN {j} THEN s{j}" for j in range(7))
+        + " END"
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))
+                  AS DOUBLE) / 100.0 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+    ), hw AS (
+      SELECT 7 AS i, {l0} AS l, {t0} AS t, {seas_init}
+      UNION ALL
+      SELECT d.i,
+             {lnew} AS l,
+             0.5 * ({lnew} - hw.l) + 0.5 * hw.t AS t,
+             {s_steps}
+      FROM hw JOIN idx d ON d.i = hw.i + 1
+    ), fin AS (
+      SELECT * FROM hw ORDER BY i DESC LIMIT 1
+    ), meta AS (
+      SELECT max(day) AS last_day, CAST(count(*) AS BIGINT) AS nn FROM daily
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           last_day + CAST(h AS INTEGER) AS day,
+           {_sql_round_ieee(f"l + CAST(h AS DOUBLE) * t + ({s_fc})", 6)}
+             AS forecast
+    FROM fin CROSS JOIN meta
+    CROSS JOIN generate_series(1, {_HW_H}) AS g(h)
+    ORDER BY h
+    """
+
+
+def _hw_spark_expr() -> str:
+    """The same recurrence as ONE Spark SQL `aggregate` fold over the
+    collected day series (bounded-domain rule); 0.5D literals keep the
+    arithmetic in doubles, and l_new is inlined exactly as in the
+    oracle."""
+    e = lambda k: f"element_at(s, {k}).y"  # noqa: E731
+    l0 = "(" + " + ".join(e(k) for k in range(1, 8)) + ") / 7.0D"
+    m2 = "(" + " + ".join(e(k) for k in range(8, 15)) + ") / 7.0D"
+    t0 = f"(({m2}) - ({l0})) / 7.0D"
+    seas_init = "array(" + ", ".join(
+        f"{e(k)} - ({l0})" for k in range(1, 8)
+    ) + ")"
+    sold = "element_at(acc.s, CAST((p.pos - 1) % 7 AS INT) + 1)"
+    lnew = f"(0.5D * (p.y - {sold}) + 0.5D * (acc.l + acc.t))"
+    return (
+        "aggregate("
+        "  transform(slice(s, 8, size(s) - 7),"
+        "            (q, idx) -> named_struct('pos', idx + 8, 'y', q.y)),"
+        f" named_struct('l', {l0}, 't', {t0}, 's', {seas_init}),"
+        "  (acc, p) -> named_struct("
+        f"   'l', {lnew},"
+        f"   't', 0.5D * ({lnew} - acc.l) + 0.5D * acc.t,"
+        "    's', transform(acc.s, (sv, j) ->"
+        "           IF(j = CAST((p.pos - 1) % 7 AS INT),"
+        f"             0.5D * (p.y - {lnew}) + 0.5D * sv, sv))))"
+    )
+
+
+@query("ts_holt_winters", oracle=_hw_sql())
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecasting (period 7,
+    α=β=γ=0.5) over the daily purchase-revenue series: level + trend +
+    a 7-slot seasonal state updated per observation, forecasting
+    ŷ(h) = l + h·t + s[(n+h−1) mod 7] for h = 1..{_HW_H} — the
+    production-standard seasonal forecaster one rung above
+    ts_holt_linear_forecast (which a weekly-periodic series defeats;
+    ts_acf's lag-7 spike is exactly the signal this model consumes).
+    Seasonal slots are POSITIONAL (i mod 7 over observed days), the
+    standard formulation for a gapless daily rollup.
+
+    An inherently sequential 9-state recurrence, handled by the
+    bounded-domain rule: the heavy part (daily revenue on the exact
+    cent grid) is a distributed aggregate; the fold then runs over the
+    calendar-bounded DAY DOMAIN as one `aggregate` lambda whose l_new
+    is textually INLINED in the trend and seasonal updates — the
+    DuckDB oracle runs the IDENTICAL op sequence as a recursive CTE
+    with the seasonal array unrolled into 7 columns, so all {_HW_H}
+    forecasts compare bitwise."""
+    e = spark.table("events").filter(F.col("event_type") == "purchase")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg((F.sum(cents).cast("double") / 100.0).alias("y"))
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    fitted = series.select(
+        F.element_at("s", -1)["day"].alias("last_day"),
+        F.size("s").alias("nn"),
+        F.expr(_hw_spark_expr()).alias("st"),
+    )
+    fc = (
+        "st.l + CAST(h AS DOUBLE) * st.t"
+        " + element_at(st.s, CAST((nn + h - 1) % 7 AS INT) + 1)"
+    )
+    return (
+        fitted.select(
+            "last_day",
+            "nn",
+            "st",
+            F.explode(F.sequence(F.lit(1), F.lit(_HW_H))).alias("h"),
+        )
+        .select(
+            F.col("h").cast("long").alias("h"),
+            F.date_add("last_day", F.col("h")).alias("day"),
+            _round_ieee(F.expr(fc), 6).alias("forecast"),
+        )
+        .orderBy("h")
+    )

@@ -780,3 +780,39 @@ def test_power_analysis_matches_python_reference(spark):
     assert got.base_rate == _round_ieee_py(p1)
     assert got.target_rate == _round_ieee_py(p2)
     assert got.n_per_arm == n_arm
+
+
+def test_holt_winters_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))"
+        "      AS DOUBLE) / 100.0 AS y"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY day",
+    )
+    ys = [y for _, y in rows]
+    n = len(ys)
+    assert n >= 15
+    # mirror the engines' op order exactly (left-assoc sums, inlined l_new)
+    l = (ys[0] + ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6]) / 7.0
+    m2 = (ys[7] + ys[8] + ys[9] + ys[10] + ys[11] + ys[12] + ys[13]) / 7.0
+    t = (m2 - l) / 7.0
+    s = [ys[k] - l for k in range(7)]
+    for i in range(8, n + 1):  # 1-based positions 8..n
+        y = ys[i - 1]
+        j = (i - 1) % 7
+        sold = s[j]
+        lnew = 0.5 * (y - sold) + 0.5 * (l + t)
+        tnew = 0.5 * (lnew - l) + 0.5 * t
+        s[j] = 0.5 * (y - lnew) + 0.5 * sold
+        l, t = lnew, tnew
+    got = {
+        r.h: (r.day, r.forecast)
+        for r in QUERIES["ts_holt_winters"](spark, SF_SMALL).collect()
+    }
+    from datetime import timedelta
+
+    last_day = rows[-1][0]
+    for h in range(1, 8):
+        want = _round_ieee_py(l + float(h) * t + s[(n + h - 1) % 7])
+        assert got[h] == (last_day + timedelta(days=h), want), h

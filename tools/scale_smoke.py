@@ -283,6 +283,7 @@ HEADLINE = [
     "scan_csv_malformed",
     "stats_tukey_hsd",
     "stats_power_analysis",
+    "ts_holt_winters",
 ]
 
 
