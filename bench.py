@@ -266,6 +266,8 @@ HEADLINE = [
     "stats_tukey_hsd",
     "stats_power_analysis",
     "ts_holt_winters",
+    "text_novelty_score",
+    "ts_max_drawdown",
 ]
 
 

@@ -6461,3 +6461,84 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown of cumulative revenue (peak-to-trough risk metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(18,0)) AS rev
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT day, CAST(sum(rev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(18,0)) AS c
+      FROM daily
+    ), dd AS (
+      SELECT b.day AS trough_day,
+             CAST(max(a.c) AS DECIMAL(18,0)) AS peak_c,
+             CAST(max(b.c) AS DECIMAL(18,0)) AS trough_c
+      FROM cum a JOIN cum b ON a.day <= b.day
+      GROUP BY b.day
+    )
+    SELECT trough_day,
+           CAST(peak_c - trough_c AS DECIMAL(18,0)) AS drawdown_cents,
+           CAST(peak_c - trough_c AS DOUBLE) / 100.0 AS drawdown
+    FROM dd
+    ORDER BY peak_c - trough_c DESC, trough_day LIMIT 1
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue curve — the
+    deepest peak-to-trough fall, the risk metric that says how bad the
+    worst historical slump was (ts_changepoint_cusum locates WHERE the
+    level shifted; drawdown sizes the worst cumulative damage). Exact
+    integer cents end to end; ties broken to the earliest trough.
+
+    Scale shape: facts compress onto the TIME-BOUNDED day domain; the
+    cumulative curve comes from the DISTRIBUTED prefix-sum helper; the
+    running peak is a broadcast non-equi self-join of the ~2.4k-row
+    domain (the Mann-Kendall pair shape — constant in corpus size,
+    quadratic only in YEARS) aggregated per trough day; the final
+    argmax is a domain-sized top-1."""
+    from .prefix import attach_prefix_sums
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("decimal(18,0)")
+            .alias("rev")
+        )
+    )
+    cum = attach_prefix_sums(daily, ["day"], ["rev"]).select(
+        "day", F.col("rev_upto").cast("decimal(18,0)").alias("c")
+    )
+    a = cum.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = cum.select(F.col("day").alias("day_b"), F.col("c").alias("c_b"))
+    dd = (
+        a.join(F.broadcast(b), F.col("day_a") <= F.col("day_b"))
+        .groupBy(F.col("day_b").alias("trough_day"))
+        .agg(
+            F.max("c_a").cast("decimal(18,0)").alias("peak_c"),
+            F.max("c_b").cast("decimal(18,0)").alias("trough_c"),
+        )
+    )
+    draw = (F.col("peak_c") - F.col("trough_c")).cast("decimal(18,0)")
+    return (
+        dd.select(
+            "trough_day",
+            draw.alias("drawdown_cents"),
+            (draw.cast("double") / 100.0).alias("drawdown"),
+        )
+        .orderBy(F.desc("drawdown_cents"), "trough_day")
+        .limit(1)
+    )

@@ -404,3 +404,84 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_novelty_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) s
+    ), firsts AS (
+      SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY g
+    ), scored AS (
+      SELECT grams.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE firsts.first_doc = grams.doc_id)
+                  AS BIGINT) AS n_novel
+      FROM grams JOIN firsts USING (g)
+      GROUP BY grams.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             AS novelty
+    FROM scored
+    ORDER BY novelty ASC, doc_id LIMIT 25
+    """,
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: for each document, the fraction of its
+    distinct 3-grams that FIRST appear in it (first = lowest doc_id,
+    the ingestion-order proxy) — the curriculum/diversity signal a
+    data-mixing pipeline uses to prefer documents that add new content
+    over documents that rehash the corpus (dedup asks "is this a copy?";
+    novelty asks "how much of this have we seen ANYWHERE?"). Emits the
+    25 LEAST novel documents — the rehash candidates.
+
+    Scale shape: grams explode map-side and dedupe per doc in the same
+    pass; first-seen is ONE min-aggregate on the gram domain (map-side
+    combinable — the shuffle carries one candidate per gram per map
+    partition); scoring joins docs' grams back on the gram key — the
+    same single-exchange shape as text_decontaminate. No doc ever
+    compares against another doc pairwise."""
+    toks = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.col("l")[i], F.col("l")[i + 1], F.col("l")[i + 2]
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    scored = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("novelty", "doc_id")
+        .limit(25)
+    )

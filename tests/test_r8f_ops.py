@@ -816,3 +816,54 @@ def test_holt_winters_matches_python_reference(spark):
     for h in range(1, 8):
         want = _round_ieee_py(l + float(h) * t + s[(n + h - 1) % 7])
         assert got[h] == (last_day + timedelta(days=h), want), h
+
+
+def test_novelty_matches_python_reference(spark):
+    rows = _duck(SF_SMALL, "SELECT doc_id, text FROM documents")
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        per_doc[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    first: dict = {}
+    for doc_id in sorted(per_doc):
+        for g in per_doc[doc_id]:
+            if g not in first:
+                first[g] = doc_id
+    scored = []
+    for doc_id, grams in per_doc.items():
+        novel = sum(1 for g in grams if first[g] == doc_id)
+        scored.append(
+            (doc_id, len(grams), novel, _round_ieee_py(novel / len(grams)))
+        )
+    want = sorted(scored, key=lambda r: (r[3], r[0]))[:25]
+    got = [
+        (r.doc_id, r.n_grams, r.n_novel, r.novelty)
+        for r in QUERIES["text_novelty_score"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_max_drawdown_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT o_orderdate, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        " FROM orders",
+    )
+    daily: Counter = Counter()
+    for d, cents in rows:
+        daily[d] += cents
+    c = 0
+    peak = 0
+    best = None  # (drawdown, trough_day)
+    for day in sorted(daily):
+        c += daily[day]
+        peak = max(peak, c)
+        dd = peak - c
+        if best is None or dd > best[0]:
+            best = (dd, day)
+    got = QUERIES["ts_max_drawdown"](spark, SF_SMALL).collect()[0]
+    assert got.trough_day == best[1]
+    assert int(got.drawdown_cents) == best[0]
+    assert got.drawdown == best[0] / 100.0
