@@ -268,6 +268,7 @@ HEADLINE = [
     "ts_holt_winters",
     "text_novelty_score",
     "ts_max_drawdown",
+    "pipeline_entity_resolution_e2e",
 ]
 
 

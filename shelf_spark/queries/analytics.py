@@ -2256,3 +2256,113 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("orphan_rate"),
         (F.col("n_orphans") == 0).alias("passed"),
     )
+
+
+@query(
+    "pipeline_entity_resolution_e2e",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT c_custkey AS k, c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY nat ORDER BY bal, k) AS rnk
+      FROM r
+    ), pairs AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM rk a JOIN rk b
+        ON a.nat = b.nat AND b.rnk = a.rnk + 1 AND b.bal - a.bal <= 500
+    ), edges AS (
+      SELECT ka AS src, kb AS dst FROM pairs
+      UNION SELECT kb, ka FROM pairs
+    ), walk(k, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.k, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT k, CAST(min(reach) AS BIGINT) AS cid FROM walk GROUP BY k
+    ), labeled AS (
+      SELECT r.nat, r.k, coalesce(c.cid, r.k) AS cid,
+             (c.k IS NOT NULL) AS inc
+      FROM r LEFT JOIN comp c USING (k)
+    )
+    SELECT CAST(nat AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(*) FILTER (WHERE inc) AS BIGINT) AS n_in_clusters,
+           CAST(count(DISTINCT CASE WHEN inc THEN cid END) AS BIGINT)
+             AS n_clusters,
+           CAST(count(*) FILTER (WHERE inc)
+                - count(DISTINCT CASE WHEN inc THEN cid END) AS BIGINT)
+             AS n_merged_away
+    FROM labeled GROUP BY nat ORDER BY nationkey
+    """,
+)
+def pipeline_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END as one plan: sorted-neighborhood
+    blocking (rank by balance within nation, compare rank-adjacent
+    records on exact integer cents, ≤ 5.00 apart = candidate pair) →
+    TRANSITIVE closure into entity clusters (star contraction — the
+    step that turns pairwise matches into entities: A≈B and B≈C merge
+    all three even when A and C never matched directly) → the per-
+    nation merge ledger (records, clustered, surviving masters, rows
+    merged away). Composes er_sorted_neighborhood's blocking,
+    dedup_near_dup_clusters' contraction, and er_golden_record's
+    survivorship INTO the MDM job a warehouse actually runs; the
+    oracle replays the whole chain including the recursive-CTE
+    closure, so the merge decisions are value-checked end-to-end
+    through the transitivity.
+
+    Scale shape: blocking is a PARTITIONED window (one nation-keyed
+    exchange, neighbors compared without any n² within-block join);
+    contraction is O(log² n) rounds over pair-sized relations; the
+    ledger is one bounded rollup. Chains are guaranteed non-vacuous:
+    consecutive balances within 5.00 occur in every nation at sf0.01."""
+    from .sampling import star_components
+
+    r = spark.table("customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
+    )
+    wr = W.partitionBy("nat").orderBy("bal", "k")
+    rk = r.withColumn("rnk", F.row_number().over(wr))
+    a = rk.select(
+        F.col("nat").alias("nat_a"), F.col("k").alias("ka"),
+        F.col("bal").alias("bal_a"), F.col("rnk").alias("rnk_a"),
+    )
+    b = rk.select(
+        F.col("nat").alias("nat_b"), F.col("k").alias("kb"),
+        F.col("bal").alias("bal_b"), F.col("rnk").alias("rnk_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("nat_a") == F.col("nat_b"))
+        & (F.col("rnk_b") == F.col("rnk_a") + 1)
+        & (F.col("bal_b") - F.col("bal_a") <= 500),
+    ).select("ka", "kb")
+    comp = star_components(pairs, "ka", "kb").select(
+        F.col("node").alias("k"), F.col("component").alias("cid")
+    )
+    labeled = r.join(comp, "k", "left").select(
+        "nat",
+        "k",
+        F.coalesce("cid", F.col("k")).alias("cid"),
+        F.col("cid").isNotNull().alias("inc"),
+    )
+    return (
+        labeled.groupBy(F.col("nat").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.count(F.when(F.col("inc"), 1)).cast("long").alias("n_in_clusters"),
+            F.countDistinct(F.when(F.col("inc"), F.col("cid")))
+            .cast("long")
+            .alias("n_clusters"),
+            (
+                F.count(F.when(F.col("inc"), 1))
+                - F.countDistinct(F.when(F.col("inc"), F.col("cid")))
+            )
+            .cast("long")
+            .alias("n_merged_away"),
+        )
+        .orderBy("nationkey")
+    )

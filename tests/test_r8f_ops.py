@@ -867,3 +867,57 @@ def test_max_drawdown_matches_python_reference(spark):
     assert got.trough_day == best[1]
     assert int(got.drawdown_cents) == best[0]
     assert got.drawdown == best[0] / 100.0
+
+
+def test_er_e2e_matches_python_reference(spark):
+    # sf0.01, not SF_SMALL: the 5.00-balance blocking rule needs ~60
+    # customers per nation for transitive chains to exist (at sf0.001
+    # the 150-customer corpus is too sparse for ANY pair, which would
+    # make the closure check vacuous).
+    sf = "/root/testdata/sf0.01"
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+    )
+    rows = c2.execute(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer"
+    ).fetchall()
+    recs = [(k, nat, int(math.floor(bal * 100 + 0.5))) for k, nat, bal in rows]
+    by_nat: dict = {}
+    for k, nat, bal in recs:
+        by_nat.setdefault(nat, []).append((bal, k))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    in_cluster = set()
+    for nat, lst in by_nat.items():
+        lst.sort()
+        for i in range(len(lst) - 1):
+            if lst[i + 1][0] - lst[i][0] <= 500:
+                union(lst[i][1], lst[i + 1][1])
+                in_cluster.add(lst[i][1])
+                in_cluster.add(lst[i + 1][1])
+    want = {}
+    for nat, lst in by_nat.items():
+        ks = [k for _, k in lst]
+        inc = [k for k in ks if k in in_cluster]
+        clusters = {find(k) for k in inc}
+        want[nat] = (len(ks), len(inc), len(clusters), len(inc) - len(clusters))
+    got = {
+        r.nationkey: (r.n_records, r.n_in_clusters, r.n_clusters, r.n_merged_away)
+        for r in QUERIES["pipeline_entity_resolution_e2e"](spark, sf).collect()
+    }
+    assert got == want
+    # transitivity non-vacuous: some cluster merged MORE than one pair's
+    # worth of records (inc - clusters >= 2 means a >=3-member chain)
+    assert any(v[3] >= 2 for v in want.values())
