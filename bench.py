@@ -269,6 +269,7 @@ HEADLINE = [
     "text_novelty_score",
     "ts_max_drawdown",
     "pipeline_entity_resolution_e2e",
+    "pipeline_feature_store_e2e",
 ]
 
 

@@ -2403,3 +2403,145 @@ def pipeline_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end feature-store job: leakage-safe features + label + split
+# ---------------------------------------------------------------------------
+
+_FS_LABEL_WINDOW_S = 7 * 86400
+
+
+@query(
+    "pipeline_feature_store_e2e",
+    oracle=f"""
+    WITH sec AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), cut AS (
+      SELECT max(ts_s) - {_FS_LABEL_WINDOW_S} AS cutoff_s FROM sec
+    ), feats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT d) AS BIGINT) AS n_active_days,
+             CAST(max(ts_s) AS BIGINT) AS last_s,
+             CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'purchase'),
+                           0) AS BIGINT) AS purch_cents
+      FROM sec CROSS JOIN cut WHERE ts_s <= cutoff_s
+      GROUP BY user_id
+    ), labels AS (
+      SELECT DISTINCT user_id FROM sec CROSS JOIN cut
+      WHERE ts_s > cutoff_s AND event_type = 'purchase'
+    ), joined AS (
+      SELECT f.user_id, f.n_events, f.n_active_days,
+             (SELECT cutoff_s FROM cut) - f.last_s AS recency_s,
+             f.purch_cents,
+             (l.user_id IS NOT NULL) AS label,
+             CASE WHEN substr(sha256(CAST(f.user_id AS VARCHAR)), 1, 4)
+                       < '7fff'
+                  THEN 'train' ELSE 'valid' END AS split
+      FROM feats f LEFT JOIN labels l USING (user_id)
+    )
+    SELECT split, label,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+           round(CAST(sum(n_active_days) AS DOUBLE) / count(*), 6)
+             AS avg_active_days,
+           round(CAST(sum(recency_s) AS DOUBLE) / count(*), 6)
+             AS avg_recency_s,
+           CAST(sum(purch_cents) AS DOUBLE) / 100.0 AS total_purchases
+    FROM joined GROUP BY split, label
+    """,
+)
+def pipeline_feature_store_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store job END-TO-END with the leakage discipline
+    that makes or breaks offline training: a point-in-time CUTOFF
+    (last timestamp − 7 days), per-user features computed ONLY from
+    events at-or-before it (activity count, distinct active days,
+    recency in exact integer seconds, purchase total in exact cents),
+    the label ONLY from the 7-day window after it (future purchase),
+    and the leak-free hash split — emitted as the per-(split, label)
+    cohort card a training run logs before fitting anything. Composes
+    join_scd2_pointintime's as-of discipline, events_rfm_segments'
+    feature shapes, and sample_train_valid_split's hash split into the
+    one job every events→model pipeline actually is; a feature that
+    peeked past the cutoff or a label that leaked backward shifts the
+    cohort card, so the cross-engine value match checks the temporal
+    hygiene itself.
+
+    Scale shape: ONE fact pass builds features (map-side-combinable
+    per-user aggregate), one semi-side pass builds labels, one
+    user-keyed join, one bounded rollup; the cutoff is a 1-row
+    broadcast; all boundary comparisons are integer-second — split
+    membership and windows can't flip on a float ulp."""
+    sec = spark.table("events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("ts_s"),
+        F.expr(
+            "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+            " div 86400"
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cut = sec.agg(
+        (F.max("ts_s") - _FS_LABEL_WINDOW_S).cast("long").alias("cutoff_s")
+    )
+    withcut = sec.crossJoin(F.broadcast(cut))
+    feats = (
+        withcut.where(F.col("ts_s") <= F.col("cutoff_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("d").cast("long").alias("n_active_days"),
+            F.max("ts_s").cast("long").alias("last_s"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("cents"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("purch_cents"),
+            F.max("cutoff_s").alias("cutoff_s"),
+        )
+    )
+    labels = (
+        withcut.where(
+            (F.col("ts_s") > F.col("cutoff_s"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("lbl", F.lit(True))
+    )
+    split = F.when(
+        F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 4) < "7fff",
+        F.lit("train"),
+    ).otherwise(F.lit("valid"))
+    joined = feats.join(labels, "user_id", "left").select(
+        split.alias("split"),
+        F.coalesce("lbl", F.lit(False)).alias("label"),
+        "n_events",
+        "n_active_days",
+        (F.col("cutoff_s") - F.col("last_s")).alias("recency_s"),
+        "purch_cents",
+    )
+    return joined.groupBy("split", "label").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count("*"), 6
+        ).alias("avg_events"),
+        F.round(
+            F.sum("n_active_days").cast("double") / F.count("*"), 6
+        ).alias("avg_active_days"),
+        F.round(
+            F.sum("recency_s").cast("double") / F.count("*"), 6
+        ).alias("avg_recency_s"),
+        (F.sum("purch_cents").cast("double") / 100.0).alias("total_purchases"),
+    )

@@ -921,3 +921,63 @@ def test_er_e2e_matches_python_reference(spark):
     # transitivity non-vacuous: some cluster merged MORE than one pair's
     # worth of records (inc - clusters >= 2 means a >=3-member chain)
     assert any(v[3] >= 2 for v in want.values())
+
+
+def test_feature_store_e2e_matches_python_reference(spark):
+    import hashlib
+
+    rows = _duck(SF_SMALL, "SELECT user_id, event_type, ts, value FROM events")
+    sec = [
+        (u, et, int(math.floor(ts.timestamp())), int(math.floor(v * 100 + 0.5)))
+        for u, et, ts, v in rows
+    ]
+    cutoff = max(s for _, _, s, _ in sec) - 7 * 86400
+    feats: dict = {}
+    for u, et, s, c in sec:
+        if s > cutoff:
+            continue
+        f = feats.setdefault(u, [0, set(), 0, 0])  # n, days, last_s, cents
+        f[0] += 1
+        f[1].add(s // 86400)
+        f[2] = max(f[2], s)
+        if et == "purchase":
+            f[3] += c
+    labeled_users = {
+        u for u, et, s, _ in sec if s > cutoff and et == "purchase"
+    }
+    agg: dict = {}
+    for u, (n, days, last_s, cents) in feats.items():
+        split = (
+            "train"
+            if hashlib.sha256(str(u).encode()).hexdigest()[:4] < "7fff"
+            else "valid"
+        )
+        label = u in labeled_users
+        a = agg.setdefault((split, label), [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] += len(days)
+        a[3] += cutoff - last_s
+        a[4] += cents
+    got = {
+        (r.split, r.label): (
+            r.n_users, r.avg_events, r.avg_active_days,
+            r.avg_recency_s, r.total_purchases,
+        )
+        for r in QUERIES["pipeline_feature_store_e2e"](spark, SF_SMALL).collect()
+    }
+    want = {
+        k: (
+            n,
+            round(ne / n, 6),
+            round(nd / n, 6),
+            round(rs / n, 6),
+            c / 100.0,
+        )
+        for k, (n, ne, nd, rs, c) in agg.items()
+    }
+    assert got == want
+    # non-vacuity: both labels and both splits appear (the tiny sf0.001
+    # user base may legitimately miss one (split, label) combination)
+    assert {k[0] for k in want} == {"train", "valid"}
+    assert {k[1] for k in want} == {True, False}
