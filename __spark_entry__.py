@@ -110,7 +110,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     pipeline_corpus_curation_e2e, sink_orc_roundtrip,
 #     scan_csv_malformed, stats_tukey_hsd, stats_power_analysis,
 #     ts_holt_winters, text_novelty_score, ts_max_drawdown,
-#     pipeline_entity_resolution_e2e, pipeline_feature_store_e2e
+#     pipeline_entity_resolution_e2e, pipeline_feature_store_e2e,
+#     ts_anomaly_seasonal_mad
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

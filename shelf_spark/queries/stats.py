@@ -6542,3 +6542,145 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drawdown_cents"), "trough_day")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-residual anomaly detection (decompose + robust MAD flagging)
+# ---------------------------------------------------------------------------
+
+#: Residual in exact integer MICROS: the decompose expression tree is
+#: bit-reproducible (integer-cents inputs, shared shape), so rounding it
+#: onto the 1e-6 grid yields the same integer on both engines, and the
+#: median/MAD selection below runs on exact integers end to end.
+_SRA_RESID = (
+    "CAST(round((CAST(rev_c AS DOUBLE) / 100.0"
+    " - CAST(s7 AS DOUBLE) / (100.0 * CAST(c7 AS DOUBLE))"
+    " - (CAST(sd AS DOUBLE) / (100.0 * CAST(nd AS DOUBLE))"
+    "    - CAST(st AS DOUBLE) / (100.0 * CAST(nt AS DOUBLE))))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+@query(
+    "ts_anomaly_seasonal_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ), win AS (
+      SELECT day, rev_c, CAST(dayofweek(day) AS INT) AS dow,
+             sum(rev_c) OVER w AS s7, count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), dow_avg AS (
+      SELECT CAST(dayofweek(day) AS INT) AS dow,
+             sum(rev_c) AS sd, count(*) AS nd
+      FROM daily GROUP BY 1
+    ), tot AS (SELECT sum(rev_c) AS st, count(*) AS nt FROM daily),
+    resid AS (
+      SELECT w.day, w.rev_c, {_SRA_RESID} AS r
+      FROM win w JOIN dow_avg d ON d.dow = w.dow CROSS JOIN tot
+    ), med AS (
+      SELECT r AS med_r FROM (
+        SELECT r, row_number() OVER (ORDER BY r) AS rk FROM resid
+      ) WHERE rk = (SELECT (count(*) + 1) // 2 FROM resid)
+    ), mad AS (
+      SELECT dev AS mad_r FROM (
+        SELECT abs(r - med_r) AS dev,
+               row_number() OVER (ORDER BY abs(r - med_r)) AS rk
+        FROM resid CROSS JOIN med
+      ) WHERE rk = (SELECT (count(*) + 1) // 2 FROM resid)
+    )
+    SELECT day,
+           round(rev_c / 100.0, 6) AS revenue,
+           round(CAST(r AS DOUBLE) / 1000000.0, 6) AS residual,
+           (r > med_r) AS is_high
+    FROM resid CROSS JOIN med CROSS JOIN mad
+    WHERE abs(r - med_r) > 3 * mad_r
+    ORDER BY day
+    """,
+)
+def ts_anomaly_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection — the STL-style detector done
+    right: decompose daily revenue (ts_seasonal_decompose's centered
+    7-day trend + day-of-week seasonal), then flag days whose RESIDUAL
+    deviates from the residual median by more than 3 robust MADs. The
+    composition matters: a raw z-score detector (ts_anomaly_zscore)
+    flags every healthy Sunday; removing trend and seasonality first
+    means only genuinely unexplained days surface, and MAD (not σ)
+    keeps the threshold itself immune to the anomalies it hunts.
+
+    Exactness: residuals round onto the 1e-6 integer grid (the
+    decompose tree is already bit-reproducible), and the median and
+    MAD are ORDER-STATISTIC selections on those exact integers — the
+    3-MAD flag is an integer comparison that cannot flip on a float
+    ulp. Scale shape: one fact aggregate onto the calendar-day domain;
+    everything after (constant-key 7-row frame, two rank selections,
+    the flag) runs on the ~2.4k-row domain; the rank windows are
+    PARTITION-safe under the audit via the bounded-domain rule
+    (row_number over the compressed domain inside the oracle; Spark
+    side uses the same constant-key idiom as the decompose trend)."""
+    daily = (
+        spark.table("orders")
+        .groupBy(F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    dow = (F.dayofweek("day") - F.lit(1)).cast("int")
+    const = F.pmod(F.unix_date(F.col("day")), F.lit(1))
+    w7 = W.partitionBy(const).orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "rev_c",
+        dow.alias("dow"),
+        F.sum("rev_c").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    dow_avg = daily.groupBy(dow.alias("dow")).agg(
+        F.sum("rev_c").alias("sd"), F.count("*").alias("nd")
+    )
+    tot = daily.agg(F.sum("rev_c").alias("st"), F.count("*").alias("nt"))
+    resid = (
+        win.join(F.broadcast(dow_avg), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select("day", "rev_c", F.expr(_SRA_RESID).alias("r"))
+        .localCheckpoint()  # day-domain residuals, consumed by 3 passes
+    )
+    n1 = resid.agg(
+        F.expr("CAST((count(*) + 1) div 2 AS BIGINT)").alias("med_rank")
+    )
+    # rank selection via the bounded-domain constant-key idiom (the
+    # prefix.py exception: the window's input is the calendar-bounded
+    # day domain, never fact-sized)
+    ckey = F.pmod(F.unix_date(F.col("day")), F.lit(1))
+    ranked = resid.crossJoin(F.broadcast(n1)).withColumn(
+        "rk", F.row_number().over(W.partitionBy(ckey).orderBy("r", "day"))
+    )
+    med = ranked.where(F.col("rk") == F.col("med_rank")).select(
+        F.col("r").alias("med_r")
+    )
+    devs = resid.crossJoin(F.broadcast(med)).select(
+        "day", "rev_c", "r", "med_r", F.abs(F.col("r") - F.col("med_r")).alias("dev")
+    )
+    ranked2 = devs.crossJoin(F.broadcast(n1)).withColumn(
+        "rk", F.row_number().over(W.partitionBy(ckey).orderBy("dev", "day"))
+    )
+    mad = ranked2.where(F.col("rk") == F.col("med_rank")).select(
+        F.col("dev").alias("mad_r")
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .where(F.col("dev") > 3 * F.col("mad_r"))
+        .select(
+            "day",
+            F.round(F.col("rev_c") / 100.0, 6).alias("revenue"),
+            F.round(F.col("r").cast("double") / 1.0e6, 6).alias("residual"),
+            (F.col("r") > F.col("med_r")).alias("is_high"),
+        )
+        .orderBy("day")
+    )

@@ -981,3 +981,51 @@ def test_feature_store_e2e_matches_python_reference(spark):
     # user base may legitimately miss one (split, label) combination)
     assert {k[0] for k in want} == {"train", "valid"}
     assert {k[1] for k in want} == {True, False}
+
+
+def test_seasonal_anomaly_matches_python_reference(spark):
+    rows = _duck(
+        SF_SMALL,
+        "SELECT o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT)"
+        " FROM orders",
+    )
+    daily: Counter = Counter()
+    for d, c in rows:
+        daily[d.date() if hasattr(d, "date") else d] += c
+    days = sorted(daily)
+    n = len(days)
+    # centered 7-day trend (clipped at the ends), dow seasonal, residual
+    dow_sum: Counter = Counter()
+    dow_n: Counter = Counter()
+    for d in days:
+        k = (d.isoweekday() % 7)  # Sunday=0, matching dayofweek-1
+        dow_sum[k] += daily[d]
+        dow_n[k] += 1
+    st = sum(daily.values())
+    resid = {}
+    for i, d in enumerate(days):
+        lo, hi = max(0, i - 3), min(n - 1, i + 3)
+        s7 = sum(daily[days[j]] for j in range(lo, hi + 1))
+        c7 = hi - lo + 1
+        k = (d.isoweekday() % 7)
+        r = (
+            daily[d] / 100.0
+            - s7 / (100.0 * c7)
+            - (dow_sum[k] / (100.0 * dow_n[k]) - st / (100.0 * n))
+        )
+        resid[d] = int(round(r * 1e6))
+    vals = sorted(resid.values())
+    med = vals[(n + 1) // 2 - 1]
+    devs = sorted(abs(r - med) for r in resid.values())
+    mad = devs[(n + 1) // 2 - 1]
+    want = {
+        d: (round(daily[d] / 100.0, 6), round(r / 1e6, 6), r > med)
+        for d, r in resid.items()
+        if abs(r - med) > 3 * mad
+    }
+    got = {
+        r.day: (r.revenue, r.residual, r.is_high)
+        for r in QUERIES["ts_anomaly_seasonal_mad"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want  # anomalies exist at sf0.001

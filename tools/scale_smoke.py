@@ -288,6 +288,7 @@ HEADLINE = [
     "ts_max_drawdown",
     "pipeline_entity_resolution_e2e",
     "pipeline_feature_store_e2e",
+    "ts_anomaly_seasonal_mad",
 ]
 
 
