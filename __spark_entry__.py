@@ -111,7 +111,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     scan_csv_malformed, stats_tukey_hsd, stats_power_analysis,
 #     ts_holt_winters, text_novelty_score, ts_max_drawdown,
 #     pipeline_entity_resolution_e2e, pipeline_feature_store_e2e,
-#     ts_anomaly_seasonal_mad
+#     ts_anomaly_seasonal_mad, graph_knn_degree_curve
 #     (the late-r8 operators) landed after the 50-slot window filled —
 #     local-gate-proved (all value-exact except ann_pq_topk and
 #     pack_sequences_ffd, rows-only by design with pinned value-level

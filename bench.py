@@ -271,6 +271,7 @@ HEADLINE = [
     "pipeline_entity_resolution_e2e",
     "pipeline_feature_store_e2e",
     "ts_anomaly_seasonal_mad",
+    "graph_knn_degree_curve",
 ]
 
 

@@ -1236,3 +1236,80 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round_ieee(F.expr(_MODULARITY), 6).alias("modularity"),
         )
     )
+
+
+@query(
+    "graph_knn_degree_curve",
+    oracle=f"""
+    WITH baskets AS ({_SQL_BASKETS}),
+    pairs AS ({_SQL_PAIRS}),
+    und AS (SELECT DISTINCT p1, p2 FROM pairs),
+    dir AS (
+      SELECT p1 AS src, p2 AS dst FROM und
+      UNION ALL SELECT p2, p1 FROM und
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM dir GROUP BY src
+    ),
+    nbrsum AS (
+      SELECT dir.src AS node,
+             CAST(sum(dd.d) AS DECIMAL(38,0)) AS nbr_deg_sum
+      FROM dir JOIN deg dd ON dir.dst = dd.node
+      GROUP BY dir.src
+    )
+    SELECT deg.d AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           {_sql_round_ieee(
+               "CAST(sum(nbr_deg_sum) AS DOUBLE)"
+               " / (CAST(deg.d AS DOUBLE) * CAST(count(*) AS DOUBLE))", 6)}
+             AS knn
+    FROM deg JOIN nbrsum USING (node)
+    GROUP BY deg.d
+    ORDER BY degree
+    """,
+)
+def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) over the co-purchase graph
+    — the degree-correlation DIAGNOSTIC that expands
+    graph_assortativity's single Pearson scalar into the full curve
+    (a rising k_nn(k) = hubs prefer hubs, falling = hubs sit on the
+    periphery; the scalar can be ~0 while the curve is U-shaped, which
+    is exactly what the curve exists to reveal).
+
+    Exactness: k_nn(k) = (Σ over k-degree nodes of Σ neighbor degrees)
+    / (k · n_k) — both sums exact integers (neighbor-degree sums in
+    DECIMAL(38,0): a 6e11-edge graph's hub could touch ~1e9 neighbors
+    of degree ~1e9 → 1e18-scale row sums, then summed per degree
+    class), ONE shared IEEE division per curve point. Scale shape: the
+    same single-exchange degree machinery as assortativity — edge list
+    built once, one degree aggregate, one dst-keyed join to carry
+    degrees back, two bounded rollups; output is |distinct degrees|
+    rows."""
+    und = _basket_pairs(spark).select("p1", "p2").distinct()
+    direct = und.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(und.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    deg = direct.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    nbrsum = (
+        direct.join(
+            deg.select(F.col("node").alias("dst_n"), F.col("d").alias("dd")),
+            F.col("dst") == F.col("dst_n"),
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("dd").cast("decimal(38,0)").alias("nbr_deg_sum"))
+    )
+    return (
+        deg.join(nbrsum, "node")
+        .groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            _round_ieee(
+                F.sum("nbr_deg_sum").cast("double")
+                / (F.col("d").cast("double") * F.count("*").cast("double")),
+                6,
+            ).alias("knn"),
+        )
+        .orderBy("degree")
+    )

@@ -1029,3 +1029,36 @@ def test_seasonal_anomaly_matches_python_reference(spark):
     }
     assert got == want
     assert want  # anomalies exist at sf0.001
+
+
+def test_knn_curve_matches_python_reference(spark):
+    baskets = _duck(SF_SMALL, "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+    by_order: dict = {}
+    for o, pk in baskets:
+        by_order.setdefault(o, set()).add(pk)
+    und = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                und.add((ps[i], ps[j]))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    from collections import defaultdict
+
+    per_k: dict = defaultdict(lambda: [0, 0])  # n_nodes, sum of nbr-deg sums
+    for n, nbrs in adj.items():
+        per_k[deg[n]][0] += 1
+        per_k[deg[n]][1] += sum(deg[m] for m in nbrs)
+    want = {
+        k: (cnt, _round_ieee_py(tot / (float(k) * float(cnt))))
+        for k, (cnt, tot) in per_k.items()
+    }
+    got = {
+        r.degree: (r.n_nodes, r.knn)
+        for r in QUERIES["graph_knn_degree_curve"](spark, SF_SMALL).collect()
+    }
+    assert got == want
