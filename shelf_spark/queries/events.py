@@ -1075,14 +1075,14 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_concurrent_sessions",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), numbered AS (
-      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                 AS session_id
       FROM flagged
@@ -1131,7 +1131,10 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.table("events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # Running-sum window totally ordered by (ts, event_id) so session
+    # numbering is deterministic when a user's events share a timestamp
+    # (r8 ADVICE) — mirrored in the oracle's numbered CTE.
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     prev_ts = F.lag("ts").over(w_order)

@@ -6068,7 +6068,7 @@ _MCI_HI = f"CAST(ceil((CAST(n AS DOUBLE) + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) /
       SELECT n,
              greatest({_MCI_LO}, 1) AS lo_rank,
              least({_MCI_HI}, n) AS hi_rank,
-             CAST((n + 1) / 2 AS BIGINT) AS med_rank
+             CAST((n + 1) // 2 AS BIGINT) AS med_rank
       FROM tot
     )
     SELECT n, lo_rank, hi_rank,

@@ -447,8 +447,13 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition); scoring joins docs' grams back on the gram key — the
     same single-exchange shape as text_decontaminate. No doc ever
     compares against another doc pairwise."""
-    toks = spark.table("documents").select(
-        "doc_id", F.split("text", " ").alias("l")
+    # Docs with <3 tokens have no 3-grams; without this guard the
+    # descending F.sequence(0, size-3) would fabricate null-index grams
+    # the oracle's range(1, len-1) never emits (r8 ADVICE).
+    toks = (
+        spark.table("documents")
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .where(F.size("l") >= 3)
     )
     grams = toks.select(
         "doc_id",
