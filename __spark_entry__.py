@@ -127,6 +127,59 @@ def entry(spark: SparkSession) -> DataFrame:
 #     graph components/degrees, interarrival, C4 filter, l-diversity,
 #     bucketed co-located join), then belt-and-braces slots on the
 #     oldest (r01–r03) rows.
+#   r09 window (below): consolidation round — EVERY slot is a first-ever
+#     driver row drawn from the 120-deep never-checked queue (VERDICT r8
+#     ask #1), ordered by user impact: the three composed e2e pipelines,
+#     the dedup ACTION chain, eval/retrieval, ANN + vectors, graph,
+#     sampling, events/stats (incl. the three r9 ADVICE-fixed operators,
+#     which double as fix re-proofs), ER/CDC/DQ, text. No anchors, no
+#     belt-and-braces re-proofs, and — encoded by the assertion in
+#     queries() — no rows-only entry can ever occupy a window slot again
+#     (VERDICT r8 ask #6; the r8 window wasted a slot on a guaranteed
+#     `err: no_oracle` row). The two VERDICT-#5 promotions are included:
+#     ann_pq_exhaustive_adc (new value-exact PQ twin) and
+#     pack_sequences_ffd (promoted outright to value-exact via a
+#     recursive-CTE FFD-replay oracle — no twin needed).
+_DRIVER_WINDOW_R09 = [
+    # composed end-to-end pipelines (highest user impact)
+    "pipeline_corpus_curation_e2e", "pipeline_entity_resolution_e2e",
+    "pipeline_feature_store_e2e",
+    # the dedup ACTION chain + fingerprint family
+    "dedup_keep_best_per_cluster", "dedup_simhash_sha",
+    "dedup_incremental_batch", "dedup_containment_ngram",
+    "dedup_winnowing_pairs",
+    # eval / retrieval tier
+    "ml_average_precision", "ml_best_f1_threshold", "ml_ndcg_at_k",
+    "ml_mrr", "ann_binary_hamming_topk", "ann_hybrid_rrf",
+    # ANN exhaustive twins (VERDICT #5) + vector diagnostics
+    "ann_ivf_exhaustive", "ann_pq_exhaustive_adc",
+    "vectors_matryoshka_eval", "vectors_cosine_histogram",
+    "vectors_dim_variance",
+    # packing promotion (VERDICT #5: FFD manifest now value-exact)
+    "pack_sequences_ffd",
+    # graph tier
+    "graph_bfs_distances", "graph_hits", "graph_kcore",
+    "graph_link_prediction", "graph_clustering_coefficient",
+    "graph_modularity", "graph_knn_degree_curve",
+    # sampling / split tier
+    "sample_temporal_split_embargo", "sample_kcenter_coreset",
+    "sample_dedup_aware_split", "sample_importance_dsir",
+    "sample_balanced_downsample", "sample_negative_table",
+    "sample_rolling_origin_folds",
+    # events / preference analytics (incl. ADVICE-fix re-proof)
+    "events_window_funnel", "events_markov_attribution",
+    "events_retention_halflife", "events_concurrent_sessions",
+    "pref_bradley_terry",
+    # stats / text ADVICE-fix re-proofs (first rows post-fix)
+    "stats_median_ci_exact", "text_novelty_score",
+    # entity resolution / CDC / data quality
+    "er_sorted_neighborhood", "er_golden_record", "cdc_diff_snapshots",
+    "dq_referential_integrity", "dq_expectation_suite",
+    # text analysis tier
+    "text_collocation_llr", "ml_naive_bayes_langid",
+    "text_kneser_ney_perplexity", "text_pii_redact",
+]
+
 _DRIVER_WINDOW_R08 = [
     "q1_pricing_summary",    # flagship anchor
     "q3_shipping_priority",  # anchor
@@ -212,10 +265,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so the driver's 50-row correctness window lands on queries
-    whose expressions changed after their last driver row (see
-    _DRIVER_WINDOW_R08 above); the rest follow in registry order.
+    that have never had a driver row (see _DRIVER_WINDOW_R09 above);
+    the rest follow in registry order.
     """
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R08 if n in QUERIES}
+    # Window hygiene (r8 verdict ask #6): every windowed entry MUST have
+    # a SQL oracle — a rows-only entry in the window produces a
+    # guaranteed `err: no_oracle` row, wasting the slot.
+    missing = [n for n in _DRIVER_WINDOW_R09 if n not in ORACLES]
+    assert not missing, f"rows-only entries in driver window: {missing}"
+    unknown = [n for n in _DRIVER_WINDOW_R09 if n not in QUERIES]
+    assert not unknown, f"unknown names in driver window: {unknown}"
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R09}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn

@@ -1153,7 +1153,62 @@ _PACK_CONTEXT = 256
 _PACK_GROUPS = 32
 
 
-@query("pack_sequences_ffd")  # sequential packing heuristic → no SQL analogue
+@query(
+    "pack_sequences_ffd",
+    # First-fit-decreasing IS sequential, but it is also DETERMINISTIC —
+    # so the oracle replays the identical item-by-item simulation as a
+    # recursive CTE (one recursion step per document, state = per-group
+    # residual/ndocs lists) and the driver value-checks the full per-bin
+    # manifest. This retires the operator's former rows-only status.
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(CAST(('0x' || substr(sha256('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % {_PACK_GROUPS} AS INTEGER) AS packer
+      FROM documents
+    ),
+    grp AS (
+      SELECT packer, list(n_tokens ORDER BY n_tokens DESC, doc_id) AS items
+      FROM d GROUP BY packer
+    ),
+    sim AS (
+      SELECT packer, items, 0 AS i,
+             []::BIGINT[] AS residual, []::BIGINT[] AS ndocs
+      FROM grp
+      UNION ALL
+      SELECT packer, items, i,
+             CASE WHEN fit IS NULL
+                  THEN list_append(residual, greatest({_PACK_CONTEXT} - t, 0))
+                  ELSE list_transform(range(1, len(residual) + 1),
+                         j -> CASE WHEN j = fit THEN residual[j] - t
+                                   ELSE residual[j] END) END,
+             CASE WHEN fit IS NULL
+                  THEN list_append(ndocs, 1)
+                  ELSE list_transform(range(1, len(ndocs) + 1),
+                         j -> CASE WHEN j = fit THEN ndocs[j] + 1
+                                   ELSE ndocs[j] END) END
+      FROM (
+        SELECT packer, items, i + 1 AS i, residual, ndocs,
+               items[i + 1] AS t,
+               list_filter(range(1, len(residual) + 1),
+                           j -> residual[j] >= items[i + 1])[1] AS fit
+        FROM sim WHERE i < len(items)
+      )
+    ),
+    fin AS (SELECT packer, residual, ndocs FROM sim WHERE i = len(items)),
+    bins AS (
+      SELECT packer, CAST(j - 1 AS BIGINT) AS bin_id,
+             CAST(ndocs[j] AS BIGINT) AS n_docs,
+             CAST({_PACK_CONTEXT} - residual[j] AS BIGINT) AS bin_tokens,
+             floor(({_PACK_CONTEXT} - residual[j]) / {_PACK_CONTEXT}.0
+                   * 1000000 + 0.5) / 1000000 AS fill_rate
+      FROM fin, LATERAL (SELECT unnest(range(1, len(residual) + 1)) AS j) s
+    )
+    SELECT packer, bin_id, n_docs, bin_tokens, fill_rate FROM bins
+    """,
+)
 def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-strict sequence packing: first-fit-decreasing bin packing
     of documents into {_PACK_CONTEXT}-token training sequences — the
@@ -1175,12 +1230,17 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the per-bin manifest (id list omitted; join `assignment`-style
     output downstream if bodies are needed).
 
-    No SQL oracle: first-fit state is a loop-carried dependency no
-    window/aggregate expresses (same justification class as
-    `stream_user_running_totals`); the VALUE-level evidence is
-    `test_pack_sequences_ffd_invariants`: capacity never exceeded,
-    token mass conserved vs a direct Spark aggregate, and bin count
-    within the analytic FFD bound of per-group OPT."""
+    Value-exact despite the loop-carried state: FFD is deterministic
+    given (sorted lengths, group assignment), so the ORACLE replays the
+    same simulation as a DuckDB recursive CTE — one recursion step per
+    document, carrying residual/ndocs lists per group — and the driver
+    hashes the full per-bin manifest. Group assignment uses the repo's
+    cross-engine sha256-prefix hash (not xxhash64, which only Spark can
+    compute) so both engines pack identical groups. The analytic
+    invariants (capacity, token-mass conservation, 11/9·OPT bound)
+    remain pinned in `test_pack_sequences_ffd_invariants`."""
+    import math
+
     import pandas as pd
 
     context = _PACK_CONTEXT
@@ -1207,20 +1267,41 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_docs.append(1)
         packer = int(pdf["packer"].iloc[0])
         toks = [context - r for r in residual]
+        # IEEE half-up rounding (not Python's banker's round): t/context
+        # has an exact 8-decimal binary expansion, so exact .5 remainders
+        # at the 6th decimal occur and the engines must break them alike.
         return pd.DataFrame(
             {
                 "packer": packer,
                 "bin_id": range(len(residual)),
                 "n_docs": n_docs,
                 "bin_tokens": toks,
-                "fill_rate": [round(t / context, 6) for t in toks],
+                "fill_rate": [
+                    math.floor(t / context * 1e6 + 0.5) / 1e6 for t in toks
+                ],
             }
         )
 
     d = spark.table("documents").select(
         "doc_id",
         F.size(_words()).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.lit(17), "doc_id"), F.lit(_PACK_GROUPS))
+        # cross-engine group hash (sha256 prefix, the _hash_bucket idiom)
+        # so the oracle's recursive replay packs the identical groups
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(F.lit("pack:"), F.col("doc_id").cast("string")),
+                        256,
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % _PACK_GROUPS
+        )
         .cast("int")
         .alias("packer"),
     )

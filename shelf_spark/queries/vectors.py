@@ -1077,11 +1077,11 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
-@query("ann_pq_topk")  # PQ-ADC candidate generation is approximate → rows-only
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: per-subspace k-means codebooks → 4-bit
-    codes → asymmetric-distance (ADC) candidate scan → exact cosine
-    rerank of the top-{PQ_RERANK_POOL} pool.
+def _pq_topk(spark: SparkSession, k: int) -> DataFrame:
+    """Shared PQ pipeline: codebooks of `k` centroids per subspace →
+    codes → ADC scan → exact rerank. `k = PQ_K` is the real quantizer;
+    `k ≥ corpus size` keeps every distinct subvector as its own centroid,
+    making ADC equal exact L2² (the value-exact twin's configuration).
 
     This is the memory-compression leg of the ANN triad (IVF prunes
     WHICH vectors are scanned, LSH buckets candidates, PQ shrinks WHAT
@@ -1099,10 +1099,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and is localCheckpoint-pinned per iteration (the PageRank/PCA
     loop idiom). ADC joins the exploded code stream against the
     broadcast per-query lookup table and partial-aggregates map-side,
-    so the only shuffle carries (q_id, vec_id, partial-sum) rows.
-    Approximate by construction → rows-only driver check; the
-    VALUE-level evidence is the pinned recall@{TOP_K} bound against
-    `ann_cosine_topk`'s exact output in tests/test_queries.py."""
+    so the only shuffle carries (q_id, vec_id, partial-sum) rows."""
     v = (
         spark.table("embeddings")
         .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
@@ -1126,7 +1123,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = (
         sub.withColumn("rn", rn)
-        .filter(F.col("rn") <= PQ_K)
+        .filter(F.col("rn") <= k)
         .select("m", (F.col("rn") - 1).alias("cid"), F.col("subvec").alias("cvec"))
         .localCheckpoint(eager=False)
     )
@@ -1218,6 +1215,74 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rnk")
     )
+
+
+@query("ann_pq_topk")  # PQ-ADC candidate generation is approximate → rows-only
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (see _pq_topk for the pipeline and its
+    distributed layout). Approximate by construction → rows-only driver
+    check; the VALUE-level evidence is the pinned recall@{TOP_K} bound
+    against `ann_cosine_topk`'s exact output in tests/test_queries.py
+    plus the value-exact exhaustive-ADC twin below."""
+    return _pq_topk(spark, PQ_K)
+
+
+@query(
+    "ann_pq_exhaustive_adc",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+          FROM v WHERE vec_id < {N_QUERIES}),
+    adist AS (
+      SELECT q_id, v.vec_id,
+             list_sum(list_transform(list_zip(q_vec, vec),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))) AS adist
+      FROM q CROSS JOIN v WHERE v.vec_id <> q_id
+    ),
+    pool AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adist, vec_id) AS prn
+        FROM adist) WHERE prn <= {PQ_RERANK_POOL}
+    ),
+    pairs AS (
+      SELECT pool.q_id, pool.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q_vec, vec),
+                      s -> s[1] * s[2])) / (q_nrm * nrm) AS cosine
+      FROM pool
+        JOIN v ON v.vec_id = pool.vec_id
+        JOIN q ON q.q_id = pool.q_id
+    )
+    SELECT q_id, neighbor_id, round(cosine, 4) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT q_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_pq_exhaustive_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT twin of ann_pq_topk (the ann_ivf_exhaustive pattern
+    applied to PQ): with the codebook cap lifted past the corpus size,
+    the seeded init keeps EVERY distinct subvector as its own centroid,
+    Lloyd iterations are fixed points (identical members → identical
+    mean), and the per-subspace ADC sum collapses to the exact L2²
+    distance — so the whole machinery (slicing, codebook loop, code
+    assignment, broadcast-LUT ADC scan, pool ranking, exact rerank) is
+    checked against a brute-force L2-pool + cosine-rerank ORACLE with
+    full value hashing. The primary op keeps its honest rows-only
+    status (a 16-centroid quantizer approximates BY DESIGN; recall
+    bound pinned in tests); this twin retires the "is the pipeline
+    itself correct?" question the same way IVF's exhaustive twin did.
+    Correctness-harness configuration, not a scale path — the real
+    quantizer above is the 100 TB design."""
+    return _pq_topk(spark, 1 << 30)
 
 
 # ---------------------------------------------------------------------------

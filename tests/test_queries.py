@@ -732,11 +732,29 @@ def test_pack_sequences_ffd_invariants(spark):
     bins = QUERIES["pack_sequences_ffd"](spark, SF_SMALL).collect()
     assert bins, "packer emitted no bins"
     assert all(r.bin_tokens <= _PACK_CONTEXT for r in bins)
-    assert all(r.fill_rate == round(r.bin_tokens / _PACK_CONTEXT, 6) for r in bins)
+    assert all(
+        r.fill_rate
+        == math.floor(r.bin_tokens / _PACK_CONTEXT * 1e6 + 0.5) / 1e6
+        for r in bins
+    )
 
     d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.lit(17), "doc_id"), F.lit(_PACK_GROUPS))
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(F.lit("pack:"), F.col("doc_id").cast("string")),
+                        256,
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % _PACK_GROUPS
+        )
         .cast("int")
         .alias("packer"),
     )
