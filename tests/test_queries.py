@@ -31,6 +31,39 @@ def test_entry_smoke(spark):
     assert df.columns[0] == "l_returnflag"
 
 
+def test_driver_window_discipline():
+    """Window hygiene, mechanized (r8 verdict asks #1/#6): the driver's
+    50-slot correctness window must contain 50 unique names, every one
+    with a SQL oracle (a rows-only slot produces a guaranteed
+    `err: no_oracle` row — a wasted slot), and — while a never-checked
+    queue exists — only names WITHOUT a prior driver row from rounds
+    before the window's own round."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    window = list(entry_mod.queries())[:50]
+    assert len(set(window)) == 50
+    assert all(n in ORACLES for n in window), [
+        n for n in window if n not in ORACLES
+    ]
+    window_round = max(
+        int(m.group(1))
+        for v in vars(entry_mod)
+        if (m := re.match(r"_DRIVER_WINDOW_R(\d+)$", v))
+    )
+    seen: set[str] = set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        if rnd < window_round:
+            with open(path) as fh:
+                seen |= set(json.load(fh))
+    already = [n for n in window if n in seen]
+    assert not already, f"window wastes slots on already-checked: {already}"
+
+
 def test_q1_golden_vs_duckdb(spark):
     """One full oracle comparison inline (the rest run via tools/)."""
     sdf = QUERIES["q1_pricing_summary"](spark, SF_SMALL)

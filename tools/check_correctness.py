@@ -6,7 +6,13 @@ names, and order-insensitive values (floats with tolerance). Lets us know
 CORRECTNESS_r{N}.json before the driver does.
 
 Usage:
-    python tools/check_correctness.py [name-regex] [--sf DIR]
+    python tools/check_correctness.py [name-regex] [--sf DIR] [--workers N]
+
+``--workers N`` shards the query list round-robin over N subprocesses,
+each with its own SparkSession (local[32/N]) and DuckDB connection — the
+queries are independent, so this is a sound wall-clock divider (unlike a
+result cache, it never skips anything). The full no-filter sweep remains
+the pre-driver ritual; ``--changed-since`` remains the iteration filter.
 """
 
 from __future__ import annotations
@@ -57,6 +63,54 @@ def _normalize(rows, cols):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+_SUMMARY_RE = re.compile(r"^(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)$")
+
+
+def _run_workers(args) -> int:
+    """Fan the gate out over N subprocesses and merge their summaries.
+
+    Round-robin sharding spreads the expensive queries (which cluster by
+    module, hence by registry position) across workers; each worker gets
+    32/N Spark threads so the host is never oversubscribed.
+    """
+    import os
+    import subprocess
+
+    n = args.workers
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(max(4, 32 // n))
+    procs = []
+    for i in range(n):
+        cmd = [sys.executable, __file__, args.pattern, "--sf", args.sf,
+               "--shard", f"{i}/{n}"]
+        if args.changed_since:
+            cmd += ["--changed-since", args.changed_since]
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True,
+        ))
+    tot = [0, 0, 0, 0]
+    failures: list[str] = []
+    rc = 0
+    for i, p in enumerate(procs):
+        out, _ = p.communicate()
+        rc |= p.returncode
+        for line in out.splitlines():
+            m = _SUMMARY_RE.match(line)
+            if m:
+                for j in range(4):
+                    tot[j] += int(m.group(j + 1))
+            elif line.startswith("failures:"):
+                failures += line.split()[1:]
+            elif line and not line.startswith("#"):
+                print(f"[w{i}] {line}")
+    print(f"\n{tot[0]} ok, {tot[1]} rows-only, {tot[2]} FAIL of {tot[3]} "
+          f"({n} workers)")
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if (rc or tot[2]) else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("pattern", nargs="?", default=".*")
@@ -67,7 +121,19 @@ def main() -> int:
         "changed since GITREF (two-speed workflow: fast local iteration; "
         "the full no-filter sweep remains the pre-driver ritual)",
     )
+    ap.add_argument(
+        "--workers", type=int, default=1,
+        help="shard the query list over N subprocesses, each with its own "
+        "Spark session — ~N× wall-clock on a 32-core host (N<=4 sensible)",
+    )
+    ap.add_argument(
+        "--shard", metavar="I/N", default=None,
+        help="(internal) run only names[I::N] of the selected list",
+    )
     args = ap.parse_args()
+
+    if args.workers > 1 and args.shard is None:
+        return _run_workers(args)
 
     changed_mods: set[str] | None = None
     if args.changed_since:
@@ -96,6 +162,9 @@ def main() -> int:
     names = [n for n in QUERIES if pat.search(n)]
     if changed_mods is not None:
         names = [n for n in names if QUERIES[n].__module__ in changed_mods]
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split("/"))
+        names = names[i::n]
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
     for name in names:
