@@ -104,7 +104,13 @@ def test_driver_window_names_valid():
 
     from shelf_spark.queries import QUERIES
 
-    w = entry_mod._DRIVER_WINDOW_R08
+    import re
+
+    current = max(
+        (v for v in vars(entry_mod) if re.match(r"_DRIVER_WINDOW_R\d+$", v)),
+        key=lambda v: int(v.rsplit("R", 1)[1]),
+    )
+    w = getattr(entry_mod, current)
     assert len(w) == 50
     assert len(set(w)) == 50
     missing = [n for n in w if n not in QUERIES]
