@@ -53,6 +53,14 @@ def test_oracle_result_types_match_spark(spark):
             st, base = stypes.get(col), dt.split("(")[0]
             if st is None:
                 problems.append(f"{name}.{col}: missing on spark side")
+            elif base.startswith("DECIMAL") and st == dt.lower():
+                # matched exact decimals on BOTH sides are deliberate
+                # (the r8 integer-exact aggregation idiom, e.g.
+                # decimal(38,0) neighbor-degree sums): both engines
+                # surface Decimal objects with identical digits, which
+                # the driver's canonicalizer compares as equal (proved
+                # by agg_abc_classification's green r08 driver row).
+                continue
             elif base in ("HUGEINT", "UHUGEINT") or base.startswith("DECIMAL"):
                 problems.append(f"{name}.{col}: DuckDB {dt} vs spark {st} (uncast agg)")
             elif base in ok and st not in ok[base]:
