@@ -1066,3 +1066,24 @@ def test_markov_attribution_matches_python_reference(spark):
         assert without == round(conv_prob(c), 6), c
         assert reff == round(re[c], 6), c
         assert share == round(re[c] / tot if tot else 0.0, 6), c
+
+
+def test_bench_covers_full_registry():
+    """bench.py HEADLINE must equal the registry minus the explicit,
+    reasoned exclude set — coverage drifted to 225/340 through r8; this
+    pins exhaustive-by-construction."""
+    import bench
+
+    assert bench.BENCH_EXCLUDE <= set(QUERIES)
+    assert bench.HEADLINE == [n for n in QUERIES if n not in bench.BENCH_EXCLUDE]
+
+
+def test_gate_worker_shards_partition_the_query_list():
+    """check_correctness --workers round-robin shards must cover every
+    selected name exactly once, for any worker count."""
+    names = list(QUERIES)
+    for n in (2, 3, 4, 7):
+        shards = [names[i::n] for i in range(n)]
+        flat = [x for s in shards for x in s]
+        assert sorted(flat) == sorted(names)
+        assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
