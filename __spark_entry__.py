@@ -140,6 +140,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ann_pq_exhaustive_adc (new value-exact PQ twin) and
 #     pack_sequences_ffd (promoted outright to value-exact via a
 #     recursive-CTE FFD-replay oracle — no twin needed).
+#   r09 NOTE (fix-driven re-proof queue for r10): a proactive sweep of
+#     the r9-ADVICE tie class found the same latent bug in
+#     events_sessionize, events_bounce_rate, and stream_session_windows'
+#     oracle (session numbering over a ts-only running sum while is_new
+#     orders by (ts, event_id) — a tie could split a spurious session).
+#     Fixed on both engines + edge-pinned
+#     (tests/test_r9_advice_edges.py); all three are local-gate green on
+#     the new expressions and queue for r10 window slots alongside the
+#     remaining 71 never-checked operators. fn_try_arith also changed
+#     (rlike pre-guard removing the try_cast exception tax — output
+#     bit-identical by construction, local-gate green) and queues with
+#     them.
 _DRIVER_WINDOW_R09 = [
     # composed end-to-end pipelines (highest user impact)
     "pipeline_corpus_curation_e2e", "pipeline_entity_resolution_e2e",

@@ -93,7 +93,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -101,7 +101,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     numbered AS (
-      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
@@ -121,7 +121,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applyInPandasWithState in shelf_spark.streaming.)
     e = spark.table("events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     prev_ts = F.lag("ts").over(w_order)
@@ -910,7 +910,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_bounce_rate",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -918,7 +918,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     numbered AS (
-      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     ),
@@ -949,7 +949,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the rate is one IEEE division per day row."""
     e = spark.table("events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     prev_ts = F.lag("ts").over(w_order)

@@ -87,7 +87,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -95,7 +95,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     numbered AS (
-      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )

@@ -133,3 +133,55 @@ def test_concurrent_sessions_tied_first_events_match_oracle(spark, tmp_path):
     assert got == sorted(oracle)
     # ground truth: u1 has 1 session, u2 has 2 → 3 starts on the one day
     assert got == [(dt.date(2024, 1, 1), 2, 3)]
+
+
+def test_sessionize_tied_first_events_match_oracle(spark, tmp_path):
+    """Same tie class swept proactively in r9: events_sessionize (and
+    events_bounce_rate / stream_session_windows' oracle, which share the
+    sub-expression) numbered sessions over a ts-only running sum while
+    is_new was computed over (ts, event_id) — within a tie the running
+    sum could visit the is_new=0 row first and split a spurious
+    session. Both engines must now agree on the adversarial input."""
+    import datetime as dt
+
+    register_views(spark, SF_SMALL)
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: first two events SHARE a timestamp → ONE session of 3
+        (11, t0, 1, 10.0),
+        (12, t0, 1, 20.0),
+        (13, t0 + dt.timedelta(minutes=5), 1, 30.0),
+        # user 2: tie mid-session after a >30min gap boundary
+        (21, t0, 2, 1.0),
+        (22, t0 + dt.timedelta(hours=1), 2, 2.0),
+        (23, t0 + dt.timedelta(hours=1), 2, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.toPandas().to_parquet(path)
+    df.createOrReplaceTempView("events")
+    try:
+        got = sorted(
+            (r.user_id, r.session_id, r.session_start, r.session_end,
+             r.n_events, r.session_value)
+            for r in QUERIES["events_sessionize"](spark, SF_SMALL).collect()
+        )
+    finally:
+        register_views(spark, SF_SMALL, force=True)
+    _, oracle = _duck_on(
+        tmp_path, {"events": path}, ORACLES["events_sessionize"]
+    )
+    # column order differs between Spark select and oracle SELECT; map by name
+    want = sorted(
+        (u, s, st, en, n, v) for (u, s, st, en, n, v) in oracle
+    )
+    assert [(g[0], g[4]) for g in got] == [(w[0], w[4]) for w in want]
+    assert got == want
+    # ground truth: u1 = one 3-event session; u2 = 1-event + 2-event
+    per_user = {}
+    for u, _s, _st, _en, n, _v in got:
+        per_user.setdefault(u, []).append(n)
+    assert sorted(per_user[1]) == [3]
+    assert sorted(per_user[2]) == [1, 2]
