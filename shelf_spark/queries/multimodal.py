@@ -167,6 +167,7 @@ def _decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     """REAL decoders: wave-module WAV parse (header + PCM frames), struct
     BMP parse (DIB header fields). Runs per Arrow batch."""
     import io
+    import math
     import struct
     import wave
 
@@ -187,8 +188,16 @@ def _decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 out["media_type"].append("wav")
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(nf)
+                # IEEE half-up, not Python banker's round: sum/nf is a
+                # grid-aligned rational (nf can be 2^7 = 128), so an
+                # exact .5 at the 7th decimal is REACHABLE for odd sums
+                # and the engines must break it like DuckDB's
+                # half-away-from-zero does (equal for these >=0 values).
+                # The current fixture dodges it only by a parity
+                # accident (even nf => even sum).
+                s_abs = int(np.abs(data.astype(np.int64)).sum())
                 out["mean_abs_amplitude"].append(
-                    round(int(np.abs(data.astype(np.int64)).sum()) / nf, 6)
+                    math.floor(s_abs / nf * 1e6 + 0.5) / 1e6
                 )
                 out["width"].append(None)
                 out["height"].append(None)
