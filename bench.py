@@ -115,7 +115,11 @@ def main() -> None:
     # default-methodology run may overwrite it — a --pattern subset or a
     # --session-every isolation run would clobber the steady-state
     # record with different-methodology timings.
-    if not args.pattern and not args.session_every:
+    if (
+        not args.pattern
+        and not args.session_every
+        and sf_dir == "/root/testdata/sf0.1"
+    ):
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as fh:
             fh.write(json.dumps({**base, "queries": timings}) + "\n")
