@@ -4966,7 +4966,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_backtest_days,
            (floor((CAST(sum(err) AS DOUBLE) / count(*) / 100.0)
                   * 1000000.0 + 0.5) / 1000000.0) AS mae,
-           (floor((CAST(sum(CAST(err AS DECIMAL(38,0)) * 1000000 // actual)
+           (floor((CAST(sum(err * 1000000 // actual)
                         AS DOUBLE) / count(*) / 1000000.0)
                   * 1000000.0 + 0.5) / 1000000.0) AS mape_like
     FROM joined
@@ -4979,9 +4979,13 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     beat before it earns its keep; forecast eval as a first-class op.
 
     Exactness: the per-day relative error uses integer micro-units
-    (err·10⁶ // actual — exact integer division, no float ratio per
-    row), so both aggregates are order-free exact sums with one final
-    IEEE division each. Day-domain self-join on day−7 — calendar-
+    (err·10⁶ // actual — exact BIGINT integral division on BOTH engines;
+    the operands MUST stay integer-typed: DuckDB 1.0's // on a
+    (DECIMAL, BIGINT) pair silently degrades to DOUBLE true division,
+    which the sf0.001 cross-scale gate caught in r9. err·10⁶ tops out
+    around 1e17 even at 1000× the bench scale — far inside int64), so
+    both aggregates are order-free exact sums with one final IEEE
+    division each. Day-domain self-join on day−7 — calendar-
     bounded equi-join, facts touched once."""
     daily = (
         spark.table("events")
@@ -5012,9 +5016,7 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 (
                     F.sum(
-                        F.expr(
-                            "CAST(err AS DECIMAL(38,0)) * 1000000 div actual"
-                        )
+                        F.expr("err * 1000000 div actual")
                     ).cast("double")
                     / F.count("*")
                     / 1000000.0
