@@ -151,7 +151,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     remaining 71 never-checked operators. fn_try_arith also changed
 #     (rlike pre-guard removing the try_cast exception tax — output
 #     bit-identical by construction, local-gate green) and queues with
-#     them.
+#     them. The r9 ADVERSARIAL gate (tools/gen_adversarial.py; SCALE.md
+#     "r9 adversarial gate") then changed 13 more: ts_snaive_backtest
+#     (DuckDB decimal-// trap), window_lag_lead, sort_topk,
+#     events_asof_join, events_asof_orders, stream_asof_enrich (shared
+#     IEEE rounding replacing native round on raw doubles),
+#     ab_test_proportions, ml_fairness_parity, ts_cross_correlation,
+#     agg_corr_regr, stats_runs_test, ml_matthews_corrcoef,
+#     graph_assortativity (nullif/try_divide guards on zeroable
+#     denominators), and ts_holt_winters (two-season gate). All are
+#     local-gate green at sf0.001/0.01/0.1 AND the adversarial fixture,
+#     with outputs unchanged on in-distribution data; they queue for
+#     r10 fix-re-proof slots.
 _DRIVER_WINDOW_R09 = [
     # composed end-to-end pipelines (highest user impact)
     "pipeline_corpus_curation_e2e", "pipeline_entity_resolution_e2e",

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import davg_i, dsum_i, sql_davg_i, sql_dsum_i
+from .num import _round_ieee, davg_i, dsum_i, sql_davg_i, sql_dsum_i
 from .registry import query
 
 SQL_DSUM_VALUE = sql_dsum_i("value", 2)
@@ -165,7 +165,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-           round(value, 2) AS purchase_value,
+           floor(value * 100 + 0.5) / 100 AS purchase_value,
            last_click_ts, last_click_id
     FROM enriched
     WHERE NOT is_click
@@ -202,7 +202,10 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
-        F.round("value", 2).alias("purchase_value"),
+        # shared IEEE rounding, not F.round/round(): the engines'
+        # native round() disagree on >2dp raw doubles (see
+        # window_lag_lead's note; adversarial-fixture find, r9)
+        _round_ieee(F.col("value"), 2).alias("purchase_value"),
         "last_click_ts",
         "last_click_id",
     )
@@ -341,7 +344,7 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
            o.o_key AS asof_orderkey,
-           round(o.o_price, 2) AS asof_totalprice,
+           floor(o.o_price * 100 + 0.5) / 100 AS asof_totalprice,
            o.o_ts AS asof_orderdate,
            CAST((CAST(floor(epoch(p.ts)) AS BIGINT)
                  - CAST(floor(epoch(o.o_ts)) AS BIGINT)) // 86400 AS BIGINT)
@@ -444,7 +447,7 @@ def asof_enrich_orders(purchases: DataFrame, orders: DataFrame) -> DataFrame:
             "user_id",
             F.col("t").alias("purchase_ts"),
             "asof_orderkey",
-            F.round("asof_totalprice", 2).alias("asof_totalprice"),
+            _round_ieee(F.col("asof_totalprice"), 2).alias("asof_totalprice"),
             "asof_orderdate",
             stale.cast("long").alias("staleness_days"),
         )

@@ -403,9 +403,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Pearson r over the directed edge list of (deg(src), deg(dst)) — the
 #: standard Newman degree-assortativity estimator, as one fixed-shape
 #: IEEE expression on exact integer moment sums.
+#: nullif: a degree-regular graph (zero degree variance on either side)
+#: makes r undefined — NULL on both engines, never an ANSI abort (r9).
 _SQL_ASSORT = (
     "round(((n * sxy) - (sx * sy))"
-    " / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 6)"
+    " / nullif(sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)), 0.0), 6)"
 )
 
 

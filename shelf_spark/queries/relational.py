@@ -29,6 +29,7 @@ from pyspark.sql.window import Window as W
 
 from .num import (
     DEC,
+    _round_ieee,
     davg,
     davg_i,
     dsum,
@@ -728,7 +729,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sort_topk",
     oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    SELECT o_orderkey, o_custkey, floor(o_totalprice * 100 + 0.5) / 100 AS total
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 15
@@ -741,7 +742,12 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("orders")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(15)
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        # shared IEEE rounding, not F.round — see window_lag_lead's note
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _round_ieee(F.col("o_totalprice"), 2).alias("total"),
+        )
     )
 
 

@@ -90,13 +90,17 @@ def _moments(df: DataFrame, x, y) -> DataFrame:
     """.format(
         corr=_sql_round_ieee(
             "((n * sxy) - (sx * sy))"
-            " / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)))",
+            " / nullif(sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)),"
+            " 0.0)",
             6,
         ),
         covar=_sql_round_ieee("((n * sxy) - (sx * sy)) / (n * n)", 4),
-        slope=_sql_round_ieee("((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))", 6),
+        slope=_sql_round_ieee(
+            "((n * sxy) - (sx * sy)) / nullif((n * sxx) - (sx * sx), 0.0)", 6
+        ),
         icept=_sql_round_ieee(
-            "(sy / n) - ((((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * (sx / n))",
+            "(sy / n) - ((((n * sxy) - (sx * sy))"
+            " / nullif((n * sxx) - (sx * sx), 0.0)) * (sx / n))",
             4,
         ),
     ),
@@ -114,11 +118,17 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy")
     sxx, syy = F.col("sxx"), F.col("syy")
     cov_n2 = (n * sxy) - (sx * sy)  # n² · covar_pop
-    slope = cov_n2 / ((n * sxx) - (sx * sx))
+    # try_divide: zero-variance x (or y, for r) makes the statistic
+    # undefined — NULL on both engines, never an ANSI abort (r9)
+    slope = F.try_divide(cov_n2, (n * sxx) - (sx * sx))
     return m.select(
         F.col("n").cast("long").alias("n"),
         _round_ieee(
-            cov_n2 / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))), 6
+            F.try_divide(
+                cov_n2,
+                F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy)),
+            ),
+            6,
         ).alias("corr_qty_price"),
         _round_ieee(cov_n2 / (n * n), 4).alias("covar_pop"),
         _round_ieee(slope, 6).alias("regr_slope"),
@@ -861,9 +871,11 @@ _XCORR_LAGS = (0, 1, 2, 3)
 #: Pearson r from exact integer moment sums — the agg_corr_regr closed
 #: form, shared verbatim by both engines (x = view count, y = 2dp-grid
 #: purchase revenue).
+#: nullif: a zero-variance series (constant x or y at some lag) makes r
+#: undefined — NULL on both engines, never an ANSI abort (r9).
 _SQL_XCORR = (
     "round(((n * sxy) - (sx * sy))"
-    " / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 6)"
+    " / nullif(sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)), 0.0), 6)"
 )
 
 
@@ -1131,12 +1143,16 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Fixed-shape two-proportion z statistic on exact integer counts —
 #: pooled-variance form, one op sequence shared by both engines.
+#: nullif guards: an empty arm (n=0) or a degenerate pooled rate
+#: (p ∈ {0, 1} → zero variance) makes z undefined — both engines must
+#: yield NULL, not abort (Spark ANSI divide-by-zero is a job killer on a
+#: degenerate slice; adversarial-fixture find, r9).
 _SQL_AB_Z = (
-    "round(((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
-    " - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
-    " / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
-    " * (1.0 - (CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))"
-    " * ((1.0 / CAST(n1 AS DOUBLE)) + (1.0 / CAST(n2 AS DOUBLE)))), 6)"
+    "round(((CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0))"
+    " - (CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0)))"
+    " / nullif(sqrt((CAST(c1 + c2 AS DOUBLE) / nullif(CAST(n1 + n2 AS DOUBLE), 0.0))"
+    " * (1.0 - (CAST(c1 + c2 AS DOUBLE) / nullif(CAST(n1 + n2 AS DOUBLE), 0.0)))"
+    " * ((1.0 / nullif(CAST(n1 AS DOUBLE), 0.0)) + (1.0 / nullif(CAST(n2 AS DOUBLE), 0.0)))), 0.0), 6)"
 )
 
 
@@ -1159,8 +1175,8 @@ _SQL_AB_Z = (
            CAST(c1 AS BIGINT) AS conv_control,
            CAST(n2 AS BIGINT) AS n_treatment,
            CAST(c2 AS BIGINT) AS conv_treatment,
-           round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_control,
-           round(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_treatment,
+           round(CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0), 6) AS rate_control,
+           round(CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0), 6) AS rate_treatment,
            {_SQL_AB_Z} AS z_stat
     FROM arms
     """,
@@ -1206,12 +1222,12 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c1").cast("long").alias("conv_control"),
         F.col("n2").cast("long").alias("n_treatment"),
         F.col("c2").cast("long").alias("conv_treatment"),
-        F.round(F.col("c1").cast("double") / F.col("n1").cast("double"), 6).alias(
-            "rate_control"
-        ),
-        F.round(F.col("c2").cast("double") / F.col("n2").cast("double"), 6).alias(
-            "rate_treatment"
-        ),
+        F.round(
+            F.try_divide(F.col("c1").cast("double"), F.col("n1").cast("double")), 6
+        ).alias("rate_control"),
+        F.round(
+            F.try_divide(F.col("c2").cast("double"), F.col("n2").cast("double")), 6
+        ).alias("rate_treatment"),
         F.expr(_SQL_AB_Z).alias("z_stat"),
     )
 
@@ -4536,15 +4552,18 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nullif guards: n = 0 (every day equals the median) or n1·n0 = 0
+#: (one-sided series) make z undefined — NULL on both engines, never an
+#: ANSI abort (adversarial-fixture find, r9).
 _RUNS_Z = (
     "((CAST(r AS DOUBLE)"
     "  - (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
-    "     / CAST(n AS DOUBLE) + 1.0))"
-    " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+    "     / nullif(CAST(n AS DOUBLE), 0.0) + 1.0))"
+    " / nullif(sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
     "        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
     "           - CAST(n AS DOUBLE))"
-    "        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    "           * (CAST(n AS DOUBLE) - 1.0))))"
+    "        / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "           * (CAST(n AS DOUBLE) - 1.0), 0.0)), 0.0))"
 )
 
 
@@ -4729,11 +4748,14 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # MCC from exact confusion integers: the products tp·tn etc. reach n²,
 # so carriers widen to DOUBLE only inside the one fixed expression.
+# nullif: an empty confusion row/column (e.g. a threshold that predicts
+# one class only) zeroes a marginal and MCC is undefined — NULL on both
+# engines, never an ANSI abort (adversarial-fixture find, r9).
 _MCC = (
     "((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
     "  - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
-    " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
-    "        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))"
+    " / nullif(sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+    "        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0.0))"
 )
 
 
@@ -5878,7 +5900,8 @@ _PARITY_THRESHOLD = 300  # predict positive when score (n_chars) >= this
                "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS pos_rate,
            {_sql_round_ieee(
                "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
-               " / (CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))", 6)} AS di_ratio,
+               " / nullif(CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE), 0.0)",
+               6)} AS di_ratio,
            (CAST(n_pos AS DECIMAL(19,0)) * 10 * gn)
              < (CAST(gp AS DECIMAL(19,0)) * 8 * n) AS flagged_four_fifths
     FROM per CROSS JOIN g
@@ -5918,9 +5941,14 @@ def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         _round_ieee(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6)
         .alias("pos_rate"),
+        # try_divide: a zero global positive rate makes the DI ratio
+        # undefined — NULL on both engines, never an ANSI abort
+        # (adversarial-fixture find, r9)
         _round_ieee(
-            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
-            / (F.col("gp").cast("double") / F.col("gn").cast("double")),
+            F.try_divide(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"),
+                F.col("gp").cast("double") / F.col("gn").cast("double"),
+            ),
             6,
         ).alias("di_ratio"),
         (
@@ -6380,6 +6408,7 @@ def _hw_sql() -> str:
              AS forecast
     FROM fin CROSS JOIN meta
     CROSS JOIN generate_series(1, {_HW_H}) AS g(h)
+    WHERE nn >= 14
     ORDER BY h
     """
 
@@ -6440,7 +6469,11 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
     )
-    fitted = series.select(
+    # HW needs two full seasons (14 days) to initialize level/trend/
+    # seasonals; on a shorter series the model is undefined, so BOTH
+    # engines emit zero forecast rows instead of erroring (the Spark
+    # slice would get a negative length — adversarial-fixture find, r9).
+    fitted = series.where(F.size("s") >= 14).select(
         F.element_at("s", -1)["day"].alias("last_day"),
         F.size("s").alias("nn"),
         F.expr(_hw_spark_expr()).alias("st"),

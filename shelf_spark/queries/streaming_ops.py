@@ -311,7 +311,7 @@ def stream_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
            o.o_key AS asof_orderkey,
-           round(o.o_price, 2) AS asof_totalprice,
+           floor(o.o_price * 100 + 0.5) / 100 AS asof_totalprice,
            o.o_ts AS asof_orderdate,
            CAST((CAST(floor(epoch(p.ts)) AS BIGINT)
                  - CAST(floor(epoch(o.o_ts)) AS BIGINT)) // 86400 AS BIGINT)

@@ -52,24 +52,32 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(o_totalprice, 2)                       AS total,
-           round(lag(o_totalprice)  OVER w, 2)          AS prev_total,
-           round(lead(o_totalprice) OVER w, 2)          AS next_total,
-           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_vs_prev
+           floor(o_totalprice * 100 + 0.5) / 100                       AS total,
+           floor(lag(o_totalprice)  OVER w * 100 + 0.5) / 100          AS prev_total,
+           floor(lead(o_totalprice) OVER w * 100 + 0.5) / 100          AS next_total,
+           floor((o_totalprice - lag(o_totalprice) OVER w) * 100 + 0.5) / 100 AS delta_vs_prev
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _round_ieee, not F.round: Spark rounds a raw double via its exact
+    # decimal expansion (HALF_UP on BigDecimal) while DuckDB rounds
+    # through float arithmetic — on >2dp inputs like 2000.03499…9 the
+    # two disagree (2000.03 vs 2000.04). The shared floor(x·100+0.5)/100
+    # executes identical IEEE ops on both engines (adversarial-fixture
+    # find, r9; identity on the lake's 2dp prices).
+    from .num import _round_ieee
+
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     total = F.col("o_totalprice")
     return spark.table("orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(total, 2).alias("total"),
-        F.round(F.lag(total).over(w), 2).alias("prev_total"),
-        F.round(F.lead(total).over(w), 2).alias("next_total"),
-        F.round(total - F.lag(total).over(w), 2).alias("delta_vs_prev"),
+        _round_ieee(total, 2).alias("total"),
+        _round_ieee(F.lag(total).over(w), 2).alias("prev_total"),
+        _round_ieee(F.lead(total).over(w), 2).alias("next_total"),
+        _round_ieee(total - F.lag(total).over(w), 2).alias("delta_vs_prev"),
     )
 
 
