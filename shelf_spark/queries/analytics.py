@@ -874,6 +874,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # K²-sized; reused every iteration
     states = m.select(F.col("from_type").alias("state")).distinct()
     k = states.count()  # bounded type catalog (driver-side by design)
+    if k == 0:
+        # no observed transitions (e.g. every user has a single event):
+        # the chain is undefined — zero rows, matching the oracle's
+        # empty join, instead of a 1.0/0 ANSI abort (r9 sparse find).
+        return spark.createDataFrame([], "event_type string, pi double")
     pi = states.select(
         "state", F.round(F.lit(1.0) / F.lit(k), 12).alias("pi")
     )
@@ -1337,6 +1342,14 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each MM round is ONE K-keyed aggregate (the Markov `states.count()`
     # driver-side-by-design precedent; K² facts never leave executors).
     wins_rows = wtot.collect()
+    if not wins_rows:
+        # no duels at all (e.g. single-line orders only): no ranking
+        # exists — zero rows matching the oracle's empty duel join; an
+        # argless F.create_map would type as map<void,void> and fail
+        # analysis (r9 sparse-fixture find).
+        return spark.createDataFrame(
+            [], "brand string, wins bigint, strength double, rnk bigint"
+        )
     wins_map = F.create_map(
         *[F.lit(x) for r in wins_rows for x in (r["brand"], r["wins"])]
     )

@@ -1047,8 +1047,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("distance")
 
 
+#: nullif: a wedge-free graph (isolated edges) has no closure to
+#: measure — C is NULL on both engines, never an ANSI abort (r9).
 _GCC = (
-    "(3.0 * CAST(n_tri AS DOUBLE) / CAST(n_wedges AS DOUBLE))"
+    "(3.0 * CAST(n_tri AS DOUBLE) / nullif(CAST(n_wedges AS DOUBLE), 0.0))"
 )
 
 
@@ -1129,7 +1131,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
         fat.join(adj_v.hint("SHUFFLE_HASH"), "v")
         .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("k"))
-        .agg(F.sum("k").cast("long").alias("n_tri"))
+        # coalesce: the oracle counts triangles with count(*) (0 on an
+        # empty graph) while sum() over empty is NULL — align (r9)
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_tri"))
     )
     agg = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
@@ -1148,10 +1152,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Newman modularity of a node partition, reduced to THREE exact integers:
 #: Q = A/m − B/(4m²), where A = within-community edges, B = Σ_c D_c²
 #: (D_c = total degree in community c), m = |edges|. One IEEE expression.
+#: nullif: an edgeless graph (m = 0) has undefined modularity — NULL on
+#: both engines, never an ANSI abort (r9).
 _MODULARITY = (
-    "(CAST(a_in AS DOUBLE) / CAST(m AS DOUBLE)"
+    "(CAST(a_in AS DOUBLE) / nullif(CAST(m AS DOUBLE), 0.0)"
     " - CAST(b_deg AS DOUBLE)"
-    "   / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))"
+    "   / nullif(4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 0.0))"
 )
 
 

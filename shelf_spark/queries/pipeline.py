@@ -1887,9 +1887,9 @@ _ZIPF_ICEPT = (
       SELECT t,
              CAST({_sql_round_ieee(
                  "ln((CAST(2 * (tt - upto) + t + 1 AS DOUBLE)) / 2.0)", 6)}
-               AS DECIMAL(38,6)) AS gx,
+               AS DECIMAL(12,6)) AS gx,
              CAST({_sql_round_ieee("ln(CAST(c AS DOUBLE))", 6)}
-               AS DECIMAL(38,6)) AS gy
+               AS DECIMAL(12,6)) AS gy
       FROM cum CROSS JOIN tot
     ), mom AS (
       SELECT CAST(sum(t) AS BIGINT) AS n,
@@ -1915,7 +1915,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale) via one prefix pass, descending by construction
     (2·mr = 2·(T − upto) + t + 1). Per-class log points land on the
     1e-6 grid and every regression moment is an EXACT decimal sum of
-    (class-weight × grid-product) terms — the count-of-counts trick
+    (class-weight × grid-product) terms — grid points carry
+    DECIMAL(12,6), NOT (38,6): at p=38 the gx·gy product exceeds the
+    exact decimal range and DuckDB silently degrades it to DOUBLE
+    (order-dependent ulps — caught by the r9 sparse fixture); at
+    (12,6) every product and weighted sum stays exact decimal on both
+    engines. The count-of-counts trick
     means the vocab-sized relation is touched exactly once (the groupBy
     building frequency classes), and the regression runs on the tiny
     class domain. Slope and intercept are fixed-shape IEEE expressions
@@ -1935,8 +1940,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2.0
         ),
         6,
-    ).cast("decimal(38,6)")
-    gy = _round_ieee(F.log(F.col("c").cast("double")), 6).cast("decimal(38,6)")
+    ).cast("decimal(12,6)")
+    gy = _round_ieee(F.log(F.col("c").cast("double")), 6).cast("decimal(12,6)")
     pts = (
         cum.withColumnRenamed("t_upto", "upto")
         .crossJoin(F.broadcast(tot))

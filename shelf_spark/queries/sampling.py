@@ -523,7 +523,7 @@ _SQL_NEYMAN_W = "round(CAST(n AS DOUBLE) * std, 6)"
     SELECT event_type,
            CAST(n AS BIGINT) AS n_rows,
            std,
-           CAST(floor((CAST(wt AS DOUBLE) / CAST(wsum AS DOUBLE))
+           CAST(floor((CAST(wt AS DOUBLE) / nullif(CAST(wsum AS DOUBLE), 0.0))
                       * {_NEYMAN_BUDGET} + 0.5) AS BIGINT) AS alloc
     FROM ww CROSS JOIN tot
     ORDER BY event_type
@@ -569,8 +569,12 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("long").alias("n_rows"),
             "std",
+            # try_divide: every stratum degenerate (std 0 -> wsum 0)
+            # leaves the allocation undefined — NULL both engines (r9)
             F.floor(
-                (F.col("wt").cast("double") / F.col("wsum").cast("double"))
+                F.try_divide(
+                    F.col("wt").cast("double"), F.col("wsum").cast("double")
+                )
                 * _NEYMAN_BUDGET
                 + 0.5
             )

@@ -1476,7 +1476,8 @@ def _scored(spark: SparkSession) -> DataFrame:
            CAST(t - p AS BIGINT) AS n_neg,
            {_sql_round_ieee(
                "CAST(r2 - CAST(p AS HUGEINT) * CAST(p + 1 AS HUGEINT) AS DOUBLE)"
-               " / (2.0 * CAST(p AS DOUBLE) * CAST(t - p AS DOUBLE))", 6)} AS auc
+               " / nullif(2.0 * CAST(p AS DOUBLE) * CAST(t - p AS DOUBLE), 0.0)",
+               6)} AS auc
     FROM agg
     """,
 )
@@ -1510,9 +1511,16 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").alias("t"),
     )
     p38 = F.col("p").cast(_D38)
+    # try_divide: a single-class corpus (P=0 or N=0) has no ranking to
+    # score — AUC is NULL on both engines, never an ANSI abort (r9
+    # sparse-fixture find).
     auc = _round_ieee(
-        (F.col("r2") - p38 * (p38 + 1)).cast("double")
-        / (F.lit(2.0) * F.col("p").cast("double") * (F.col("t") - F.col("p")).cast("double")),
+        F.try_divide(
+            (F.col("r2") - p38 * (p38 + 1)).cast("double"),
+            F.lit(2.0)
+            * F.col("p").cast("double")
+            * (F.col("t") - F.col("p")).cast("double"),
+        ),
         6,
     )
     return agg.select(
@@ -1546,7 +1554,8 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(score AS BIGINT) AS at_score,
            {_sql_round_ieee(
-               "CAST(dist AS DOUBLE) / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE))", 6)}
+               "CAST(dist AS DOUBLE)"
+               " / nullif(CAST(p AS DOUBLE) * CAST(n AS DOUBLE), 0.0)", 6)}
              AS ks,
            CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
     FROM d CROSS JOIN tot
@@ -1586,9 +1595,12 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         "n",
     )
+    # try_divide: single-class corpus -> KS undefined, NULL not abort (r9)
     ks = _round_ieee(
-        F.col("dist").cast("double")
-        / (F.col("p").cast("double") * F.col("n").cast("double")),
+        F.try_divide(
+            F.col("dist").cast("double"),
+            F.col("p").cast("double") * F.col("n").cast("double"),
+        ),
         6,
     )
     return (
@@ -1628,10 +1640,12 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_rows AS BIGINT) AS n,
            CAST(n_pos AS BIGINT) AS n_pos,
            {_sql_round_ieee(
-               "CAST(pos_upto AS DOUBLE) / CAST(p AS DOUBLE)", 6)} AS capture,
+               "CAST(pos_upto AS DOUBLE) / nullif(CAST(p AS DOUBLE), 0.0)",
+               6)} AS capture,
            {_sql_round_ieee(
                "CAST(CAST(n_pos AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)"
-               " / CAST(CAST(n_rows AS HUGEINT) * CAST(p AS HUGEINT) AS DOUBLE)",
+               " / nullif(CAST(CAST(n_rows AS HUGEINT) * CAST(p AS HUGEINT)"
+               " AS DOUBLE), 0.0)",
                6)} AS lift
     FROM cum CROSS JOIN tot ORDER BY decile
     """,
@@ -1675,12 +1689,19 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = attach_prefix_sums(b, ["decile"], ["n_pos"])
+    # try_divide: a corpus with zero positives has no capture/lift to
+    # report — NULL on both engines, never an ANSI abort (r9).
     capture = _round_ieee(
-        F.col("n_pos_upto").cast("double") / F.col("p").cast("double"), 6
+        F.try_divide(
+            F.col("n_pos_upto").cast("double"), F.col("p").cast("double")
+        ),
+        6,
     )
     lift = _round_ieee(
-        (F.col("n_pos").cast(_D38) * F.col("n").cast(_D38)).cast("double")
-        / (F.col("n_rows").cast(_D38) * F.col("p").cast(_D38)).cast("double"),
+        F.try_divide(
+            (F.col("n_pos").cast(_D38) * F.col("n").cast(_D38)).cast("double"),
+            (F.col("n_rows").cast(_D38) * F.col("p").cast(_D38)).cast("double"),
+        ),
         6,
     )
     return (
@@ -2997,13 +3018,14 @@ _HOLT_H = 7  #: forecast horizon (days)
     ), fin AS (
       SELECT l, t FROM hw ORDER BY i DESC LIMIT 1
     ), lastd AS (
-      SELECT max(day) AS last_day FROM daily
+      SELECT max(day) AS last_day, count(*) AS nn FROM daily
     )
     SELECT CAST(h AS BIGINT) AS h,
            last_day + CAST(h AS INTEGER) AS day,
            {{fc}} AS forecast
     FROM fin CROSS JOIN lastd
     CROSS JOIN generate_series(1, {_HOLT_H}) AS g(h)
+    WHERE nn >= 2
     ORDER BY h
     """.format(fc=_sql_round_ieee("l + CAST(h AS DOUBLE) * t", 6)),
 )
@@ -3033,7 +3055,10 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
     )
-    fitted = series.select(
+    # Holt's trend init needs two observations; on a shorter series the
+    # model is undefined — zero forecast rows on both engines instead
+    # of an out-of-bounds element_at (r9 sparse-fixture find).
+    fitted = series.where(F.size("s") >= 2).select(
         F.element_at("s", -1)["day"].alias("last_day"),
         F.expr(
             "aggregate("
@@ -3384,13 +3409,15 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nullif: all-tied ranks on either margin (e.g. a 1-row relation) zero
+#: a rank variance and rho is undefined — NULL on both engines (r9).
 _SPEARMAN_RHO = (
     "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
     "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
     "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
     "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0))"
 )
 
 
@@ -5262,8 +5289,8 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
              AS brier_climatology,
            {_sql_round_ieee(
                "1.0 - (CAST(ts_ AS DOUBLE) / CAST(n AS DOUBLE))"
-               " / ((CAST(np AS DOUBLE) / CAST(n AS DOUBLE))"
-               "    * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)))", 6)}
+               " / nullif((CAST(np AS DOUBLE) / CAST(n AS DOUBLE))"
+               "    * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)", 6)}
              AS brier_skill
     FROM mom
     """,
@@ -5297,11 +5324,16 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = F.col("np").cast("double") / F.col("n").cast("double")
     bs = F.col("ts_").cast("double") / F.col("n").cast("double")
+    # try_divide: a single-class corpus has zero climatology variance —
+    # the skill score is undefined (NULL both engines), never an ANSI
+    # abort (r9 sparse-fixture find).
     return mom.select(
         "n",
         _round_ieee(bs, 6).alias("brier"),
         _round_ieee(base * (1.0 - base), 6).alias("brier_climatology"),
-        _round_ieee(1.0 - bs / (base * (1.0 - base)), 6).alias("brier_skill"),
+        _round_ieee(
+            F.lit(1.0) - F.try_divide(bs, base * (1.0 - base)), 6
+        ).alias("brier_skill"),
     )
 
 
@@ -5417,13 +5449,15 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Continuity-corrected Z from the exact S statistic and tie-corrected
 #: variance — one shared IEEE expression on both engines.
+#: nullif: n <= 1 (or a fully-tied series) zeroes the Kendall variance
+#: and z is undefined — NULL on both engines, never an ANSI abort (r9).
 _MK_Z = (
     "(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)"
     "      WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)"
     "      ELSE 0.0 END"
-    " / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
+    " / nullif(sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)"
     "         * (2.0 * CAST(n AS DOUBLE) + 5.0)"
-    "         - CAST(u AS DOUBLE)) / 18.0))"
+    "         - CAST(u AS DOUBLE)) / 18.0), 0.0))"
 )
 
 
@@ -5748,7 +5782,8 @@ _F1_EXPR = _sql_round_ieee(
                "CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))",
                6)} AS precision_,
            {_sql_round_ieee(
-               "CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))",
+               "CAST(tp AS DOUBLE)"
+               " / nullif(CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE), 0.0)",
                6)} AS recall_,
            {_F1_EXPR} AS f1
     FROM conf
@@ -5800,9 +5835,13 @@ def ml_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("tp").cast("double") + F.col("fp").cast("double")),
                 6,
             ).alias("precision_"),
+            # try_divide: tp+fn = P = 0 (no positives in the corpus)
+            # makes recall undefined — NULL both engines (r9)
             _round_ieee(
-                F.col("tp").cast("double")
-                / (F.col("tp").cast("double") + F.col("fn").cast("double")),
+                F.try_divide(
+                    F.col("tp").cast("double"),
+                    F.col("tp").cast("double") + F.col("fn").cast("double"),
+                ),
                 6,
             ).alias("recall_"),
             _round_ieee(
@@ -6288,10 +6327,12 @@ _POWER_Z_A2 = "1.959964"  # alpha = .05 two-sided
 _POWER_Z_B = "0.841621"   # power = .80
 _POWER_MDE = "0.10"       # +10% relative lift to detect
 
+#: nullif: a zero base rate (no purchases) makes the detectable lift
+#: zero-width and n is undefined — NULL on both engines (r9).
 _POWER_N = (
     f"ceil((({_POWER_Z_A2} + {_POWER_Z_B}) * ({_POWER_Z_A2} + {_POWER_Z_B}))"
     " * (p1 * (1.0 - p1) + p2 * (1.0 - p2))"
-    " / ((p2 - p1) * (p2 - p1)))"
+    " / nullif((p2 - p1) * (p2 - p1), 0.0))"
 )
 
 

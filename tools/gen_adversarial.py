@@ -10,8 +10,15 @@ adversarial gate"): 5 native-round() cross-engine divergences, 6 ANSI
 divide-by-zero job-killers on degenerate slices, and one negative
 slice length on a sub-two-season series.
 
+The --sparse mode writes the near-empty variant instead (n≈1 regime),
+which flushed 15 MORE: single-class eval metrics, zero-variance
+denominators, an empty transition matrix, an empty-map literal, a
+sub-two-observation trend model, and a DECIMAL(38) product silently
+degrading to DOUBLE in DuckDB.
+
 Usage:
-    python tools/gen_adversarial.py [outdir]   # default /tmp/adversarial-sf
+    python tools/gen_adversarial.py [outdir]            # default /tmp/adversarial-sf
+    python tools/gen_adversarial.py --sparse [outdir]   # default /tmp/sparse-sf
     python tools/check_correctness.py --workers 4 --sf /tmp/adversarial-sf
 """
 import datetime as dt
@@ -26,119 +33,149 @@ import os
 import sys
 
 rng = random.Random(1234)
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/adversarial-sf"
-os.makedirs(OUT, exist_ok=True)
+
 
 SRC = "/root/testdata/sf0.001"
-# dims copied verbatim (domains must line up with join keys)
-for t in ("region", "nation", "customer", "supplier", "part"):
-    duckdb.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
 
-# --- events: heavy (user_id, ts) ties, tie-adjacent session gaps,
-# values on exact .5-cent boundaries, bursts at day boundaries
-base = dt.datetime(2024, 1, 1)
-ev = {"event_id": [], "ts": [], "user_id": [], "event_type": [], "value": [], "props": []}
-types = ["click", "error", "purchase", "signup", "view"]
-eid = 0
-for u in range(1, 40):
-    t = base + dt.timedelta(hours=u % 13)
-    for burst in range(rng.randint(2, 6)):
-        # each burst: 2-4 events at the SAME timestamp
-        for _ in range(rng.randint(2, 4)):
+
+def write_adversarial(out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    # dims copied verbatim (domains must line up with join keys)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        duckdb.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    # --- events: heavy (user_id, ts) ties, tie-adjacent session gaps,
+    # values on exact .5-cent boundaries, bursts at day boundaries
+    base = dt.datetime(2024, 1, 1)
+    ev = {"event_id": [], "ts": [], "user_id": [], "event_type": [], "value": [], "props": []}
+    types = ["click", "error", "purchase", "signup", "view"]
+    eid = 0
+    for u in range(1, 40):
+        t = base + dt.timedelta(hours=u % 13)
+        for burst in range(rng.randint(2, 6)):
+            # each burst: 2-4 events at the SAME timestamp
+            for _ in range(rng.randint(2, 4)):
+                eid += 1
+                ev["event_id"].append(eid)
+                ev["ts"].append(t)
+                ev["user_id"].append(u)
+                ev["event_type"].append(types[eid % 5])
+                # exact .005 boundaries to stress cent rounding
+                ev["value"].append(round((eid % 7) + 0.005 * (eid % 3), 3))
+                ev["props"].append('{"k": %d}' % (eid % 100))
+            # gap exactly 30 min (boundary: NOT > 30min -> same session)
+            # alternated with 30min+1s (new session)
+            t = t + dt.timedelta(minutes=30, seconds=(burst % 2))
+    # midnight-tie burst (day attribution edges)
+    for u in (50, 51):
+        for k in range(4):
             eid += 1
             ev["event_id"].append(eid)
-            ev["ts"].append(t)
+            ev["ts"].append(dt.datetime(2024, 1, 2, 0, 0, 0))
             ev["user_id"].append(u)
-            ev["event_type"].append(types[eid % 5])
-            # exact .005 boundaries to stress cent rounding
-            ev["value"].append(round((eid % 7) + 0.005 * (eid % 3), 3))
-            ev["props"].append('{"k": %d}' % (eid % 100))
-        # gap exactly 30 min (boundary: NOT > 30min -> same session)
-        # alternated with 30min+1s (new session)
-        t = t + dt.timedelta(minutes=30, seconds=(burst % 2))
-# midnight-tie burst (day attribution edges)
-for u in (50, 51):
-    for k in range(4):
-        eid += 1
-        ev["event_id"].append(eid)
-        ev["ts"].append(dt.datetime(2024, 1, 2, 0, 0, 0))
-        ev["user_id"].append(u)
-        ev["event_type"].append("purchase")
-        ev["value"].append(10.005)
-        ev["props"].append('{"k": 1}')
-pq.write_table(pa.table(ev), f"{OUT}/events.parquet")
+            ev["event_type"].append("purchase")
+            ev["value"].append(10.005)
+            ev["props"].append('{"k": 1}')
+    pq.write_table(pa.table(ev), f"{out}/events.parquet")
 
-# --- documents: short docs (0..4 tokens), exact duplicates, near-dups,
-# single-token vocab collisions, whitespace edge (no empty text: fixture
-# never has it and split semantics on '' differ by design)
-docs = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
-langs = ["de", "en", "es", "fr", "zh"]
-vocab = ["a", "b", "c", "the", "fast", "scan", "join"]
-for i in range(160):
-    if i % 8 == 0:
-        text = " ".join(rng.choices(vocab, k=rng.randint(1, 4)))  # short
-    elif i % 8 == 1 and docs["text"]:
-        text = docs["text"][-1]  # exact duplicate of previous
-    elif i % 8 == 2:
-        text = "x"  # 1 token, 1 char
+    # --- documents: short docs (0..4 tokens), exact duplicates, near-dups,
+    # single-token vocab collisions, whitespace edge (no empty text: fixture
+    # never has it and split semantics on '' differ by design)
+    docs = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    langs = ["de", "en", "es", "fr", "zh"]
+    vocab = ["a", "b", "c", "the", "fast", "scan", "join"]
+    for i in range(160):
+        if i % 8 == 0:
+            text = " ".join(rng.choices(vocab, k=rng.randint(1, 4)))  # short
+        elif i % 8 == 1 and docs["text"]:
+            text = docs["text"][-1]  # exact duplicate of previous
+        elif i % 8 == 2:
+            text = "x"  # 1 token, 1 char
+        else:
+            text = " ".join(rng.choices(vocab, k=rng.randint(5, 40)))
+        docs["doc_id"].append(i)
+        docs["text"].append(text)
+        docs["lang"].append(langs[i % 5])
+        docs["source"].append(f"src{i % 20}")
+        docs["n_chars"].append(len(text))
+    pq.write_table(pa.table(docs), f"{out}/documents.parquet")
+
+    # --- embeddings: duplicate vectors, zero-adjacent norms kept positive,
+    # label-skewed cells
+    emb = {"vec_id": [], "embedding": [], "label": []}
+    proto = [np.array([((j * 31 + k * 7) % 13 - 6) / 6.0 for k in range(64)],
+                      dtype=np.float32) for j in range(8)]
+    for i in range(120):
+        v = proto[i % 8].copy()
+        if i % 3 == 0:
+            v = v * 1.0  # exact duplicate of a prototype
+        else:
+            v[i % 64] += 0.25
+        emb["vec_id"].append(i)
+        emb["embedding"].append(v.tolist())
+        emb["label"].append(i % 3)  # 3 hot cells
+    pq.write_table(
+        pa.table({"vec_id": pa.array(emb["vec_id"], pa.int64()),
+                  "embedding": pa.array(emb["embedding"], pa.list_(pa.float32())),
+                  "label": pa.array(emb["label"], pa.int32())}),
+        f"{out}/embeddings.parquet")
+
+    # --- orders / lineitem: duplicated prices, even-n groups, orderdate ties
+    o = {"o_orderkey": [], "o_custkey": [], "o_orderstatus": [], "o_totalprice": [],
+         "o_orderdate": [], "o_orderpriority": []}
+    li = {"l_orderkey": [], "l_partkey": [], "l_suppkey": [], "l_linenumber": [],
+          "l_quantity": [], "l_extendedprice": [], "l_discount": [], "l_tax": [],
+          "l_returnflag": [], "l_linestatus": [], "l_shipdate": []}
+    custkeys = duckdb.sql(f"SELECT c_custkey FROM '{SRC}/customer.parquet'").fetchall()
+    partkeys = duckdb.sql(f"SELECT p_partkey FROM '{SRC}/part.parquet'").fetchall()
+    suppkeys = duckdb.sql(f"SELECT s_suppkey FROM '{SRC}/supplier.parquet'").fetchall()
+    day0 = dt.datetime(1995, 1, 1)
+    for ok in range(1, 301):
+        o["o_orderkey"].append(ok)
+        o["o_custkey"].append(custkeys[ok % len(custkeys)][0])
+        o["o_orderstatus"].append("OF P"[ok % 3] if False else ["O", "F", "P"][ok % 3])
+        o["o_totalprice"].append(1000.0 + (ok % 10) * 111.115)  # .5-mill boundaries
+        o["o_orderdate"].append(day0 + dt.timedelta(days=(ok % 50)))  # heavy date ties
+        o["o_orderpriority"].append(f"{1 + ok % 5}-X")
+        for ln in range(1, (ok % 4) + 2):
+            li["l_orderkey"].append(ok)
+            li["l_partkey"].append(partkeys[(ok * 3 + ln) % len(partkeys)][0])
+            li["l_suppkey"].append(suppkeys[(ok + ln) % len(suppkeys)][0])
+            li["l_linenumber"].append(ln)
+            li["l_quantity"].append(float((ok + ln) % 49 + 1))
+            li["l_extendedprice"].append(100.0 + (ok % 6) * 250.125)  # duplicates + even n
+            li["l_discount"].append((ln % 3) * 0.05)
+            li["l_tax"].append((ln % 2) * 0.04)
+            li["l_returnflag"].append(["A", "N", "R"][ok % 3])
+            li["l_linestatus"].append(["O", "F"][ln % 2])
+            li["l_shipdate"].append(day0 + dt.timedelta(days=(ok % 50) + ln))
+    pq.write_table(pa.table(o), f"{out}/orders.parquet")
+    pq.write_table(pa.table(li), f"{out}/lineitem.parquet")
+    print("written", out)
+
+
+def write_sparse(out: str) -> None:
+    """Near-empty variant: 1 order/lineitem, 2 events, 3 docs, 5 vectors
+    — the n≈1 regime where variance denominators, single-class metrics,
+    empty transition matrices and sub-two-season series live. The r9 run
+    of the gate against this flushed 15 more latent issues."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SRC}/orders.parquet' ORDER BY o_orderkey LIMIT 1) TO '{out}/orders.parquet' (FORMAT PARQUET)")
+    ok2 = con.execute(f"SELECT o_orderkey FROM '{out}/orders.parquet'").fetchone()[0]
+    con.execute(f"COPY (SELECT * FROM '{SRC}/lineitem.parquet' WHERE l_orderkey = {ok2} LIMIT 1) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SRC}/events.parquet' ORDER BY event_id LIMIT 2) TO '{out}/events.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id LIMIT 3) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SRC}/embeddings.parquet' ORDER BY vec_id LIMIT 5) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    print("written", out)
+
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--sparse" in sys.argv:
+        write_sparse(args[0] if args else "/tmp/sparse-sf")
     else:
-        text = " ".join(rng.choices(vocab, k=rng.randint(5, 40)))
-    docs["doc_id"].append(i)
-    docs["text"].append(text)
-    docs["lang"].append(langs[i % 5])
-    docs["source"].append(f"src{i % 20}")
-    docs["n_chars"].append(len(text))
-pq.write_table(pa.table(docs), f"{OUT}/documents.parquet")
-
-# --- embeddings: duplicate vectors, zero-adjacent norms kept positive,
-# label-skewed cells
-emb = {"vec_id": [], "embedding": [], "label": []}
-proto = [np.array([((j * 31 + k * 7) % 13 - 6) / 6.0 for k in range(64)],
-                  dtype=np.float32) for j in range(8)]
-for i in range(120):
-    v = proto[i % 8].copy()
-    if i % 3 == 0:
-        v = v * 1.0  # exact duplicate of a prototype
-    else:
-        v[i % 64] += 0.25
-    emb["vec_id"].append(i)
-    emb["embedding"].append(v.tolist())
-    emb["label"].append(i % 3)  # 3 hot cells
-pq.write_table(
-    pa.table({"vec_id": pa.array(emb["vec_id"], pa.int64()),
-              "embedding": pa.array(emb["embedding"], pa.list_(pa.float32())),
-              "label": pa.array(emb["label"], pa.int32())}),
-    f"{OUT}/embeddings.parquet")
-
-# --- orders / lineitem: duplicated prices, even-n groups, orderdate ties
-o = {"o_orderkey": [], "o_custkey": [], "o_orderstatus": [], "o_totalprice": [],
-     "o_orderdate": [], "o_orderpriority": []}
-li = {"l_orderkey": [], "l_partkey": [], "l_suppkey": [], "l_linenumber": [],
-      "l_quantity": [], "l_extendedprice": [], "l_discount": [], "l_tax": [],
-      "l_returnflag": [], "l_linestatus": [], "l_shipdate": []}
-custkeys = duckdb.sql(f"SELECT c_custkey FROM '{SRC}/customer.parquet'").fetchall()
-partkeys = duckdb.sql(f"SELECT p_partkey FROM '{SRC}/part.parquet'").fetchall()
-suppkeys = duckdb.sql(f"SELECT s_suppkey FROM '{SRC}/supplier.parquet'").fetchall()
-day0 = dt.datetime(1995, 1, 1)
-for ok in range(1, 301):
-    o["o_orderkey"].append(ok)
-    o["o_custkey"].append(custkeys[ok % len(custkeys)][0])
-    o["o_orderstatus"].append("OF P"[ok % 3] if False else ["O", "F", "P"][ok % 3])
-    o["o_totalprice"].append(1000.0 + (ok % 10) * 111.115)  # .5-mill boundaries
-    o["o_orderdate"].append(day0 + dt.timedelta(days=(ok % 50)))  # heavy date ties
-    o["o_orderpriority"].append(f"{1 + ok % 5}-X")
-    for ln in range(1, (ok % 4) + 2):
-        li["l_orderkey"].append(ok)
-        li["l_partkey"].append(partkeys[(ok * 3 + ln) % len(partkeys)][0])
-        li["l_suppkey"].append(suppkeys[(ok + ln) % len(suppkeys)][0])
-        li["l_linenumber"].append(ln)
-        li["l_quantity"].append(float((ok + ln) % 49 + 1))
-        li["l_extendedprice"].append(100.0 + (ok % 6) * 250.125)  # duplicates + even n
-        li["l_discount"].append((ln % 3) * 0.05)
-        li["l_tax"].append((ln % 2) * 0.04)
-        li["l_returnflag"].append(["A", "N", "R"][ok % 3])
-        li["l_linestatus"].append(["O", "F"][ln % 2])
-        li["l_shipdate"].append(day0 + dt.timedelta(days=(ok % 50) + ln))
-pq.write_table(pa.table(o), f"{OUT}/orders.parquet")
-pq.write_table(pa.table(li), f"{OUT}/lineitem.parquet")
-print("written", OUT)
+        write_adversarial(args[0] if args else "/tmp/adversarial-sf")
