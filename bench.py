@@ -115,14 +115,21 @@ def main() -> None:
     # default-methodology run may overwrite it — a --pattern subset or a
     # --session-every isolation run would clobber the steady-state
     # record with different-methodology timings.
-    if (
-        not args.pattern
-        and not args.session_every
-        and sf_dir == "/root/testdata/sf0.1"
-    ):
+    _default_sf = "/root/testdata/sf0.1"
+    try:
+        _is_default_sf = os.path.realpath(sf_dir) == os.path.realpath(_default_sf)
+    except OSError:
+        _is_default_sf = sf_dir == _default_sf
+    if not args.pattern and not args.session_every and _is_default_sf:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as fh:
             fh.write(json.dumps({**base, "queries": timings}) + "\n")
+    elif not args.pattern and not args.session_every:
+        print(
+            f"# BENCH_local.json not updated: sf_dir {sf_dir!r} is not the "
+            f"canonical {_default_sf!r}",
+            file=sys.stderr,
+        )
     # The driver's stdout capture holds ~2.5 KB (evidence: the r6
     # 39-query JSON (~1.4 KB) parsed; the r7 85-query JSON (~2.9 KB)
     # came back head-truncated, parsed:null). Keep the printed line

@@ -1918,9 +1918,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (class-weight × grid-product) terms — grid points carry
     DECIMAL(12,6), NOT (38,6): at p=38 the gx·gy product exceeds the
     exact decimal range and DuckDB silently degrades it to DOUBLE
-    (order-dependent ulps — caught by the r9 sparse fixture); at
-    (12,6) every product and weighted sum stays exact decimal on both
-    engines. The count-of-counts trick
+    (order-dependent ulps — caught by the r9 sparse fixture). On the
+    Spark side the weight and grid product are explicitly re-cast
+    (t → decimal(17,0), gx·gy → decimal(20,12)) so every term stays
+    decimal(38,12) — without the casts Spark's allowPrecisionLoss
+    rounds each t·gx·gy term to 6dp while DuckDB sums the exact 12dp
+    values (r10 ADVICE). The count-of-counts trick
     means the vocab-sized relation is touched exactly once (the groupBy
     building frequency classes), and the regression runs on the tiny
     class domain. Slope and intercept are fixed-shape IEEE expressions
@@ -1947,12 +1950,23 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("t", gx.alias("gx"), gy.alias("gy"))
     )
+    # Spark-side exactness (r10 ADVICE): a bare t * (gx*gy) is
+    # long × decimal(25,12) → precision 46, which allowPrecisionLoss
+    # rounds to decimal(38,6) PER TERM — off the 12-dp grid DuckDB sums
+    # exactly. Casting t to decimal(17,0) and the grid product to
+    # decimal(20,12) (|gx·gy| < 1000, so 8 integer digits suffice)
+    # keeps every product at decimal(38,12) — exact on both engines.
+    t17 = F.col("t").cast("decimal(17,0)")
     mom = pts.agg(
         F.sum("t").cast("long").alias("n"),
-        F.sum(F.col("t") * F.col("gx")).alias("sx"),
-        F.sum(F.col("t") * F.col("gy")).alias("sy"),
-        F.sum(F.col("t") * (F.col("gx") * F.col("gy"))).alias("sxy"),
-        F.sum(F.col("t") * (F.col("gx") * F.col("gx"))).alias("sxx"),
+        F.sum(t17 * F.col("gx")).alias("sx"),
+        F.sum(t17 * F.col("gy")).alias("sy"),
+        F.sum(t17 * (F.col("gx") * F.col("gy")).cast("decimal(20,12)")).alias(
+            "sxy"
+        ),
+        F.sum(t17 * (F.col("gx") * F.col("gx")).cast("decimal(20,12)")).alias(
+            "sxx"
+        ),
     )
     return mom.select(
         F.col("n").alias("n_terms"),

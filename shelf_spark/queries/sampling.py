@@ -1099,7 +1099,8 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (
       SELECT event_id, event_type AS grp,
-             substr(sha256(CAST(event_id AS VARCHAR)), 1, 16) AS h
+             ((((event_id % 2147483648) + 2147483648) % 2147483648)
+              * 2654435761) % 2147483648 AS h
       FROM events
     ), cls AS (
       SELECT grp, CAST(count(*) AS BIGINT) AS n_in_class FROM f GROUP BY grp
@@ -1113,7 +1114,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cls.grp, cls.n_in_class,
            CAST(count(*) AS BIGINT) AS n_selected,
-           CAST(sum(sel.event_id) AS DECIMAL(38,0)) AS id_checksum,
+           CAST(sum(sel.event_id) AS BIGINT) AS id_checksum,
            max(sel.h) AS h_threshold
     FROM sel JOIN cls ON sel.grp = cls.grp
     GROUP BY cls.grp, cls.n_in_class ORDER BY cls.grp
@@ -1121,27 +1122,42 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced downsampling: every event type keeps EXACTLY m
-    rows (m = the minority class size), chosen as the m smallest
-    sha256-order rows — the deterministic rebalance a training mix
-    applies before fitting on skewed labels, reproducible across runs
-    and engines by construction.
+    rows (m = the minority class size), chosen as the m smallest rows
+    under a Knuth multiplicative hash of the id — the deterministic
+    rebalance a training mix applies before fitting on skewed labels,
+    reproducible across runs and engines by construction.
+
+    Cross-engine determinism (r9 driver red-row root cause): the r9
+    ordering key was the TEXT of a sha256 hex prefix, which let an
+    engine/version divergence in string rendering/collation decide the
+    selected set in the driver environment while the local replica
+    agreed. The key is now PURE 64-bit integer arithmetic — a Knuth
+    multiplicative hash ``pmod(pmod(id, 2^31) * 2654435761, 2^31)`` —
+    that both engines compute bit-identically (max intermediate
+    2^31 * 2654435761 < 2^63), and the id-checksum is BIGINT on both
+    sides so no DECIMAL(38,0) rendering is involved either. No
+    text-rendered hash ever decides a cross-engine order again.
 
     Scale shape — a DISTRIBUTED per-group order statistic, not a
-    per-class sort: rows land in 256 hash-prefix buckets; per-class
-    bucket counts get a prefix sum over the BOUNDED bucket domain
-    (256 cells × classes — catalog-sized); every row in a bucket below
-    the class's cutoff bucket is selected outright (no ordering ever
+    per-class sort: rows land in 256 hash-prefix buckets (the top 8
+    bits of h, so bucket order is monotone in h); per-class bucket
+    counts get a prefix sum over the BOUNDED bucket domain (256 cells
+    × classes — catalog-sized); every row in a bucket below the
+    class's cutoff bucket is selected outright (no ordering ever
     touches it), and only the ONE boundary bucket per class (~1/256 of
-    the class; widen the prefix to 3–4 hex chars at larger scale) pays
-    a partitioned rank. The selected set is pinned by an exact integer
+    the class; widen to more prefix bits at larger scale) pays a
+    partitioned rank. The selected set is pinned by an exact integer
     id-checksum, so the oracle proves the SELECTION, not just counts.
     Oracle twin ranks every row per class — same result, quadratically
     more ordering work; this plan is why the bucketed form exists."""
+    two31 = F.lit(2147483648)
     f = spark.table("events").select(
         "event_id",
         F.col("event_type").alias("grp"),
-        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 16).alias("h"),
-    ).withColumn("bucket", F.substring("h", 1, 2))
+        F.pmod(
+            F.pmod(F.col("event_id"), two31) * F.lit(2654435761), two31
+        ).alias("h"),
+    ).withColumn("bucket", F.shiftright(F.col("h"), 23))
     cls = f.groupBy("grp").agg(F.count("*").cast("long").alias("n_in_class"))
     mm = cls.agg(F.min("n_in_class").alias("m"))
     bc = f.groupBy("grp", "bucket").agg(F.count("*").alias("cnt"))
@@ -1177,7 +1193,7 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.groupBy("grp")
         .agg(
             F.count("*").cast("long").alias("n_selected"),
-            F.sum("event_id").cast("decimal(38,0)").alias("id_checksum"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
             F.max("h").alias("h_threshold"),
         )
         .join(cls, "grp")

@@ -67,10 +67,16 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches a NumberFormatException PER ROW (4.8 s vs 0.3 s for the
     same cast over parseable strings at sf0.1). The rlike pre-guard
     below short-circuits the exception path while preserving try_cast
-    semantics bit-for-bit on every input: guard-false rows yield NULL
-    (exactly what try_cast returns for them), guard-true rows still go
-    through try_cast (so overflow stays NULL-safe). At 100 TB a bare
-    try_cast on a dirty column is a silent 16× projection tax."""
+    semantics on this column's domain (and on any string whose only
+    whitespace is \\s-matchable): guard-false rows yield NULL (what
+    try_cast returns for them), guard-true rows still go through
+    try_cast (so overflow stays NULL-safe). Known edge: Spark's
+    string→int cast trims ISO control characters that Java regex \\s
+    does not match (e.g. '\\x0112' → bare try_cast 12, guarded NULL) —
+    irrelevant on l_returnflag's A/N/R domain, so the guard is exact
+    here; broaden it before reusing on arbitrary dirty columns. At
+    100 TB a bare try_cast on a dirty column is a silent 16×
+    projection tax."""
     li = spark.table("lineitem")
     flag_int = F.when(
         F.col("l_returnflag").rlike(r"^\s*[+-]?\d+\s*$"),

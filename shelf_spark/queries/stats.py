@@ -6565,7 +6565,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY b.day
     )
     SELECT trough_day,
-           CAST(peak_c - trough_c AS DECIMAL(18,0)) AS drawdown_cents,
+           CAST(peak_c - trough_c AS BIGINT) AS drawdown_cents,
            CAST(peak_c - trough_c AS DOUBLE) / 100.0 AS drawdown
     FROM dd
     ORDER BY peak_c - trough_c DESC, trough_day LIMIT 1
@@ -6608,7 +6608,10 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_b").cast("decimal(18,0)").alias("trough_c"),
         )
     )
-    draw = (F.col("peak_c") - F.col("trough_c")).cast("decimal(18,0)")
+    # Output column is BIGINT, not DECIMAL: the r9 driver red row taught
+    # that DECIMAL-rendered output columns are a cross-engine exposure
+    # surface — BIGINT holds the full cents range (< 9.2e18) anyway.
+    draw = (F.col("peak_c") - F.col("trough_c")).cast("long")
     return (
         dd.select(
             "trough_day",

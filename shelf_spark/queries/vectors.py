@@ -1183,10 +1183,21 @@ def _pq_topk(spark: SparkSession, k: int) -> DataFrame:
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d2").alias("adist"))
     )
+    # Tie-safe pool boundary (r10 ADVICE): adist is a float sum whose
+    # partial-aggregate order differs between Spark and the oracle's
+    # index-order list_sum, so near-tied candidates at the
+    # PQ_RERANK_POOL cutoff could diverge by ulps. Ranking on a 1e-6
+    # IEEE grid (noise is ~1e-11 absolute) with the vec_id tiebreak
+    # makes pool membership order-insensitive; the exhaustive-ADC twin's
+    # oracle ranks on the identical expression.
     pool = (
         approx.withColumn(
             "prn",
-            F.row_number().over(W.partitionBy("q_id").orderBy("adist", "vec_id")),
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    _round_ieee(F.col("adist"), 6), "vec_id"
+                )
+            ),
         )
         .filter(F.col("prn") <= PQ_RERANK_POOL)
         .select("q_id", "vec_id")
@@ -1246,7 +1257,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q_id, vec_id FROM (
         SELECT q_id, vec_id,
                row_number() OVER (PARTITION BY q_id
-                                  ORDER BY adist, vec_id) AS prn
+                                  ORDER BY {_sql_round_ieee("adist", 6)},
+                                           vec_id) AS prn
         FROM adist) WHERE prn <= {PQ_RERANK_POOL}
     ),
     pairs AS (

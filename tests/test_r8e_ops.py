@@ -949,7 +949,8 @@ def test_balanced_downsample_matches_python_reference(spark):
     rows = _duck(SF_SMALL, "SELECT event_id, event_type FROM events")
     by: dict[str, list] = {}
     for eid, grp in rows:
-        h = hashlib.sha256(str(eid).encode()).hexdigest()[:16]
+        # Knuth multiplicative hash — pure 64-bit integer, engine-agnostic
+        h = ((eid % 2**31) * 2654435761) % 2**31
         by.setdefault(grp, []).append((h, eid))
     m = min(len(v) for v in by.values())
     want = []
