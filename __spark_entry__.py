@@ -163,6 +163,65 @@ def entry(spark: SparkSession) -> DataFrame:
 #     local-gate green at sf0.001/0.01/0.1 AND the adversarial fixture,
 #     with outputs unchanged on in-distribution data; they queue for
 #     r10 fix-re-proof slots.
+#   r10 window (below): fix-re-proof round. Slot 1 is the r9 driver red
+#     row (sample_balanced_downsample: the sha256-text ordering key and
+#     DECIMAL(38,0) checksum — the only cross-engine-sensitive surfaces
+#     — were replaced with pure integer arithmetic and BIGINT; see the
+#     docstring and SCALE.md "r10 red-row root cause"). Then the 13
+#     other ALREADY-CHECKED queries whose expressions changed after
+#     their last driver row (the r9 NOTE list above, plus
+#     ann_pq_exhaustive_adc whose pool ranking gained the r10 ADVICE
+#     tie-safe grid) — these are the sanctioned re-proof exception,
+#     listed in _DRIVER_WINDOW_REPROOF for the discipline test. Then
+#     the 8 fix-changed queries that never had a row (doubling as
+#     first rows), then 28 first-ever rows from the 71-deep
+#     never-checked queue in user-impact order (weighted median,
+#     rollup sketches, the stats tier, the ts tier, scan/sink/set).
+#     After this window the never-checked queue is 35.
+_DRIVER_WINDOW_R10 = [
+    # slot 1: the r9 driver red row, re-proved on the de-sensitized plan
+    "sample_balanced_downsample",
+    # fix re-proofs: expression changed after last driver row (r9 NOTE
+    # + this round's ADVICE changes)
+    "events_sessionize", "stream_session_windows", "fn_try_arith",
+    "window_lag_lead", "sort_topk", "events_asof_join",
+    "events_asof_orders", "stream_asof_enrich", "ab_test_proportions",
+    "ts_cross_correlation", "agg_corr_regr", "graph_assortativity",
+    "ann_pq_exhaustive_adc",
+    # fix-changed AND never checked: first rows that double as re-proofs
+    "events_bounce_rate", "ts_snaive_backtest", "ml_fairness_parity",
+    "stats_runs_test", "ml_matthews_corrcoef", "ts_holt_winters",
+    "ts_max_drawdown", "text_zipf_fit",
+    # never-checked queue, user-impact order: core agg + rollup sketches
+    "agg_weighted_median", "rollup_bitmap_distinct",
+    "rollup_cms_frequencies", "rollup_quantile_histogram",
+    # stats tier
+    "stats_benjamini_hochberg", "stats_mann_whitney_u",
+    "stats_kruskal_wallis", "stats_spearman_rho", "stats_anova_oneway",
+    "stats_levene", "stats_jarque_bera", "stats_effect_sizes",
+    "stats_tukey_hsd", "stats_wilcoxon_signed_rank",
+    # time-series tier
+    "ts_seasonal_decompose", "ts_acf", "ts_mann_kendall", "ts_ljung_box",
+    "ts_holt_linear_forecast", "ts_fourier_periodogram",
+    "ts_peak_detection", "ts_control_chart_xmr",
+    # scan / sink / set tier
+    "scan_merge_schema", "scan_csv_malformed", "sink_orc_roundtrip",
+    "sink_zorder_layout", "set_union_by_name", "set_intersect_all",
+]
+
+#: Sanctioned re-proof exception (see tests/test_queries.py
+#: test_driver_window_discipline): names with a prior driver row whose
+#: expressions changed afterwards — r9 hardening sweeps (session-tie
+#: trio, asof/rounding five, divide-by-zero guards, fn_try_arith's
+#: rlike guard) and this round's red-row + ADVICE fixes.
+_DRIVER_WINDOW_REPROOF = [
+    "sample_balanced_downsample", "events_sessionize",
+    "stream_session_windows", "fn_try_arith", "window_lag_lead",
+    "sort_topk", "events_asof_join", "events_asof_orders",
+    "stream_asof_enrich", "ab_test_proportions", "ts_cross_correlation",
+    "agg_corr_regr", "graph_assortativity", "ann_pq_exhaustive_adc",
+]
+
 _DRIVER_WINDOW_R09 = [
     # composed end-to-end pipelines (highest user impact)
     "pipeline_corpus_curation_e2e", "pipeline_entity_resolution_e2e",
@@ -287,18 +346,19 @@ _DRIVER_WINDOW_R07 = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the driver's 50-row correctness window lands on queries
-    that have never had a driver row (see _DRIVER_WINDOW_R09 above);
-    the rest follow in registry order.
+    Ordered so the driver's 50-row correctness window lands on the
+    fix-driven re-proofs plus first-ever rows from the never-checked
+    queue (see _DRIVER_WINDOW_R10 above); the rest follow in registry
+    order.
     """
     # Window hygiene (r8 verdict ask #6): every windowed entry MUST have
     # a SQL oracle — a rows-only entry in the window produces a
     # guaranteed `err: no_oracle` row, wasting the slot.
-    missing = [n for n in _DRIVER_WINDOW_R09 if n not in ORACLES]
+    missing = [n for n in _DRIVER_WINDOW_R10 if n not in ORACLES]
     assert not missing, f"rows-only entries in driver window: {missing}"
-    unknown = [n for n in _DRIVER_WINDOW_R09 if n not in QUERIES]
+    unknown = [n for n in _DRIVER_WINDOW_R10 if n not in QUERIES]
     assert not unknown, f"unknown names in driver window: {unknown}"
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R09}
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R10}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn
