@@ -1594,7 +1594,7 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("src", "dst", "p")
-        .localCheckpoint()  # K²-bounded; every variant/hop reads this
+        .localCheckpoint(eager=False)  # K²-bounded; every variant/hop reads this
     )
     channels = probs.filter(F.col("src") != _MRA_START).select(
         F.col("src").alias("ch")
@@ -1603,7 +1603,7 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1)
         .select(F.lit("__FULL__").alias("variant"))
         .unionAll(channels.select(F.col("ch").alias("variant")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges_all = (
         probs.crossJoin(F.broadcast(variants))
@@ -1612,7 +1612,10 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("src") != F.col("variant")) & (F.col("dst") != F.col("variant")))
         )
         .select("variant", "src", "dst", "p")
-        .localCheckpoint()
+        # lazy (r10): the hop loop references this K-times inside ONE
+        # final job — first touch materializes, later hops read cache;
+        # the eager pin was a whole extra job of pure submission cost
+        .localCheckpoint(eager=False)
     )
     conv_rows = variants.select(
         "variant", F.lit(_MRA_CONV).alias("state"), F.lit(1.0).alias("v")

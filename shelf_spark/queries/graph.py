@@ -685,7 +685,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .union(supp.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
         .distinct()
-        .localCheckpoint()  # peeling rounds re-read this, never the basket join
+        # peeling rounds re-read this, never the basket join; lazy —
+        # the bounded round count keeps the single final job flat (r10)
+        .localCheckpoint(eager=False)
     )
     for _ in range(_KCORE_ROUNDS):
         keep = (
@@ -698,7 +700,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         e.groupBy(F.col("src").alias("item"))
@@ -904,7 +906,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.distinct()
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .localCheckpoint()
+        # lazy: the first push materializes it; later pushes read cache
+        .localCheckpoint(eager=False)
     )
 
     def _norm(raw: DataFrame) -> DataFrame:
@@ -1011,13 +1014,20 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, not a 2^depth lineage tower — and the visited set is
     re-pinned per level for the same reason. Bounded depth = bounded
     rounds; nothing is ever node²."""
+    # Lazy checkpoints (r10): every pin below used to be an EAGER
+    # localCheckpoint — one separate job submission per level, and the
+    # per-job overhead dominated this query's wall at sf0.1 (the data
+    # work is tiny). eager=False keeps the identical lineage truncation
+    # and single materialization (the level DAG references each pin
+    # once; the final action computes and caches them in dependency
+    # order) but collapses the whole traversal into ONE job.
     pairs = _basket_pairs(spark).select("p1", "p2")
-    und = pairs.distinct().localCheckpoint()
+    und = pairs.distinct().localCheckpoint(eager=False)
     edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
         und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
     root = edges.agg(F.min("src").alias("node"))
-    frontier = root.localCheckpoint()
+    frontier = root.localCheckpoint(eager=False)
     # visited = union of the ALREADY-PINNED frontiers: each is a
     # checkpoint scan, so the anti-join input stays flat without
     # re-materializing the growing set every level.
@@ -1032,7 +1042,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         levels.append(nxt.select(F.lit(d).alias("distance"), "node"))
         pinned.append(nxt)

@@ -69,7 +69,9 @@ def star_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 12) -> D
             F.greatest(F.col(a), F.col(b)).alias("u"),
             F.least(F.col(a), F.col(b)).alias("v"),
         )
-        .localCheckpoint()
+        # Lazy: the first round's signature action materializes it —
+        # an eager pin here would be a whole extra job (r10).
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _ in range(max_rounds):
@@ -97,10 +99,12 @@ def star_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 12) -> D
             .union(mins2.select("u", F.col("m").alias("v")))
             .distinct()
         )
-        # Eager localCheckpoint: materializes the round AND truncates
-        # lineage, so the logical plan stays one-round deep instead of
+        # Lazy localCheckpoint + the signature action right below: the
+        # convergence check is the job that materializes the round, so
+        # each round costs ONE job, not two (eager pin + sig). Lineage
+        # is still truncated — the plan stays one-round deep instead of
         # doubling every iteration.
-        edges = small.localCheckpoint()
+        edges = small.localCheckpoint(eager=False)
         sig = tuple(edges.agg(F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).first())
         if sig == prev_sig:
             break

@@ -42,6 +42,8 @@ change without a state rebuild.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import tempfile
 from typing import Iterator
 
@@ -375,6 +377,37 @@ def user_running_totals(stream: DataFrame, timeout_minutes: int = 0) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+#: State-store partition count for streams started by this module's
+#: runners. A stateful streaming query's shuffle/state partitioning is
+#: locked in at FIRST START (baked into the checkpoint) — it is a
+#: capacity decision, not the batch shuffle default. Every state
+#: partition is a live store instance paying per-batch commit/fsync
+#: cost, so oversizing is pure overhead: at sf0.1 the stream-stream
+#: join ran 8.7 s at 32 partitions vs 3.0 s at 4 (measured, SCALE.md
+#: "r10 streaming state sizing") with identical results. On a real
+#: cluster size this to target-state-volume / healthy-store-size
+#: (RocksDB: a few GB per store) BEFORE the first checkpoint.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SHELF_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+@contextlib.contextmanager
+def _state_sized_start(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to the stream-state size for
+    the duration of a ``.start()`` call, restoring the session value
+    afterwards. Safe because Structured Streaming CLONES the session
+    conf at query start — the running stream keeps the pinned value,
+    the session gets its batch default back."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -386,14 +419,15 @@ def run_available_now(
     """
     spark = df.sparkSession
     checkpoint = tempfile.mkdtemp(prefix=f"shelf-stream-{query_name}-")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_sized_start(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(query_name)
 
@@ -401,25 +435,27 @@ def run_available_now(
 def write_parquet_stream(df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"):
     """Continuous parquet sink with exactly-once file commits (checkpoint +
     manifest protocol). Returns the StreamingQuery handle."""
-    return (
-        df.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
-        .start()
-    )
+    with _state_sized_start(df.sparkSession):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+            .start()
+        )
 
 
 def foreach_batch_upsert(df: DataFrame, checkpoint: str, batch_fn):
     """``foreachBatch`` escape hatch: run arbitrary batch logic (e.g. a
     MERGE into a lakehouse table) per micro-batch. ``batch_fn(batch_df,
     batch_id)`` runs on the driver with a *batch* DataFrame."""
-    return (
-        df.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_sized_start(df.sparkSession):
+        return (
+            df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def _cdc_collapse(batch: DataFrame) -> DataFrame:
