@@ -1,4 +1,4 @@
-"""Generate the canonical close-out one-liner from the artifacts.
+"""Generate the canonical close-out lines from the artifacts.
 
 Round-8 verdict flagged registry/bench/gate numbers drifting across
 README, SCALE.md and commit messages because they were typed by hand.
@@ -6,15 +6,18 @@ This emits the only sanctioned close-out strings — paste its output,
 never retype it.
 
 Usage:
-    python tools/close_report.py [--gate-log FILE]
+    python tools/close_report.py [--gate-log LABEL=FILE ...]
 
 Sources (all read, none computed fresh — this is a REPORTER):
 - registry count / oracle count: live import of shelf_spark.queries
 - driver window: live import of __spark_entry__ (first 50 of queries())
-- bench: BENCH_local.json (written by `python bench.py`)
-- gate tally: the summary line of the latest full check_correctness log
-  (pass --gate-log; defaults to /tmp/gate_r9_full.log if present)
-- pytest: the last line of /tmp/pytest_r9.log if present
+- bench: BENCH_local.json (written by `python bench.py`), including the
+  explicit exclusion list (registry entries the headline loop cannot
+  bench and why) so a bench-vs-registry count delta never reads as drift
+- gate tallies: the summary line of each check_correctness log given via
+  --gate-log (repeatable; the five-corpus ritual passes five). With no
+  flag, the five canonical r10 log paths are probed.
+- pytest: the last line of --pytest-log
 """
 
 from __future__ import annotations
@@ -27,11 +30,39 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: The five-corpus verify ritual's canonical log locations (gate §2/2c/2d
+#: of .claude/skills/verify/SKILL.md). Overridable via --gate-log.
+DEFAULT_GATE_LOGS = [
+    ("sf0.001", "/tmp/gate_sf0001.log"),
+    ("sf0.01", "/tmp/gate_sf001.log"),
+    ("sf0.1", "/tmp/gate_sf01.log"),
+    ("adversarial", "/tmp/gate_adv.log"),
+    ("sparse", "/tmp/gate_sparse.log"),
+]
+
+_GATE_PAT = r"(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"
+_PYTEST_PAT = r"(\d+) passed(?:, (\d+) deselected)?"
+
+
+def _gate_line(label: str, path: str) -> str:
+    if not os.path.exists(path):
+        return f"gate[{label}] ?(no log at {path})"
+    with open(path) as fh:
+        hits = re.findall(_GATE_PAT, fh.read())
+    if not hits:
+        return f"gate[{label}] ?(no summary in {path})"
+    ok, ro, fail, tot = hits[-1]
+    return f"gate[{label}] {ok} ok + {ro} rows-only, {fail} FAIL of {tot}"
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gate-log", default="/tmp/gate_r9_full.log")
-    ap.add_argument("--pytest-log", default="/tmp/pytest_r9.log")
+    ap.add_argument(
+        "--gate-log", action="append", default=None, metavar="LABEL=FILE",
+        help="a check_correctness log to summarize; repeat for the "
+        "five-corpus ritual (default: the five canonical /tmp paths)",
+    )
+    ap.add_argument("--pytest-log", default="/tmp/pytest_r10.log")
     args = ap.parse_args()
 
     from shelf_spark.queries import ORACLES, QUERIES
@@ -52,33 +83,55 @@ def main() -> int:
             f"bench {b['value']:.1f} s over {b['n_queries']} queries "
             f"at sf{b['sf']} ({b.get('methodology', '?')})"
         )
-
-    for label, path, pat in (
-        ("gate", args.gate_log,
-         r"(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"),
-        ("pytest", args.pytest_log,
-         r"(\d+) passed(?:, (\d+) deselected)?"),
-    ):
-        if not os.path.exists(path):
-            parts.append(f"{label} ?(no log at {path})")
-            continue
-        with open(path) as fh:
-            text = fh.read()
-        hits = re.findall(pat, text)
-        if hits:
-            last = hits[-1]
-            if label == "gate":
-                parts.append(
-                    f"gate {last[0]} ok + {last[1]} rows-only, "
-                    f"{last[2]} FAIL of {last[3]}"
+        # Explicit exclusion list: the headline loop benches every
+        # registry entry it can drive through a noop sink; name what it
+        # cannot, so 340-vs-341 never reads as drift.
+        benched = set(b.get("queries", ()))
+        excluded = sorted(set(QUERIES) - benched) if benched else []
+        if excluded:
+            try:
+                from bench import BENCH_EXCLUDE as declared
+            except Exception:
+                declared = set()
+            parts.append(
+                f"bench excludes {len(excluded)}: "
+                + ", ".join(
+                    f"{n} ("
+                    + (
+                        "declared in bench.BENCH_EXCLUDE - see its inline rationale"
+                        if n in declared
+                        else "NOT declared - investigate"
+                    )
+                    + ")"
+                    for n in excluded
                 )
-            else:
-                desel = f" + {last[1]} deselected" if last[1] else ""
-                parts.append(f"pytest {last[0]} passed{desel}")
-        else:
-            parts.append(f"{label} ?(no summary in {path})")
+            )
+        elif benched:
+            parts.append("bench excludes 0 (full registry benched)")
 
-    print("; ".join(parts))
+    gate_logs = []
+    for item in args.gate_log or []:
+        label, _, path = item.rpartition("=")
+        gate_logs.append((label or os.path.basename(path), path))
+    if not gate_logs:
+        gate_logs = DEFAULT_GATE_LOGS
+    for label, path in gate_logs:
+        parts.append(_gate_line(label, path))
+
+    if os.path.exists(args.pytest_log):
+        with open(args.pytest_log) as fh:
+            hits = re.findall(_PYTEST_PAT, fh.read())
+        if hits:
+            n, desel = hits[-1]
+            parts.append(
+                f"pytest {n} passed" + (f" + {desel} deselected" if desel else "")
+            )
+        else:
+            parts.append(f"pytest ?(no summary in {args.pytest_log})")
+    else:
+        parts.append(f"pytest ?(no log at {args.pytest_log})")
+
+    print(";\n".join(parts))
     return 0
 
 
