@@ -349,3 +349,28 @@ def test_stream_asof_enrich_multibatch_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_state_sizing_restores_session_conf(spark):
+    """The stream runners pin spark.sql.shuffle.partitions to
+    STREAM_STATE_PARTITIONS only for the duration of .start() (state
+    partitioning is a first-start capacity decision, not the batch
+    shuffle default) and MUST restore the session value afterwards —
+    including on the exception path — or every later batch query in the
+    session silently inherits the stream-state size."""
+    from shelf_spark import streaming as S
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    assert before != str(S.STREAM_STATE_PARTITIONS) or before == "8"
+
+    with S._state_sized_start(spark):
+        assert spark.conf.get(key) == str(S.STREAM_STATE_PARTITIONS)
+    assert spark.conf.get(key) == before
+
+    try:
+        with S._state_sized_start(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
