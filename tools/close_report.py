@@ -30,7 +30,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: The five-corpus verify ritual's canonical log locations (gate §2/2c/2d
+#: The six-corpus verify ritual's canonical log locations (gate §2/2c/2d
 #: of .claude/skills/verify/SKILL.md). Overridable via --gate-log.
 DEFAULT_GATE_LOGS = [
     ("sf0.001", "/tmp/gate_sf0001.log"),
@@ -38,6 +38,7 @@ DEFAULT_GATE_LOGS = [
     ("sf0.1", "/tmp/gate_sf01.log"),
     ("adversarial", "/tmp/gate_adv.log"),
     ("sparse", "/tmp/gate_sparse.log"),
+    ("skewed", "/tmp/gate_skewed.log"),
 ]
 
 _GATE_PAT = r"(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"

@@ -16,9 +16,17 @@ denominators, an empty transition matrix, an empty-map literal, a
 sub-two-observation trend model, and a DECIMAL(38) product silently
 degrading to DOUBLE in DuckDB.
 
+The --skewed mode (r10) writes the extreme-skew variant: one hub user
+owning ~80% of events, giant identical-value tie classes, a universal
+shingle present in every document, a 30-copy duplicate flood, a
+50-copy identical embedding (ANN top-k tie stress), and one customer /
+one order-date dominating the fact tables — the regime where rank
+tie-breaks, prefix filters, and per-key state either hold or diverge.
+
 Usage:
     python tools/gen_adversarial.py [outdir]            # default /tmp/adversarial-sf
     python tools/gen_adversarial.py --sparse [outdir]   # default /tmp/sparse-sf
+    python tools/gen_adversarial.py --skewed [outdir]   # default /tmp/skewed-sf
     python tools/check_correctness.py --workers 4 --sf /tmp/adversarial-sf
 """
 import datetime as dt
@@ -173,9 +181,133 @@ def write_sparse(out: str) -> None:
 
 
 
+def write_skewed(out: str) -> None:
+    """Extreme-skew variant: the distributions a 100 TB lake actually
+    has — hub keys, giant tie classes, duplicate floods. Every output
+    that ranks, cuts at top-k, or blocks on a key must stay
+    cross-engine deterministic when a tie class spans the cutoff."""
+    os.makedirs(out, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        duckdb.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    # --- events: ONE hub user owns ~80% of rows; values drawn from a
+    # 3-value domain so every ranked/quantile path sees giant ties;
+    # event_type 'view' dominates 10:1 (class imbalance for the
+    # balanced-downsample / funnel / markov paths).
+    base = dt.datetime(2024, 3, 1)
+    ev = {"event_id": [], "ts": [], "user_id": [], "event_type": [], "value": [], "props": []}
+    types = ["view", "view", "view", "view", "view", "view", "view",
+             "click", "purchase", "signup", "error"]
+    eid = 0
+    for k in range(800):  # hub user 1
+        eid += 1
+        ev["event_id"].append(eid)
+        ev["ts"].append(base + dt.timedelta(minutes=7 * k))
+        ev["user_id"].append(1)
+        ev["event_type"].append(types[k % len(types)])
+        ev["value"].append([5.0, 5.0, 12.5][k % 3])  # giant value ties
+        ev["props"].append('{"k": %d}' % (k % 4))
+    for u in range(2, 102):  # 100 cold users, 1-2 events each
+        for j in range(1 + u % 2):
+            eid += 1
+            ev["event_id"].append(eid)
+            ev["ts"].append(base + dt.timedelta(hours=u, minutes=j))
+            ev["user_id"].append(u)
+            ev["event_type"].append(types[(u + j) % len(types)])
+            ev["value"].append(5.0)  # same tie class as the hub
+            ev["props"].append('{"k": 0}')
+    pq.write_table(pa.table(ev), f"{out}/events.parquet")
+
+    # --- documents: a universal 3-gram ("the fast scan" appears in
+    # EVERY doc → df == corpus size, the prefix filter's worst case);
+    # a 30-copy duplicate flood (one giant dedup cluster); one source
+    # owning 90% of docs.
+    docs = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    flood = "the fast scan join over the fast scan again and again"
+    for i in range(200):
+        if i < 30:
+            text = flood  # duplicate flood: one 30-doc cluster
+        else:
+            text = "the fast scan " + " ".join(
+                rng.choices(["alpha", "beta", "gamma", "delta", "join", "scan"],
+                            k=rng.randint(4, 25))
+            )
+        docs["doc_id"].append(i)
+        docs["text"].append(text)
+        docs["lang"].append("en" if i % 10 else "de")
+        docs["source"].append("hub" if i % 10 else f"src{i % 3}")
+        docs["n_chars"].append(len(text))
+    pq.write_table(pa.table(docs), f"{out}/documents.parquet")
+
+    # --- embeddings: 50 copies of the SAME vector (every pairwise
+    # cosine among them is exactly 1.0 → the ANN top-k cutoff falls
+    # INSIDE a tie class and only the neighbor_id tie-break decides),
+    # plus a handful of distinct vectors and one near-orthogonal
+    # outlier; labels 95% one class.
+    emb = {"vec_id": [], "embedding": [], "label": []}
+    hot = np.array([((k * 11) % 17 - 8) / 8.0 for k in range(64)], dtype=np.float32)
+    for i in range(80):
+        if i < 50:
+            v = hot.copy()
+        elif i == 50:
+            v = np.roll(hot, 32) * np.float32(-1.0)  # far outlier
+        else:
+            v = hot.copy()
+            v[i % 64] += np.float32(0.5 + (i % 5) * 0.125)
+        emb["vec_id"].append(i)
+        emb["embedding"].append(v.tolist())
+        emb["label"].append(0 if i % 20 else 1)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(emb["vec_id"], pa.int64()),
+                  "embedding": pa.array(emb["embedding"], pa.list_(pa.float32())),
+                  "label": pa.array(emb["label"], pa.int32())}),
+        f"{out}/embeddings.parquet")
+
+    # --- orders / lineitem: one customer owns 60% of orders; 70% of
+    # orders share ONE orderdate (giant date tie class feeding every
+    # daily rollup / asof / backlog path); quantities constant across a
+    # large slice (zero variance inside hot groups).
+    o = {"o_orderkey": [], "o_custkey": [], "o_orderstatus": [], "o_totalprice": [],
+         "o_orderdate": [], "o_orderpriority": []}
+    li = {"l_orderkey": [], "l_partkey": [], "l_suppkey": [], "l_linenumber": [],
+          "l_quantity": [], "l_extendedprice": [], "l_discount": [], "l_tax": [],
+          "l_returnflag": [], "l_linestatus": [], "l_shipdate": []}
+    custkeys = duckdb.sql(f"SELECT c_custkey FROM '{SRC}/customer.parquet' ORDER BY c_custkey").fetchall()
+    partkeys = duckdb.sql(f"SELECT p_partkey FROM '{SRC}/part.parquet' ORDER BY p_partkey").fetchall()
+    suppkeys = duckdb.sql(f"SELECT s_suppkey FROM '{SRC}/supplier.parquet' ORDER BY s_suppkey").fetchall()
+    day0 = dt.datetime(1996, 6, 1)
+    hub_cust = custkeys[0][0]
+    for ok in range(1, 401):
+        o["o_orderkey"].append(ok)
+        o["o_custkey"].append(hub_cust if ok % 5 < 3 else custkeys[ok % len(custkeys)][0])
+        o["o_orderstatus"].append(["O", "F", "P"][ok % 3])
+        o["o_totalprice"].append(2000.0 if ok % 4 else 2000.0 + ok)  # price ties
+        o["o_orderdate"].append(day0 if ok % 10 < 7 else day0 + dt.timedelta(days=ok % 30))
+        o["o_orderpriority"].append(f"{1 + ok % 5}-X")
+        for ln in range(1, (ok % 3) + 2):
+            li["l_orderkey"].append(ok)
+            # hot part: ~40% of lines carry the SAME part (skew-join key)
+            li["l_partkey"].append(partkeys[0][0] if (ok + ln) % 5 < 2
+                                   else partkeys[(ok * 3 + ln) % len(partkeys)][0])
+            li["l_suppkey"].append(suppkeys[(ok + ln) % len(suppkeys)][0])
+            li["l_linenumber"].append(ln)
+            li["l_quantity"].append(25.0)  # constant → zero variance in hot groups
+            li["l_extendedprice"].append(500.0 if ok % 2 else 750.0)
+            li["l_discount"].append(0.05)
+            li["l_tax"].append(0.04)
+            li["l_returnflag"].append(["A", "N", "R"][ok % 3])
+            li["l_linestatus"].append(["O", "F"][ln % 2])
+            li["l_shipdate"].append(day0 + dt.timedelta(days=(1 if ok % 10 < 7 else ok % 30) + ln))
+    pq.write_table(pa.table(o), f"{out}/orders.parquet")
+    pq.write_table(pa.table(li), f"{out}/lineitem.parquet")
+    print("written", out)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--sparse" in sys.argv:
         write_sparse(args[0] if args else "/tmp/sparse-sf")
+    elif "--skewed" in sys.argv:
+        write_skewed(args[0] if args else "/tmp/skewed-sf")
     else:
         write_adversarial(args[0] if args else "/tmp/adversarial-sf")
