@@ -206,7 +206,10 @@ _DRIVER_WINDOW_R10 = [
     "ts_peak_detection", "ts_control_chart_xmr",
     # scan / sink / set tier
     "scan_merge_schema", "scan_csv_malformed", "sink_orc_roundtrip",
-    "sink_zorder_layout", "set_union_by_name", "set_intersect_all",
+    "sink_zorder_layout", "set_union_by_name",
+    # first row for the last output-rendering fix (conc/disc -> DOUBLE;
+    # the r9 red row's exposure class, retired everywhere this round)
+    "stats_kendall_tau",
 ]
 
 #: Sanctioned re-proof exception (see tests/test_queries.py

@@ -5376,7 +5376,8 @@ _KENDALL_TAU = (
       SELECT CAST(sum(t * (t - 1)) AS DECIMAL(38,0)) AS u2
       FROM (SELECT CAST(sum(cn) AS DECIMAL(19,0)) AS t FROM cells GROUP BY y)
     ), tot AS (SELECT CAST(sum(cn) AS DECIMAL(19,0)) AS n FROM cells)
-    SELECT CAST(n AS BIGINT) AS n, conc, disc,
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS DOUBLE) AS conc, CAST(disc AS DOUBLE) AS disc,
            {_sql_round_ieee(_KENDALL_TAU, 6)} AS tau_b
     FROM cd, mx, my, tot
     """,
@@ -5395,7 +5396,13 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Tie terms u1/u2 come from the grid's marginals. Cell
     counts carry as DECIMAL(19,0) so pair products land exactly in
     DECIMAL(38,0) (headroom: C ≤ n² needs n < 10¹⁹); tau-b is ONE shared
-    IEEE expression over the five exact integer moments."""
+    IEEE expression over the five exact integer moments. The conc/disc
+    OUTPUT columns render as DOUBLE, not DECIMAL(38,0): rendered
+    decimals are the cross-engine exposure class behind the r9 driver
+    red row (SCALE.md "r10 red-row root cause") — the decimal→double
+    cast is correctly rounded on both engines (bit-identical; exact
+    below 2^53 pairs), while the internal moments feeding tau stay
+    exact decimal."""
     f = spark.table("lineitem").select(
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("y"),
@@ -5436,8 +5443,8 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("n").cast("long").alias("n"),
-            "conc",
-            "disc",
+            F.col("conc").cast("double").alias("conc"),
+            F.col("disc").cast("double").alias("disc"),
             _round_ieee(F.expr(_KENDALL_TAU), 6).alias("tau_b"),
         )
     )
