@@ -163,6 +163,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #     local-gate green at sf0.001/0.01/0.1 AND the adversarial fixture,
 #     with outputs unchanged on in-distribution data; they queue for
 #     r10 fix-re-proof slots.
+#   r10 NOTE (queue for r11): after this window lands, 35 registered
+#     queries remain never-driver-checked — ann_pq_topk (rows-only BY
+#     DESIGN, twinned by ann_pq_exhaustive_adc's value-exact row; can
+#     never occupy a slot under the window-hygiene rule),
+#     clean_rare_category_collapse, dq_benford_law, dq_freshness_lag,
+#     events_path_trigrams, events_time_to_convert,
+#     events_user_lifetime_gini, join_dynamic_partition_pruning,
+#     ml_brier_score, ml_cohens_kappa, ml_expected_calibration_error,
+#     ml_linear_attribution, ml_mutual_information,
+#     multimodal_audio_spectrogram, multimodal_image_dhash,
+#     orders_open_backlog_daily, privacy_dp_count_release,
+#     privacy_t_closeness, set_except_all, set_intersect_all,
+#     stats_friedman, stats_grubbs_outlier, stats_poisson_bootstrap_ci,
+#     stats_power_analysis, stream_bitmap_distinct,
+#     stream_cms_frequencies, stream_dq_expectations,
+#     stream_freshness_lag, text_bigram_lm_perplexity,
+#     text_bpe_pair_counts, text_heaps_law_fit, text_phrase_search,
+#     text_winnowing_fingerprints, ts_anomaly_seasonal_mad,
+#     ts_sax_symbols. All 34 oracled ones fit in the r11 window with 16
+#     slots to spare for belt-and-braces re-proofs of the oldest
+#     (r01-r03) rows — the queue closes next round. No expressions
+#     changed after their last driver row as of the r10 close (the r10
+#     fixes all sit in the r10 window itself).
 #   r10 window (below): fix-re-proof round. Slot 1 is the r9 driver red
 #     row (sample_balanced_downsample: the sha256-text ordering key and
 #     DECIMAL(38,0) checksum — the only cross-engine-sensitive surfaces
