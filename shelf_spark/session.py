@@ -33,9 +33,27 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _conf_overrides() -> dict[str, str]:
+    """Parse ``SHELF_SPARK_CONF_OVERRIDES`` (``k=v;k=v``) for the
+    plan-invariance gate: tools/check_correctness.py --override sets it so
+    every session — including worker subprocesses and every per-query
+    re-:func:`tune` via ``register_views`` — runs under the perturbed
+    physical config (AQE off, hostile partition counts, broadcast
+    disabled, Arrow off). Results must not depend on the physical plan;
+    this is how we prove it."""
+    raw = os.environ.get("SHELF_SPARK_CONF_OVERRIDES", "")
+    out: dict[str, str] = {}
+    for item in raw.split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
-    for k, v in RUNTIME_CONFS.items():
+    confs = {**RUNTIME_CONFS, **_conf_overrides()}
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # conf locked down on some build — never fatal

@@ -1091,3 +1091,21 @@ def test_gate_worker_shards_partition_the_query_list():
         flat = [x for s in shards for x in s]
         assert sorted(flat) == sorted(names)
         assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_conf_overrides_survive_retune(spark, monkeypatch):
+    """The plan-invariance gate's overrides (SHELF_SPARK_CONF_OVERRIDES)
+    must survive the per-query re-tune in register_views — a one-off
+    spark.conf.set would be reverted on the next query, silently running
+    the 'perturbed' sweep under the default plan config."""
+    from shelf_spark.session import RUNTIME_CONFS, tune
+
+    key = "spark.sql.shuffle.partitions"
+    monkeypatch.setenv("SHELF_SPARK_CONF_OVERRIDES", f"{key}=7")
+    tune(spark)
+    assert spark.conf.get(key) == "7"
+    tune(spark)  # what register_views does per query — must NOT revert
+    assert spark.conf.get(key) == "7"
+    monkeypatch.delenv("SHELF_SPARK_CONF_OVERRIDES")
+    tune(spark)  # env cleared -> defaults restored for the other tests
+    assert spark.conf.get(key) == RUNTIME_CONFS[key]

@@ -130,7 +130,24 @@ def main() -> int:
         "--shard", metavar="I/N", default=None,
         help="(internal) run only names[I::N] of the selected list",
     )
+    ap.add_argument(
+        "--override", action="append", default=[], metavar="CONF=VALUE",
+        help="runtime Spark conf override applied to every session "
+        "(repeatable; also inherited by --workers subprocesses). The "
+        "plan-invariance gate: e.g. --override "
+        "spark.sql.adaptive.enabled=false --override "
+        "spark.sql.shuffle.partitions=7 proves results don't depend on "
+        "the physical plan",
+    )
     args = ap.parse_args()
+
+    if args.override:
+        import os
+
+        existing = os.environ.get("SHELF_SPARK_CONF_OVERRIDES", "")
+        parts = ([existing] if existing else []) + args.override
+        os.environ["SHELF_SPARK_CONF_OVERRIDES"] = ";".join(parts)
+        print(f"# conf overrides: {os.environ['SHELF_SPARK_CONF_OVERRIDES']}")
 
     if args.workers > 1 and args.shard is None:
         return _run_workers(args)
