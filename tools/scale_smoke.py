@@ -33,264 +33,13 @@ FACTS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "agg_rollup",
-    "window_running",
-    "events_sessionize",
-    "events_asof_join",
-    "fn_explode_words",
-    "q13_customer_distribution",
-    "q18_large_volume_customers",
-    "sample_bernoulli_hash",
-    "interleave_weighted_sources",
-    "dedup_near_dup_clusters",
-    "text_repetition_stats",
-    "text_decontaminate",
-    "text_vocab_topk",
-    "pack_token_shards",
-    "vectors_kmeans_assign",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "scd2_merge_customers",
-    "agg_histogram",
-    "er_fuzzy_name_match",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    # round-2 tier
-    "agg_corr_regr",
-    "agg_grouped_regr_jvm",
-    "ts_anomaly_zscore",
-    "ts_ewma",
-    "text_tfidf_topk",
-    "text_bm25_rank",
-    "text_chunk_sliding",
-    "mba_item_pairs",
-    "graph_pagerank",
-    "vectors_quantize_int8",
-    "q2_min_cost_supplier",
-    "q20_excess_inventory",
-    "incr_merge_partials",
-    "events_new_users_daily",
-    "sample_cap_per_group",
-    # round-5: re-verify the queries whose plans changed in r4 (hint
-    # removal, q19 implied-predicate pushdown, q17 shuffle reuse)
-    "q14_promo_share",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    # round-6: the changed plans (star-contraction clusters, window-df
-    # tfidf/jaccard, broadcast-state pagerank, map-side-wedge triangles)
-    # + the families newly added to bench.py
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "graph_triangle_count",
-    "join_interval_overlap",
-    "join_range_bucketed",
-    "agg_heavy_hitters",
-    "dedup_semantic_clusters",
-    # late-r6: new operators + the two replanned ones (adjacency-intersect
-    # triangles, sweep-line interval overlap)
-    "dedup_substring_exact",
-    "ml_quantile_bins",
-    "sample_weighted_topk",
-    "cdc_apply_changes",
-    "events_attribution_last_touch",
-    "events_asof_tolerance",
-    "stream_cdc_upsert",
-    "multimodal_frame_sample",
-    "events_asof_nearest",
-    # round-7: the distributed-prefix-sum replans are already above
-    # (join_interval_overlap, ml_quantile_bins); add the new operators
-    "events_asof_orders",
-    "dedup_semantic_clusters_t40",
-    "text_chunk_cdc",
-    "dedup_chunk_cdc",
-    "events_conversion_paths",
-    "multimodal_audio_features",
-    "ann_lsh_topk",
-    "sample_epoch_shuffle",
-    "join_scd2_pointintime",
-    "stream_asof_enrich",
-    "text_inverted_index",
-    "ml_pareto_frontier",
-    "events_ohlc_daily",
-    "multimodal_image_ahash",
-    "text_pmi_bigrams",
-    "events_anomaly_mad",
-    "ml_target_encoding",
-    "dedup_image_ahash",
-    "multimodal_video_scene_cuts",
-    "text_keyphrase_rake",
-    "ml_eval_binary_metrics",
-    "sample_stratified_neyman",
-    "multimodal_audio_vad_segments",
-    "events_markov_stationary",
-    "events_rfm_segments",
-    "agg_abc_classification",
-    "orders_cohort_revenue",
-    "stream_ohlc_daily",
-    "ts_cross_correlation",
-    "ml_eval_multiclass",
-    "vectors_centroid_drift",
-    "clean_impute_group_median",
-    "events_survival_km",
-    "ab_test_proportions",
-    "vectors_pca_top_component",
-    "vectors_abtt_postprocess",
-    "dedup_cross_source_matrix",
-    "graph_assortativity",
-    "mix_source_entropy",
-    "privacy_k_anonymity",
-    "ts_theil_sen_trend",
-    "dq_distribution_drift",
-    # round-8: model-eval tier, robust stats, graph communities, cadence,
-    # C4 filter, l-diversity, bucketed join, LSH/anti twins
-    "ml_roc_auc",
-    "ml_ks_statistic",
-    "ml_lift_deciles",
-    "ml_calibration_bins",
-    "stats_chi_square",
-    "clean_outlier_iqr",
-    "ts_changepoint_cusum",
-    "graph_connected_components",
-    "graph_degree_distribution",
-    "events_interarrival_stats",
-    "filter_c4_style",
-    "privacy_l_diversity",
-    "join_bucketed_colocated",
-    "dedup_minhash_lsh_selfdup",
-    "join_anti_survivors",
-    "dq_psi_stability",
-    "stats_welch_ttest",
-    "ml_feature_hashing",
-    "sink_partitioned_pruning",
-    "sql_recursive_cte",
-    "sample_temporal_split_embargo",
-    "dedup_incremental_batch",
-    "dedup_containment_ngram",
-    "ts_seasonal_decompose",
-    "ann_pq_topk",
-    "pack_sequences_ffd",
-    "rollup_quantile_histogram",
-    "pref_bradley_terry",
-    "sample_kcenter_coreset",
-    "stats_benjamini_hochberg",
-    "text_collocation_llr",
-    "graph_kcore",
-    "ml_naive_bayes_langid",
-    "events_window_funnel",
-    "events_markov_attribution",
-    "dq_expectation_suite",
-    "stream_dq_expectations",
-    "clean_rare_category_collapse",
-    "events_retention_halflife",
-    "ann_hybrid_rrf",
-    "sample_dedup_aware_split",
-    "vectors_matryoshka_eval",
-    "privacy_dp_count_release",
-    "ml_linear_attribution",
-    "events_path_trigrams",
-    "dedup_simhash_sha",
-    "sample_importance_dsir",
-    "sink_zorder_layout",
-    "text_bpe_pair_counts",
-    "stats_poisson_bootstrap_ci",
-    "ts_holt_linear_forecast",
-    "graph_link_prediction",
-    "rollup_cms_frequencies",
-    "stream_cms_frequencies",
-    "ann_binary_hamming_topk",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "stats_mann_whitney_u",
-    "stats_kruskal_wallis",
-    "ml_average_precision",
-    "stats_spearman_rho",
-    "privacy_t_closeness",
-    "graph_hits",
-    "graph_bfs_distances",
-    "text_zipf_fit",
-    "ml_mutual_information",
-    "stats_jarque_bera",
-    "ml_cohens_kappa",
-    "ts_sax_symbols",
-    "text_bigram_lm_perplexity",
-    "stats_anova_oneway",
-    "set_intersect_all",
-    "set_except_all",
-    "events_bounce_rate",
-    "stats_levene",
-    "ml_ndcg_at_k",
-    "sample_balanced_downsample",
-    "orders_open_backlog_daily",
-    "er_sorted_neighborhood",
-    "stats_friedman",
-    "rollup_bitmap_distinct",
-    "join_dynamic_partition_pruning",
-    "dq_benford_law",
-    "ts_fourier_periodogram",
-    "stream_bitmap_distinct",
-    "events_user_lifetime_gini",
-    "agg_weighted_median",
-    "graph_clustering_coefficient",
-    "stats_wilcoxon_signed_rank",
-    "stats_runs_test",
-    "text_heaps_law_fit",
-    "stats_grubbs_outlier",
-    "ml_matthews_corrcoef",
-    "ts_control_chart_xmr",
-    "ts_peak_detection",
-    "ts_snaive_backtest",
-    "ann_ivf_exhaustive",
-    "stats_effect_sizes",
-    "ml_expected_calibration_error",
-    "dedup_keep_best_per_cluster",
-    "events_time_to_convert",
-    "vectors_cosine_histogram",
-    "ml_brier_score",
-    "sample_negative_table",
-    "text_pii_redact",
-    "stats_kendall_tau",
-    "ts_mann_kendall",
-    "ts_acf",
-    "events_concurrent_sessions",
-    "set_union_by_name",
-    "text_phrase_search",
-    "multimodal_image_dhash",
-    "ml_mrr",
-    "ml_best_f1_threshold",
-    "dq_freshness_lag",
-    "graph_modularity",
-    "cdc_diff_snapshots",
-    "ml_fairness_parity",
-    "text_kneser_ney_perplexity",
-    "multimodal_audio_spectrogram",
-    "scan_merge_schema",
-    "stream_freshness_lag",
-    "ts_ljung_box",
-    "vectors_dim_variance",
-    "er_golden_record",
-    "dq_referential_integrity",
-    "stats_median_ci_exact",
-    "sample_rolling_origin_folds",
-    "pipeline_corpus_curation_e2e",
-    "sink_orc_roundtrip",
-    "scan_csv_malformed",
-    "stats_tukey_hsd",
-    "stats_power_analysis",
-    "ts_holt_winters",
-    "text_novelty_score",
-    "ts_max_drawdown",
-    "pipeline_entity_resolution_e2e",
-    "pipeline_feature_store_e2e",
-    "ts_anomaly_seasonal_mad",
-    "graph_knn_degree_curve",
-]
+# Exhaustive by construction: smoke the same list bench.py benches (the
+# full registry minus its reasoned exclude set). A literal list here
+# drifted to 244/340 between r8 and r10 while the documented methodology
+# was already exhaustive — deriving from bench.HEADLINE makes that drift
+# impossible (tests/test_queries.py pins bench.HEADLINE == registry -
+# BENCH_EXCLUDE).
+from bench import HEADLINE  # noqa: E402
 
 
 def replicate(spark, factor: int, dest: str) -> None:
