@@ -183,9 +183,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #     text_winnowing_fingerprints, ts_anomaly_seasonal_mad,
 #     ts_sax_symbols. All 34 oracled ones fit in the r11 window with 16
 #     slots to spare for belt-and-braces re-proofs of the oldest
-#     (r01-r03) rows — the queue closes next round. No expressions
-#     changed after their last driver row as of the r10 close (the r10
-#     fixes all sit in the r10 window itself).
+#     (r01-r03) rows — the queue closes next round.
+#   r10-continuation NOTE (re-proof queue for r11): the r10 EMPTY
+#     corpus (tools/gen_adversarial.py --empty; SCALE.md "r10
+#     empty-increment corpus") found 15 latent empty-input issues.
+#     Nine of the fixed queries have prior driver rows and queue for
+#     r11 fix-re-proof slots: agg_cube, agg_rollup, agg_grouping_sets
+#     (empty-input grand-total convention pinned in the oracle),
+#     privacy_k_anonymity, privacy_l_diversity, dq_expectation_suite,
+#     dq_referential_integrity (try_divide/nullif share guards),
+#     events_retention_halflife (no-cohort row convention),
+#     sink_partitioned_pruning (explicit read-back schema). The other
+#     six (stream_dq_expectations, privacy_t_closeness,
+#     ml_expected_calibration_error, stats_power_analysis,
+#     text_heaps_law_fit, join_dynamic_partition_pruning) are already
+#     in the r11 never-checked queue. 34 first-rows + 9 re-proofs = 43
+#     of 50 r11 slots; all changes are no-ops on every non-empty
+#     corpus (seven-corpora gate re-run green after the fixes).
 #   r10 window (below): fix-re-proof round. Slot 1 is the r9 driver red
 #     row (sample_balanced_downsample: the sha256-text ordering key and
 #     DECIMAL(38,0) checksum — the only cross-engine-sensitive surfaces

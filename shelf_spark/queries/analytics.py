@@ -1802,7 +1802,11 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(-F.log(F.lit(2.0)), b), 6).alias(
             "half_life_weeks"
         ),
-    )
+        # Zero events (r10 empty corpus): the oracle's CROSS JOIN base
+        # yields no rows, while the global agg here yields one all-NULL
+        # row — pin the "no cohort base → no fit" convention (n ≥ 1
+        # whenever any event exists, since week 0 always has its cohort).
+    ).where(F.col("n_points") > 0)
 
 
 @query(
@@ -2217,8 +2221,8 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem LEFT JOIN orders o ON l_orderkey = o.o_orderkey
     ), u AS (SELECT * FROM rel1 UNION ALL SELECT * FROM rel2)
     SELECT relation, n_child, n_orphans,
-           round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
-             AS orphan_rate,
+           round(CAST(n_orphans AS DOUBLE)
+                 / nullif(CAST(n_child AS DOUBLE), 0.0), 6) AS orphan_rate,
            (n_orphans = 0) AS passed
     FROM u
     """,
@@ -2267,8 +2271,15 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relation",
         "n_child",
         "n_orphans",
+        # try_divide + oracle nullif: an empty child table (r10 empty
+        # corpus) is a legitimate audit input — the relation row stays
+        # (n_child=0, passed=true), the rate is NULL on both engines.
         F.round(
-            F.col("n_orphans").cast("double") / F.col("n_child").cast("double"), 6
+            F.try_divide(
+                F.col("n_orphans").cast("double"),
+                F.col("n_child").cast("double"),
+            ),
+            6,
         ).alias("orphan_rate"),
         (F.col("n_orphans") == 0).alias("passed"),
     )

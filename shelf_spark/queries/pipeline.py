@@ -891,7 +891,8 @@ _K_ANON = 5
            CAST(sum(grp) FILTER (WHERE grp < {_K_ANON}) AS BIGINT)
              AS n_rows_at_risk,
            round(CAST(count(*) FILTER (WHERE grp >= {_K_ANON}) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS share_k_anonymous
+                 / nullif(CAST(count(*) AS DOUBLE), 0.0), 6)
+             AS share_k_anonymous
     FROM qi
     """,
 )
@@ -920,9 +921,15 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grp").cast("long").alias("min_class_size"),
         F.count(F.when(viol, 1)).cast("long").alias("n_violating_classes"),
         F.sum(F.when(viol, F.col("grp"))).cast("long").alias("n_rows_at_risk"),
+        # try_divide + oracle nullif: an EMPTY events table (the r10
+        # empty-increment corpus) makes this 0/0 — the audit still emits
+        # its 1-row report (n_classes=0), with a NULL share on both
+        # engines instead of an ANSI abort here vs NaN there.
         F.round(
-            F.count(F.when(~viol, 1)).cast("double")
-            / F.count("*").cast("double"),
+            F.try_divide(
+                F.count(F.when(~viol, 1)).cast("double"),
+                F.count("*").cast("double"),
+            ),
             6,
         ).alias("share_k_anonymous"),
     )
@@ -1044,7 +1051,8 @@ _L_DIV = 3
            CAST(coalesce(sum(grp) FILTER (WHERE l < {_L_DIV}), 0) AS BIGINT)
              AS n_rows_at_risk,
            round(CAST(count(*) FILTER (WHERE l >= {_L_DIV}) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS share_l_diverse
+                 / nullif(CAST(count(*) AS DOUBLE), 0.0), 6)
+             AS share_l_diverse
     FROM qi
     """,
 )
@@ -1074,9 +1082,13 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(viol, F.col("grp"))), F.lit(0))
         .cast("long")
         .alias("n_rows_at_risk"),
+        # try_divide + oracle nullif: empty-input 0/0 guard (r10 empty
+        # corpus) — NULL share on both engines, report row preserved.
         F.round(
-            F.count(F.when(~viol, 1)).cast("double")
-            / F.count("*").cast("double"),
+            F.try_divide(
+                F.count(F.when(~viol, 1)).cast("double"),
+                F.count("*").cast("double"),
+            ),
             6,
         ).alias("share_l_diverse"),
     )
@@ -1782,7 +1794,7 @@ _T_CLOSE_NUM, _T_CLOSE_DEN = 1, 5
         mx=_sql_round_ieee("max(tvd)", 6),
         sh=_sql_round_ieee(
             "CAST(count(*) FILTER (WHERE NOT viol) AS DOUBLE)"
-            " / CAST(count(*) AS DOUBLE)", 6),
+            " / nullif(CAST(count(*) AS DOUBLE), 0.0)", 6),
     ),
 )
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,9 +1860,13 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("viol"), F.col("n_c"))), F.lit(0))
         .cast("long")
         .alias("n_rows_at_risk"),
+        # try_divide + oracle nullif: empty-input 0/0 guard (r10 empty
+        # corpus) — NULL share on both engines, report row preserved.
         _round_ieee(
-            F.count(F.when(~F.col("viol"), 1)).cast("double")
-            / F.count("*").cast("double"),
+            F.try_divide(
+                F.count(F.when(~F.col("viol"), 1)).cast("double"),
+                F.count("*").cast("double"),
+            ),
             6,
         ).alias("share_t_close"),
     )
@@ -2121,12 +2137,17 @@ _HEAPS_SLOPE = (
               WHERE fs <= g.cutoff) AS vocab
       FROM grid g
     ), gridded AS (
+      -- tokens/vocab > 0 guard: an EMPTY corpus (r10 empty fixture)
+      -- makes every correlated count 0 and ln(0) aborts DuckDB; on any
+      -- non-empty corpus every decile point has tokens,vocab >= 1, so
+      -- this is a no-op (Spark mirrors the filter for symmetry).
       SELECT k, tokens, vocab,
              CAST({_sql_round_ieee("ln(CAST(tokens AS DOUBLE))", 6)}
                AS DECIMAL(38,6)) AS gx,
              CAST({_sql_round_ieee("ln(CAST(vocab AS DOUBLE))", 6)}
                AS DECIMAL(38,6)) AS gy
       FROM pts
+      WHERE tokens > 0 AND vocab > 0
     ), mom AS (
       SELECT CAST(count(*) AS BIGINT) AS np,
              sum(gx) AS sx, sum(gy) AS sy,
@@ -2179,7 +2200,9 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").cast("long").alias("vocab"))
     )
-    pts = toks.join(vocab, "k")
+    pts = toks.join(vocab, "k").filter(
+        (F.col("tokens") > 0) & (F.col("vocab") > 0)
+    )
     gx = _round_ieee(F.log(F.col("tokens").cast("double")), 6).cast("decimal(38,6)")
     gy = _round_ieee(F.log(F.col("vocab").cast("double")), 6).cast("decimal(38,6)")
     gridded = pts.select("k", "tokens", "vocab", gx.alias("gx"), gy.alias("gy"))

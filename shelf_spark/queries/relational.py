@@ -614,9 +614,17 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING count(*) > 0 in the oracle pins the cross-engine
+    empty-input convention: the SQL standard's degenerate grand-total
+    row (the () grouping set over ZERO input rows) is emitted by DuckDB
+    but not by Spark's rollup/cube. Every real grouping-set row
+    aggregates ≥1 input row, so the filter only ever drops that one
+    zero-input row — a byte-level no-op on every non-empty corpus
+    (r10 empty-corpus find; same pin on agg_cube/agg_grouping_sets)."""
     return (
         spark.table("lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -632,9 +640,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum_i('o_totalprice', 2)} AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Empty-input convention pinned in the oracle — see agg_rollup.
     return (
         spark.table("orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -648,14 +658,20 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, {sql_dsum_i('l_extendedprice', 2)} AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HAVING pins the empty-input convention on BOTH engines (identical
+    # shared SQL text): only the ()-set's zero-input row can have
+    # count(*) = 0, so this is a no-op on any non-empty corpus — see
+    # agg_rollup's docstring for the full rationale.
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus, {sql_dsum_i('l_extendedprice', 2)} AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING count(*) > 0
         """
     )
 

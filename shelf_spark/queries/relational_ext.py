@@ -252,7 +252,17 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_type")
             .parquet(path)
         )
-    e = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    # Explicit schema: a zero-row source (r10 empty corpus — or, on a
+    # real lake, a partition-pruned-to-nothing write) produces a
+    # _SUCCESS-only directory with no data files, and schema INFERENCE
+    # aborts with UNABLE_TO_INFER_SCHEMA. The writer's schema is known,
+    # so pass it through; non-empty reads are unchanged (pruning works
+    # off the directory layout, not the inference).
+    e = (
+        spark.read.schema(spark.table("events").schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
     return (
         e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(
@@ -404,7 +414,9 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .partitionBy("event_type")
             .parquet(path)
         )
-    fact = spark.read.parquet(path)
+    # Explicit schema — empty-source _SUCCESS-only layout; see
+    # sink_partitioned_pruning.
+    fact = spark.read.schema(spark.table("events").schema).parquet(path)
     # a FILTER-shaped dim (Spark's DPP heuristic requires a selective
     # Filter on the build side — an aggregate+limit does not qualify)
     dim = (

@@ -2604,7 +2604,7 @@ def dq_ledger_rows(agg: DataFrame, rules) -> DataFrame:
     {" UNION ALL ".join(
         f'''SELECT '{name}' AS rule, CAST(n_checked AS BIGINT) AS n_checked,
                    CAST(v{i} AS BIGINT) AS n_violations,
-                   round(CAST(v{i} AS DOUBLE) / n_checked, 6)
+                   round(CAST(v{i} AS DOUBLE) / nullif(n_checked, 0), 6)
                      AS violation_rate,
                    (v{i} = 0) AS passed
             FROM agg'''
@@ -2640,8 +2640,14 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rule",
             "n_checked",
             "n_violations",
+            # try_divide + oracle nullif: an empty fact table (r10 empty
+            # corpus) keeps the per-rule ledger rows (n_checked=0,
+            # passed=true) with a NULL rate on both engines.
             F.round(
-                F.col("n_violations").cast("double") / F.col("n_checked"), 6
+                F.try_divide(
+                    F.col("n_violations").cast("double"), F.col("n_checked")
+                ),
+                6,
             ).alias("violation_rate"),
             (F.col("n_violations") == 0).alias("passed"),
         )
@@ -5212,6 +5218,7 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT count(*) FROM bins) AS BIGINT) AS n_bins,
            {_sql_round_ieee("CAST(sum(term) AS DOUBLE)", 6)} AS ece
     FROM terms
+    HAVING count(*) > 0
     """,
 )
 def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6353,8 +6360,10 @@ _POWER_N = (
       FROM events
     ), rates AS (
       SELECT n_events, n_purch,
-             CAST(n_purch AS DOUBLE) / CAST(n_events AS DOUBLE) AS p1,
-             (CAST(n_purch AS DOUBLE) / CAST(n_events AS DOUBLE))
+             CAST(n_purch AS DOUBLE)
+               / nullif(CAST(n_events AS DOUBLE), 0.0) AS p1,
+             (CAST(n_purch AS DOUBLE)
+               / nullif(CAST(n_events AS DOUBLE), 0.0))
                * (1.0 + {_POWER_MDE}) AS p2
       FROM base
     )
@@ -6383,7 +6392,12 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purch"),
     )
-    p1 = F.col("n_purch").cast("double") / F.col("n_events").cast("double")
+    # try_divide + oracle nullif: zero events (r10 empty corpus) → the
+    # planner row survives with NULL rates on both engines, not an ANSI
+    # abort (n_per_arm is a constant-expression plan input either way).
+    p1 = F.try_divide(
+        F.col("n_purch").cast("double"), F.col("n_events").cast("double")
+    )
     rates = base.select(
         "n_events", "n_purch", p1.alias("p1"), (p1 * (1.0 + float(_POWER_MDE))).alias("p2")
     )

@@ -459,7 +459,7 @@ _SDQ_RULES = (
     {" UNION ALL ".join(
         f'''SELECT '{name}' AS rule, CAST(n_checked AS BIGINT) AS n_checked,
                    CAST(v{i} AS BIGINT) AS n_violations,
-                   round(CAST(v{i} AS DOUBLE) / n_checked, 6)
+                   round(CAST(v{i} AS DOUBLE) / nullif(n_checked, 0), 6)
                      AS violation_rate,
                    (v{i} = 0) AS passed
             FROM agg'''
@@ -513,25 +513,37 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("b")
     ]
-    if not parts:
-        return spark.createDataFrame(
-            [],
-            "rule string, n_checked bigint, n_violations bigint, "
-            "violation_rate double, passed boolean",
+    if parts:
+        merged = (
+            spark.read.parquet(*parts)
+            .groupBy("rule")
+            .agg(
+                F.sum("n_checked").cast("long").alias("n_checked"),
+                F.sum("n_violations").cast("long").alias("n_violations"),
+            )
+        )
+    else:
+        # Zero micro-batches (an EMPTY source — the r10 empty corpus, or
+        # a real stream's quiet first window): the gate still reports
+        # every rule at zero checked/zero violations, matching the batch
+        # twin's convention — a circuit breaker that vanishes when the
+        # stream is silent would read as "all checks missing" downstream.
+        merged = spark.createDataFrame(
+            [(name, 0, 0) for name, _ in _SDQ_RULES],
+            "rule string, n_checked bigint, n_violations bigint",
         )
     return (
-        spark.read.parquet(*parts)
-        .groupBy("rule")
-        .agg(
-            F.sum("n_checked").cast("long").alias("n_checked"),
-            F.sum("n_violations").cast("long").alias("n_violations"),
-        )
-        .select(
+        merged.select(
             "rule",
             "n_checked",
             "n_violations",
+            # try_divide + oracle nullif: 0-checked rules carry a NULL
+            # rate on both engines, never an ANSI abort.
             F.round(
-                F.col("n_violations").cast("double") / F.col("n_checked"), 6
+                F.try_divide(
+                    F.col("n_violations").cast("double"), F.col("n_checked")
+                ),
+                6,
             ).alias("violation_rate"),
             (F.col("n_violations") == 0).alias("passed"),
         )

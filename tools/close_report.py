@@ -39,6 +39,7 @@ DEFAULT_GATE_LOGS = [
     ("adversarial", "/tmp/gate_adv.log"),
     ("sparse", "/tmp/gate_sparse.log"),
     ("skewed", "/tmp/gate_skewed.log"),
+    ("empty", "/tmp/gate_empty.log"),
 ]
 
 _GATE_PAT = r"(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"

@@ -303,11 +303,34 @@ def write_skewed(out: str) -> None:
     print("written", out)
 
 
+def write_empty(out: str) -> None:
+    """Zero-row variant (r10): every FACT table present with its full
+    schema but zero rows; dimensions intact. This is the
+    empty-increment regime a 100 TB pipeline hits constantly — a day
+    with no events, an incremental batch with no new documents, a
+    source that produced nothing — and the one regime no other corpus
+    reaches (sparse is n≈1, not n=0). Flushes driver-side
+    ``collect()[0]`` crashes, aggregates whose empty-input row-count
+    conventions differ across engines, and NULL-propagation arithmetic
+    that only an all-NULL aggregate output exercises."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    print("written", out)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--sparse" in sys.argv:
         write_sparse(args[0] if args else "/tmp/sparse-sf")
     elif "--skewed" in sys.argv:
         write_skewed(args[0] if args else "/tmp/skewed-sf")
+    elif "--empty" in sys.argv:
+        write_empty(args[0] if args else "/tmp/empty-sf")
     else:
         write_adversarial(args[0] if args else "/tmp/adversarial-sf")
