@@ -197,9 +197,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     six (stream_dq_expectations, privacy_t_closeness,
 #     ml_expected_calibration_error, stats_power_analysis,
 #     text_heaps_law_fit, join_dynamic_partition_pruning) are already
-#     in the r11 never-checked queue. 34 first-rows + 9 re-proofs = 43
-#     of 50 r11 slots; all changes are no-ops on every non-empty
-#     corpus (seven-corpora gate re-run green after the fixes).
+#     in the r11 never-checked queue. The r10 NULLS corpus
+#     (gen_adversarial.py --nulls; the stock fixtures carried ZERO
+#     nulls, and the engines' default null sort orders differ for ASC)
+#     then found 13 more; five of those fixed queries have prior rows
+#     and are NOT in the r10 window, adding r11 re-proofs:
+#     cdc_apply_changes, stream_cdc_upsert (struct_pack arg_max
+#     last-row-image semantics), events_anomaly_mad, ts_ewma,
+#     vectors_kmeans_assign (complete-case / null-vector exclusion).
+#     Six others changed but sit IN the r10 window (their slots prove
+#     the new expressions): stats_mann_whitney_u, stats_kruskal_wallis,
+#     stats_levene, stats_runs_test, stats_effect_sizes,
+#     ann_pq_exhaustive_adc. r11 window math: 34 first-rows + 9
+#     empty-fix re-proofs + 5 nulls-fix re-proofs = 48 of 50 slots;
+#     every fix is a no-op on null-free/non-empty corpora (all EIGHT
+#     corpora re-run green after both sweeps).
 #   r10 window (below): fix-re-proof round. Slot 1 is the r9 driver red
 #     row (sample_balanced_downsample: the sha256-text ordering key and
 #     DECIMAL(38,0) checksum — the only cross-engine-sensitive surfaces

@@ -515,15 +515,23 @@ def cdc_seq_key():
                 || lpad(CAST(event_id AS VARCHAR), 20, '0') AS sk
       FROM events
     ), collapsed AS (
+      -- struct_pack: DuckDB's bare arg_max(col, sk) SKIPS rows whose
+      -- col is NULL (returning an older non-null value), while the CDC
+      -- contract is "the last row-image, null fields preserved" —
+      -- wrapping in a struct (never NULL as a whole) pins last-row
+      -- semantics, matching Spark's max_by (r10 nulls-corpus find).
       SELECT user_id,
              CAST(count(*) AS BIGINT) AS n_changes,
-             arg_max(event_type, sk) AS last_type,
-             arg_max(value, sk) AS last_value,
-             arg_max(ts, sk) AS last_ts
+             (arg_max(struct_pack(t := event_type, v := value, s := ts),
+                      sk)).t AS last_type,
+             (arg_max(struct_pack(t := event_type, v := value, s := ts),
+                      sk)).v AS last_value,
+             (arg_max(struct_pack(t := event_type, v := value, s := ts),
+                      sk)).s AS last_ts
       FROM seq GROUP BY user_id
     )
     SELECT user_id, n_changes, last_type, last_value, last_ts
-    FROM collapsed WHERE last_type <> 'error'
+    FROM collapsed WHERE last_type IS DISTINCT FROM 'error'
     ORDER BY user_id
     """,
 )
@@ -551,7 +559,11 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", seq).alias("last_value"),
         F.max_by("ts", seq).alias("last_ts"),
     )
-    return collapsed.filter(F.col("last_type") != "error").orderBy("user_id")
+    # Null-safe tombstone test: an untyped last change is NOT a delete
+    # (plain <> would silently drop the key on both engines).
+    return collapsed.filter(
+        ~F.col("last_type").eqNullSafe(F.lit("error"))
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

@@ -863,7 +863,7 @@ _PATH_TOP = 15
            CAST(count(*) FILTER (WHERE s3 = 'purchase') AS BIGINT)
              AS n_converting
     FROM tri GROUP BY 1
-    ORDER BY n_occurrences DESC, path LIMIT {_PATH_TOP}
+    ORDER BY n_occurrences DESC, path NULLS LAST LIMIT {_PATH_TOP}
     """,
 )
 def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,14 +880,21 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     against). Counting is a partial+final hash agg on the
     K³-bounded path domain; top-k is TakeOrderedAndProject."""
     seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Window-edge detection rides lead(event_id) — NEVER null for a row
+    # that exists — not lead(event_type): an UNTYPED third event (null
+    # event_type, r10 nulls corpus) is still a trigram position (the
+    # oracle's rn-join keeps it; its path groups under NULL on both
+    # engines), while s3 IS NULL would conflate it with "sequence ended".
     tri = (
         spark.table("events")
         .select(
             F.col("event_type").alias("s1"),
             F.lead("event_type", 1).over(seq_w).alias("s2"),
             F.lead("event_type", 2).over(seq_w).alias("s3"),
+            F.lead("event_id", 2).over(seq_w).alias("e3"),
         )
-        .filter(F.col("s3").isNotNull())
+        .filter(F.col("e3").isNotNull())
+        .drop("e3")
     )
     return (
         tri.groupBy(
@@ -904,7 +911,10 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_converting"),
         )
-        .orderBy(F.desc("n_occurrences"), "path")
+        # asc_nulls_last + oracle NULLS LAST: the engines' default null
+        # sort orders DIFFER (Spark first, DuckDB last) — the all-null
+        # path group must not flip top-k membership on a count tie.
+        .orderBy(F.desc("n_occurrences"), F.asc_nulls_last("path"))
         .limit(_PATH_TOP)
     )
 

@@ -339,8 +339,11 @@ def _recenter(assigned: DataFrame) -> DataFrame:
     "vectors_kmeans_assign",
     oracle=f"""
     WITH v AS (
+      -- embedding IS NOT NULL (r10 nulls corpus): a failed-embed row
+      -- has no position in vector space — and a NULL distance would
+      -- rank FIRST in Spark's window but LAST in DuckDB's.
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_KMEANS_K}),
     a1 AS (
@@ -391,8 +394,10 @@ def vectors_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×dim-sized aggregate. A production loop would iterate to convergence
     with localCheckpoint between rounds (see dedup_near_dup_clusters).
     """
-    v = spark.table("embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    v = (
+        spark.table("embeddings")
+        .filter(F.col("embedding").isNotNull())  # see oracle note
+        .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
     )
     c0 = v.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")

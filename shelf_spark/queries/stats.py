@@ -392,8 +392,14 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY event_id
     """.format(
+        # list_filter: Spark's collect_list SKIPS null values while
+        # DuckDB's list() keeps them (a null would poison the whole
+        # fold) — drop them from the collected frame so both engines
+        # fold the same observed subsequence; frame POSITIONS (7
+        # preceding rows) are identical either way (r10 nulls corpus).
         ewma=_sql_round_ieee(
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), frame),"
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            " list_filter(frame, x -> x IS NOT NULL)),"
             " (acc, x) -> (acc * 0.5) + x)",
             6,
         )
@@ -608,8 +614,13 @@ def pareto_frontier(part: DataFrame) -> DataFrame:
     "events_anomaly_mad",
     oracle="""
     WITH e AS (
+      -- complete-case: a NULL metric is a missing observation, not a
+      -- data point — and a null grid value would sit at OPPOSITE ends
+      -- of the two engines' cumulative-count windows (Spark sorts nulls
+      -- first, DuckDB last), shifting the discrete median (r10 nulls
+      -- corpus find).
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), dom AS (
       SELECT event_type, vi, count(*) AS cnt FROM e GROUP BY 1, 2
     ), cum AS (
@@ -664,9 +675,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     type catalog → broadcast back; the deviation pass and outlier count
     are map-only + one map-side-combined agg. Same domain-compression
     design as ml_quantile_bins, generalized to grouped robust stats."""
-    e = spark.table("events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vi"),
+    # Complete-case (matches the oracle's WHERE): see the oracle note.
+    e = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vi"),
+        )
     )
     n = e.groupBy("event_type").agg(F.count("*").alias("n"))
 
@@ -3116,8 +3132,11 @@ _MWU_Z = (
     "stats_mann_whitney_u",
     oracle=f"""
     WITH g AS (
+      -- complete-case (value IS NOT NULL): a rank test has no rank for
+      -- a missing observation, and a null value group would land at
+      -- opposite ends of the engines' rank windows (r10 nulls corpus).
       SELECT value, (event_type = 'purchase') AS is_a FROM events
-      WHERE event_type IN ('purchase', 'click')
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
     ), dom AS (
       SELECT value,
              CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS c1,
@@ -3166,7 +3185,10 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = (
         spark.table("events")
-        .filter(F.col("event_type").isin("purchase", "click"))
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()  # complete-case; see oracle
+        )
         .select("value", (F.col("event_type") == "purchase").alias("is_a"))
     )
     dom = g.groupBy("value").agg(
@@ -3228,8 +3250,14 @@ _KW_H = (
     "stats_kruskal_wallis",
     oracle=f"""
     WITH cnt AS (
+      -- complete-case on BOTH the observation and the group label: a
+      -- null value has no rank (and splits the engines' rank windows),
+      -- an untyped observation belongs to no treatment group (r10
+      -- nulls corpus).
       SELECT value, event_type AS grp, CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
     ), dom AS (
       SELECT value, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
     ), cum AS (
@@ -3285,6 +3313,8 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cnt = (
         spark.table("events")
+        # complete-case on observation and group label; see oracle
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
         .groupBy("value", F.col("event_type").alias("grp"))
         .agg(F.count("*").cast("long").alias("c"))
     )
@@ -3972,9 +4002,12 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_levene",
     oracle=f"""
     WITH v AS (
+      -- complete-case on observation and group label (r10 nulls
+      -- corpus; rank-window null placement differs across engines)
       SELECT event_type AS grp,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
       FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
     ), dom AS (
       SELECT grp, c, count(*) AS cnt FROM v GROUP BY 1, 2
     ), cum AS (
@@ -4028,9 +4061,14 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     W statistic is the stats_anova_oneway fixed expression over exact
     DECIMAL(38,0) moments of d — the two operators share one
     expression tree by construction."""
-    v = spark.table("events").select(
-        F.col("event_type").alias("grp"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    v = (
+        spark.table("events")
+        # complete-case; see oracle
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("event_type").alias("grp"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
     )
     dom = v.groupBy("grp", "c").agg(F.count("*").alias("cnt"))
     wt = W.partitionBy("grp").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
@@ -4204,10 +4242,16 @@ _FRIEDMAN_CHI2 = (
     "stats_friedman",
     oracle=f"""
     WITH cell AS (
+      -- complete-case on observation and treatment label (r10 nulls
+      -- corpus): an all-null cell would rank a NULL revenue and the
+      -- engines place NULLs at opposite window ends; an untyped event
+      -- belongs to no treatment.
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS grp,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
     ), ranked AS (
       SELECT day, grp,
              CAST(2 * (rank() OVER (PARTITION BY day ORDER BY cents) - 1)
@@ -4243,13 +4287,19 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation), and every carrier — half-unit rank sums, Σ(2r)² — is an
     exact integer pivoted into named columns so the χ² is one
     fixed-shape IEEE expression (the Kruskal-Wallis discipline)."""
-    cell = spark.table("events").groupBy(
-        F.to_date(F.date_trunc("day", "ts")).alias("day"),
-        F.col("event_type").alias("grp"),
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
-        .cast("long")
-        .alias("cents")
+    cell = (
+        spark.table("events")
+        # complete-case; see oracle
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.col("event_type").alias("grp"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
     )
     wr = W.partitionBy("day").orderBy("cents")
     wt = W.partitionBy("day", "cents")
@@ -4604,10 +4654,15 @@ _RUNS_Z = (
     "stats_runs_test",
     oracle=f"""
     WITH daily AS (
+      -- value IS NOT NULL (r10 nulls corpus): an all-null day would
+      -- carry a NULL revenue into the median/sign windows, where the
+      -- engines' null sort orders differ.
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
     ), med AS (
       SELECT min(cents) AS m FROM (
         SELECT cents,
@@ -4652,7 +4707,8 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         spark.table("events")
-        .filter(F.col("event_type") == "purchase")
+        # value IS NOT NULL: see oracle note
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
@@ -5102,9 +5158,12 @@ _CLIFFS_DELTA = (
     "stats_effect_sizes",
     oracle=f"""
     WITH g AS (
+      -- complete-case (r10 nulls corpus; same rationale as the
+      -- Mann-Whitney twin this shares its rank machinery with)
       SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
              (event_type = 'purchase') AS is_a
-      FROM events WHERE event_type IN ('purchase', 'click')
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
     ), dom AS (
       SELECT c,
              CAST(count(*) FILTER (WHERE is_a) AS BIGINT) AS c1,
@@ -5151,7 +5210,10 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = (
         spark.table("events")
-        .filter(F.col("event_type").isin("purchase", "click"))
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()  # complete-case; see oracle
+        )
         .select(
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
             (F.col("event_type") == "purchase").alias("is_a"),

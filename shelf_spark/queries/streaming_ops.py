@@ -377,15 +377,21 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 || lpad(CAST(event_id AS VARCHAR), 20, '0') AS sk
       FROM events
     ), collapsed AS (
+      -- struct_pack arg_max + IS DISTINCT FROM: last-row-image
+      -- semantics with null fields preserved — see cdc_apply_changes
+      -- (r10 nulls-corpus find; the two CDC twins share the contract).
       SELECT user_id,
              CAST(count(*) AS BIGINT) AS n_changes,
-             arg_max(event_type, sk) AS last_type,
-             arg_max(value, sk) AS last_value,
-             arg_max(ts, sk) AS last_ts
+             (arg_max(struct_pack(t := event_type, v := value, s := ts),
+                      sk)).t AS last_type,
+             (arg_max(struct_pack(t := event_type, v := value, s := ts),
+                      sk)).v AS last_value,
+             (arg_max(struct_pack(t := event_type, v := value, s := ts),
+                      sk)).s AS last_ts
       FROM seq GROUP BY user_id
     )
     SELECT user_id, n_changes, last_type, last_value, last_ts
-    FROM collapsed WHERE last_type <> 'error'
+    FROM collapsed WHERE last_type IS DISTINCT FROM 'error'
     ORDER BY user_id
     """,
 )
@@ -406,8 +412,9 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     final = S.run_cdc_upsert(spark, stream, state_dir)
+    # Null-safe tombstone test (see cdc_apply_changes).
     return (
-        final.filter(F.col("last_type") != "error")
+        final.filter(~F.col("last_type").eqNullSafe(F.lit("error")))
         .select("user_id", "n_changes", "last_type", "last_value", "last_ts")
         .orderBy("user_id")
     )

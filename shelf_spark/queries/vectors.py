@@ -1102,6 +1102,12 @@ def _pq_topk(spark: SparkSession, k: int) -> DataFrame:
     so the only shuffle carries (q_id, vec_id, partial-sum) rows."""
     v = (
         spark.table("embeddings")
+        # embedding IS NOT NULL: a failed-embed row has no position in
+        # vector space, and a NULL ADC distance would rank FIRST in
+        # Spark's ASC pool window but LAST in DuckDB's (the engines'
+        # default null orders differ only for ASC — which is why the
+        # cosine-DESC ANN family is immune; r10 nulls corpus).
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
         .withColumn("nrm", _norm(F.col("vec")))
     )
@@ -1242,8 +1248,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_exhaustive_adc",
     oracle=f"""
     WITH v AS (
+      -- embedding IS NOT NULL: see _pq_topk (ASC-ranked pools are the
+      -- one place the engines' null sort orders diverge)
       SELECT vec_id, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
           FROM v WHERE vec_id < {N_QUERIES}),

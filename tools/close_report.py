@@ -40,6 +40,7 @@ DEFAULT_GATE_LOGS = [
     ("sparse", "/tmp/gate_sparse.log"),
     ("skewed", "/tmp/gate_skewed.log"),
     ("empty", "/tmp/gate_empty.log"),
+    ("nulls", "/tmp/gate_nulls.log"),
 ]
 
 _GATE_PAT = r"(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"

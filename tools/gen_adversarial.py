@@ -324,6 +324,53 @@ def write_empty(out: str) -> None:
     print("written", out)
 
 
+def write_nulls(out: str) -> None:
+    """NULL-injection variant (r10): the stock fixtures contain ZERO
+    nulls anywhere, so null handling was an untested regime — and the
+    engines genuinely disagree on defaults (Spark sorts NULLS FIRST
+    ascending, DuckDB NULLS LAST; both skip nulls in aggregates and
+    drop null=null in equi-joins). Nulls go into the semantically
+    OPTIONAL lake columns only — events.value (metric missing),
+    events.props (no payload), events.event_type (untagged hit),
+    documents.lang (unidentified), embeddings.embedding (failed embed
+    job) — deterministically by key mod, so both engines see identical
+    data. TPC-H tables stay null-free (NOT NULL per spec), bounding the
+    blast radius to the events/documents/vectors operator families."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"""
+        COPY (
+          SELECT event_id, ts, user_id,
+                 CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END
+                   AS event_type,
+                 CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value,
+                 CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props
+          FROM '{SRC}/events.parquet'
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+                 source, n_chars
+          FROM '{SRC}/documents.parquet'
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 23 = 0 THEN NULL ELSE embedding END
+                   AS embedding,
+                 label
+          FROM '{SRC}/embeddings.parquet'
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    print("written", out)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--sparse" in sys.argv:
@@ -332,5 +379,7 @@ if __name__ == "__main__":
         write_skewed(args[0] if args else "/tmp/skewed-sf")
     elif "--empty" in sys.argv:
         write_empty(args[0] if args else "/tmp/empty-sf")
+    elif "--nulls" in sys.argv:
+        write_nulls(args[0] if args else "/tmp/nulls-sf")
     else:
         write_adversarial(args[0] if args else "/tmp/adversarial-sf")
