@@ -41,6 +41,7 @@ DEFAULT_GATE_LOGS = [
     ("skewed", "/tmp/gate_skewed.log"),
     ("empty", "/tmp/gate_empty.log"),
     ("nulls", "/tmp/gate_nulls.log"),
+    ("unicode", "/tmp/gate_unicode.log"),
 ]
 
 _GATE_PAT = r"(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"

@@ -371,6 +371,83 @@ def write_nulls(out: str) -> None:
     print("written", out)
 
 
+def write_unicode(out: str) -> None:
+    """Unicode-hostile variant (r10): multilingual text is GUARANTEED
+    input for a training-data engine, and the engines' string stacks
+    differ under the hood (JVM UTF8String vs utf8proc; Java regex vs
+    DuckDB RE2). Documents carry CJK (no spaces — one giant token),
+    emoji with ZWJ/skin-tone sequences, combining diacritics
+    (precomposed é vs e+U+0301 — distinct code points, equal glyphs),
+    RTL Arabic/Hebrew, case-mapping edge cases (ß, Turkish dotted
+    İ/dotless ı, final sigma ς), non-ASCII digits (١٢٣ / １２３),
+    multi-space runs, leading/trailing spaces, a 10k-char token, and
+    mixed-script identifiers. Events get unicode event_types and
+    unicode JSON props (escaped + literal). Deterministic construction
+    — both engines read identical bytes."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    samples = [
+        "汉字文本没有空格所以整行是一个超长词元连续书写不分词",
+        "日本語のテキストです 分かち書き も 混在 する",
+        "👨‍👩‍👧‍👦 family 🏳️‍🌈 flag 👍🏽 thumbs 🇺🇳 regional",
+        "café café precomposed vs combining mark",
+        "STRASSE straße ß SS case mapping edge",
+        "İstanbul ıssız dotted and dotless i TITLE case",
+        "ΣΙΣΥΦΟΣ σίσυφος ς final sigma",
+        "مرحبا بالعالم نص عربي من اليمين",
+        "שלום עולם טקסט עברי",
+        "digits ١٢٣ ٤٥٦ and fullwidth １２３ ４５６ mixed 123",
+        "a  double  spaces   triple    runs between tokens",
+        " leading and trailing spaces ",
+        "tab\tand\rcarriage embedded controls",
+        "x" * 10000 + " one giant token then normal words follow here",
+        "naïve résumé coöperate diaeresis façade señor",
+        "Ω≈ç√∫˜µ≤≥÷ math symbols ∑∏π∆",
+        "ZWNJ‌joined and ZWJ‍joined invisibles",
+        "mixed中文English词language混合text",
+        "𝕳𝖊𝖑𝖑𝖔 𝖂𝖔𝖗𝖑𝖉 mathematical alphanumerics beyond BMP 𐍈",
+        "email tëst@exämple.com phone ＋１２３４５６ unicode PII shapes",
+    ]
+    docs = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    langs = ["ar", "de", "el", "he", "ja", "tr", "zh"]
+    for i in range(120):
+        base = samples[i % len(samples)]
+        # vary: plain, duplicated sample (near-dup pressure), suffixed
+        if i % 3 == 1:
+            text = base + " suffix" + str(i)
+        elif i % 3 == 2 and docs["text"]:
+            text = docs["text"][-1]  # exact duplicate
+        else:
+            text = base
+        docs["doc_id"].append(i)
+        docs["text"].append(text)
+        docs["lang"].append(langs[i % len(langs)])
+        docs["source"].append(f"src{i % 5}")
+        docs["n_chars"].append(len(text))
+    pq.write_table(pa.table(docs), f"{out}/documents.parquet")
+
+    base = dt.datetime(2024, 5, 1)
+    ev = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+          "value": [], "props": []}
+    utypes = ["view", "click", "purchase", "购买", "κλικ", "عرض", "☆star☆"]
+    for i in range(1, 400):
+        ev["event_id"].append(i)
+        ev["ts"].append(base + dt.timedelta(minutes=i * 7 % 2880))
+        ev["user_id"].append(1 + i % 37)
+        ev["event_type"].append(utypes[i % len(utypes)])
+        ev["value"].append(round((i % 13) * 1.25, 2))
+        ev["props"].append(
+            '{"city": "東京", "note": "caf\\u00e9", "emoji": "👍🏽"}'
+            if i % 2 else '{"k": %d, "tag": "İı"}' % (i % 9)
+        )
+    pq.write_table(pa.table(ev), f"{out}/events.parquet")
+    print("written", out)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--sparse" in sys.argv:
@@ -381,5 +458,7 @@ if __name__ == "__main__":
         write_empty(args[0] if args else "/tmp/empty-sf")
     elif "--nulls" in sys.argv:
         write_nulls(args[0] if args else "/tmp/nulls-sf")
+    elif "--unicode" in sys.argv:
+        write_unicode(args[0] if args else "/tmp/unicode-sf")
     else:
         write_adversarial(args[0] if args else "/tmp/adversarial-sf")
