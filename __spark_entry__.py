@@ -208,10 +208,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #     Six others changed but sit IN the r10 window (their slots prove
 #     the new expressions): stats_mann_whitney_u, stats_kruskal_wallis,
 #     stats_levene, stats_runs_test, stats_effect_sizes,
-#     ann_pq_exhaustive_adc. r11 window math: 34 first-rows + 9
-#     empty-fix re-proofs + 5 nulls-fix re-proofs = 48 of 50 slots;
-#     every fix is a no-op on null-free/non-empty corpora (all EIGHT
-#     corpora re-run green after both sweeps).
+#     ann_pq_exhaustive_adc. The r10 TIME corpus (--time; epoch-zero /
+#     pre-1970 / 9999-sentinel instants) added 3 more re-proofs with
+#     prior rows outside the r10 window: events_conversion_paths
+#     (epoch_seconds_floor replacing truncating unix_timestamp),
+#     stream_dedup (stream event-time sanity window — Spark's initial
+#     watermark is epoch zero), udf_grouped_regression (sanity window;
+#     pandas ns bridge dies at 2262). Six time-fixed queries sit IN the
+#     r10 window (asof pair, stream_asof_enrich, stream_session_windows,
+#     holt pair); orders_open_backlog_daily is in the never-checked
+#     queue; stream_user_running_totals is rows-only by design.
+#     r11 window math: 34 first-rows + 9 empty-fix + 5 nulls-fix +
+#     3 time-fix re-proofs = 51 candidates for 50 slots — ONE over;
+#     recommend deferring vectors_kmeans_assign to r12 (its change is a
+#     pure null-vector load filter, provably inert on every corpus
+#     without null embeddings, the lowest-risk deferral). Every fix is
+#     a no-op outside its hostile regime (all TEN corpora re-run green
+#     after the three sweeps).
 #   r10 window (below): fix-re-proof round. Slot 1 is the r9 driver red
 #     row (sample_balanced_downsample: the sha256-text ordering key and
 #     DECIMAL(38,0) checksum — the only cross-engine-sensitive surfaces

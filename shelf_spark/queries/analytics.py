@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import _round_ieee, _sql_round_ieee
+from .num import (_round_ieee, _sql_round_ieee, epoch_seconds_floor,
+                  sane_ts, sql_sane_ts)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -719,9 +720,13 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
             "first_channel",
             "last_channel",
+            # epoch_seconds_floor, not unix_timestamp: Spark truncates
+            # sub-seconds toward zero vs the oracle's floor(epoch())
+            # — divergent on pre-1970 fractional instants (r10 time
+            # corpus).
             (
-                F.unix_timestamp("purchase_ts")
-                - F.unix_timestamp("first_touch_ts")
+                epoch_seconds_floor(F.col("purchase_ts"))
+                - epoch_seconds_floor(F.col("first_touch_ts"))
             )
             .cast("long")
             .alias("secs_to_convert"),
@@ -1823,12 +1828,17 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_open_backlog_daily",
-    oracle="""
+    oracle=f"""
     WITH span AS (
+      -- date sanity window (r10 time corpus): a 9999 sentinel interval
+      -- end makes the +1-day close boundary uncomputable (Python
+      -- datetime dies at year 10000 when Spark collects) — sentinel
+      -- dates are corrupt rows, excluded deterministically both sides
       SELECT o.o_orderkey,
              CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d0,
              CAST(date_trunc('day', max(l.l_shipdate)) AS DATE) AS d1
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE {sql_sane_ts('o.o_orderdate')} AND {sql_sane_ts('l.l_shipdate')}
       GROUP BY o.o_orderkey, o.o_orderdate
     ), deltas AS (
       SELECT d0 AS day, CAST(count(*) AS BIGINT) AS delta FROM span GROUP BY d0
@@ -1862,10 +1872,11 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     span = (
         spark.table("orders")
+        .filter(sane_ts(F.col("o_orderdate")))  # see oracle note
         .join(
-            spark.table("lineitem").select(
-                F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
-            ),
+            spark.table("lineitem")
+            .filter(sane_ts(F.col("l_shipdate")))
+            .select(F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"),
             "o_orderkey",
         )
         .groupBy("o_orderkey", "o_orderdate")

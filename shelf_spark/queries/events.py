@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import _round_ieee, davg_i, dsum_i, sql_davg_i, sql_dsum_i
+from .num import (_round_ieee, davg_i, dsum_i, epoch_seconds_floor,
+                  sql_davg_i, sql_dsum_i)
 from .registry import query
 
 SQL_DSUM_VALUE = sql_dsum_i("value", 2)
@@ -437,9 +438,17 @@ def asof_enrich_orders(purchases: DataFrame, orders: DataFrame) -> DataFrame:
         carry("oprice").alias("asof_totalprice"),
         carry("ots").alias("asof_orderdate"),
     )
-    stale = F.expr(
-        "(unix_timestamp(t) - unix_timestamp(asof_orderdate)) div 86400"
+    # epoch_seconds_floor, not unix_timestamp: Spark truncates the
+    # sub-second toward zero, which diverges from the oracle's
+    # floor(epoch()) on pre-1970 fractional instants (r10 time corpus).
+    # The day division floors via pmod (exact; non-negative by the
+    # as-of guarantee, but floor-safe either way, matching DuckDB //).
+    stale_secs = epoch_seconds_floor(F.col("t")) - epoch_seconds_floor(
+        F.col("asof_orderdate")
     )
+    stale = (
+        (stale_secs - F.pmod(stale_secs, F.lit(86400))) / F.lit(86400)
+    ).cast("long")
     return (
         enriched.filter(~F.col("is_order"))
         .select(

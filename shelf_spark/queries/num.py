@@ -192,3 +192,74 @@ def sql_davg_over(expr: str, over: str, nd: int = 6) -> str:
         f" / count({expr}) OVER {over}",
         nd,
     )
+
+
+def epoch_seconds_floor(col: Column) -> Column:
+    """FLOOR-to-seconds epoch extraction, exact at any timestamp
+    magnitude and sign. Spark's ``unix_timestamp`` TRUNCATES the
+    sub-second part toward zero — for pre-1970 instants with fractional
+    seconds (epoch −0.000001 → 0, not −1) that diverges from DuckDB's
+    ``floor(epoch(ts))``, shifting every seconds/staleness bucket built
+    on it by one (r10 time corpus). Pure 64-bit integer arithmetic:
+    subtract the non-negative ``pmod`` remainder, then the division is
+    exact — no double roundtrip (micros exceed 2^53 past year ~2255)."""
+    # NTZ hop: driver parquet may surface TIMESTAMP_NTZ, which
+    # unix_micros rejects; the UTC-pinned session makes the cast
+    # value-identical (the events_sessionize idiom).
+    us = F.unix_micros(col.cast("timestamp"))
+    floored = (us - F.pmod(us, F.lit(1_000_000))).cast("decimal(30,0)")
+    # decimal division (exact: numerator divisible by 1e6), NOT the `/`
+    # double division — micros exceed 2^53 past year ~2255.
+    return (floored / F.lit(1_000_000)).cast("long")
+
+
+#: Event-time sanity window for operators whose machinery cannot span
+#: sentinel timestamps: Python's datetime dies at year 10000 (session
+#: ends / forecast days computed past 9999-12-31), pandas' ns epoch
+#: dies at 2262 (every Arrow-bridged UDF), and a stream watermark that
+#: jumps to a far-future sentinel silently drops the whole backlog —
+#: nondeterministically, by batch order. Operators in those classes
+#: (session/watermark state, pandas bridges, date-span generators,
+#: forecast-horizon arithmetic) EXCLUDE out-of-window rows
+#: deterministically on both engines instead; the DQ family
+#: (dq_freshness_lag, dq_expectation_suite) still sees the raw rows
+#: and is where sentinel timestamps get flagged (r10 time corpus).
+TS_SANE_MIN = "1900-01-01"
+TS_SANE_MAX = "2200-01-01"
+
+
+def sane_ts(col: Column) -> Column:
+    """Predicate: event time inside the supported [1900, 2200) window."""
+    t = col.cast("timestamp")
+    return (t >= F.lit(TS_SANE_MIN).cast("timestamp")) & (
+        t < F.lit(TS_SANE_MAX).cast("timestamp")
+    )
+
+
+def sql_sane_ts(expr: str = "ts") -> str:
+    """DuckDB twin of :func:`sane_ts` over the named timestamp column."""
+    return (
+        f"({expr} >= TIMESTAMP '{TS_SANE_MIN} 00:00:00'"
+        f" AND {expr} < TIMESTAMP '{TS_SANE_MAX} 00:00:00')"
+    )
+
+
+#: Watermarked streaming ops have a tighter FLOOR: Spark's initial
+#: event-time watermark is epoch ZERO, so any pre-1970 instant is born
+#: late and silently dropped before the first batch even sets a real
+#: watermark. 1971 leaves a full year of horizon clearance.
+TS_STREAM_SANE_MIN = "1971-01-01"
+
+
+def stream_sane_ts(col: Column) -> Column:
+    t = col.cast("timestamp")
+    return (t >= F.lit(TS_STREAM_SANE_MIN).cast("timestamp")) & (
+        t < F.lit(TS_SANE_MAX).cast("timestamp")
+    )
+
+
+def sql_stream_sane_ts(expr: str = "ts") -> str:
+    return (
+        f"({expr} >= TIMESTAMP '{TS_STREAM_SANE_MIN} 00:00:00'"
+        f" AND {expr} < TIMESTAMP '{TS_SANE_MAX} 00:00:00')"
+    )

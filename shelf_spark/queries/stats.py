@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .num import _round_ieee, _sql_round_ieee
+from .num import _round_ieee, _sql_round_ieee, sane_ts, sql_sane_ts
 from .registry import query
 
 #: Exact decimal carriers for the moment sums: quantities are integral,
@@ -3021,10 +3021,15 @@ _HOLT_H = 7  #: forecast horizon (days)
     "ts_holt_linear_forecast",
     oracle=f"""
     WITH RECURSIVE daily AS (
+      -- date sanity window (r10 time corpus): a 9999 sentinel day
+      -- would both corrupt the trend and push forecast days past the
+      -- Python-datetime ceiling; excluded deterministically both sides
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))
                   AS DOUBLE) / 100.0 AS y
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events
+      WHERE event_type = 'purchase' AND {sql_sane_ts('ts')}
+      GROUP BY 1
     ), idx AS (
       SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
     ), hw AS (
@@ -3069,7 +3074,10 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a recursive CTE, so every float op is order-pinned on both
     engines: the forecasts compare bitwise. l_i is inlined twice in the
     t-update on BOTH sides (identical op sequence)."""
-    e = spark.table("events").filter(F.col("event_type") == "purchase")
+    # sanity window: see oracle note (r10 time corpus)
+    e = spark.table("events").filter(
+        (F.col("event_type") == "purchase") & sane_ts(F.col("ts"))
+    )
     cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
     daily = e.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -6507,10 +6515,13 @@ def _hw_sql() -> str:
     )
     return f"""
     WITH RECURSIVE daily AS (
+      -- date sanity window (r10 time corpus): see ts_holt_linear_forecast
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))
                   AS DOUBLE) / 100.0 AS y
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events
+      WHERE event_type = 'purchase' AND {sql_sane_ts('ts')}
+      GROUP BY 1
     ), idx AS (
       SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
     ), hw AS (
@@ -6585,7 +6596,10 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle runs the IDENTICAL op sequence as a recursive CTE
     with the seasonal array unrolled into 7 columns, so all {_HW_H}
     forecasts compare bitwise."""
-    e = spark.table("events").filter(F.col("event_type") == "purchase")
+    # sanity window: see the _hw_sql daily CTE note (r10 time corpus)
+    e = spark.table("events").filter(
+        (F.col("event_type") == "purchase") & sane_ts(F.col("ts"))
+    )
     cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("decimal(18,0)")
     daily = e.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")

@@ -13,9 +13,16 @@ rows-only-checked: their update-mode output shape has no SQL equivalent.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .events import SQL_DSUM_VALUE, SQL_OHLC_DAILY, _BUCKET_10M
+from .num import sql_stream_sane_ts, stream_sane_ts
 from .registry import query
+
+#: Shared oracle-side event-time sanity predicate for WATERMARKED
+#: streaming ops (see num.TS_STREAM_SANE_MIN: Spark's initial watermark
+#: is epoch zero, so pre-1970 instants are born late).
+SQL_SANE_TS = sql_stream_sane_ts()
 
 
 def _events_path(sf_dir: str) -> str:
@@ -48,7 +55,12 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import streaming as S
 
-    stream = S.events_stream(spark, _events_path(sf_dir))
+    # Sanity window: the state rows cross the Arrow/pandas bridge, whose
+    # ns-epoch timestamps die at year 2262 — a 9999 sentinel kills the
+    # whole stateful job (r10 time corpus; num.TS_STREAM_SANE_MIN).
+    stream = S.events_stream(spark, _events_path(sf_dir)).filter(
+        stream_sane_ts(F.col("ts"))
+    )
     return S.run_available_now(
         S.user_running_totals(stream), "q_stream_user_totals", output_mode="update"
     )
@@ -92,7 +104,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE {SQL_SANE_TS}
     ),
     numbered AS (
       SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -116,7 +128,13 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions) bounded by the watermark, not O(history)."""
     from .. import streaming as S
 
-    stream = S.events_stream(spark, _events_path(sf_dir))
+    # Event-time sanity window (num.TS_SANE_*): session ends past
+    # 9999-12-31 are uncollectable (Python datetime), and session STATE
+    # keyed on sentinel instants never closes — out-of-window rows are
+    # excluded deterministically on both engines (r10 time corpus).
+    stream = S.events_stream(spark, _events_path(sf_dir)).filter(
+        stream_sane_ts(F.col("ts"))
+    )
     return S.run_available_now(
         S.session_windows(stream), "q_stream_session", output_mode="complete"
     )
@@ -124,10 +142,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_dedup",
-    oracle="""
+    oracle=f"""
     SELECT DISTINCT user_id, event_type,
            CAST(date_trunc('day', ts) AS DATE) AS day
-    FROM events
+    FROM events WHERE {SQL_SANE_TS}
     """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +161,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .. import streaming as S
 
-    stream = S.events_stream(spark, _events_path(sf_dir))
+    # Sanity window: a far-future sentinel would slam the watermark to
+    # year 9999 and silently drop the whole backlog — by BATCH ORDER,
+    # i.e. nondeterministically. Out-of-window rows are excluded
+    # deterministically instead (r10 time corpus; num.TS_SANE_*).
+    stream = S.events_stream(spark, _events_path(sf_dir)).filter(
+        stream_sane_ts(F.col("ts"))
+    )
     keyed = stream.select(
         "user_id",
         "event_type",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .num import sane_ts
 from .registry import query
 
 
@@ -69,7 +70,10 @@ def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_regression",
     oracle="""
     WITH pts AS (
+      -- sanity window (r10 time corpus): rows cross the Arrow/pandas
+      -- bridge, whose ns timestamps die at year 2262
       SELECT user_id, epoch_us(ts) / 1000000.0 AS x, value AS y FROM events
+      WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2200-01-01'
     ),
     g AS (
       SELECT user_id, avg(x) AS mx, avg(y) AS my, count(*) AS n
@@ -116,7 +120,10 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = spark.table("events")
+    # Sanity window (num.TS_SANE_*): the Arrow/pandas bridge's ns-epoch
+    # timestamps overflow at year 2262 — a 9999 sentinel would kill the
+    # whole job before ols() even runs (r10 time corpus).
+    e = spark.table("events").filter(sane_ts(F.col("ts")))
     return e.groupBy("user_id").applyInPandas(
         ols, "user_id bigint, slope double, intercept double, n bigint"
     )

@@ -42,6 +42,7 @@ DEFAULT_GATE_LOGS = [
     ("empty", "/tmp/gate_empty.log"),
     ("nulls", "/tmp/gate_nulls.log"),
     ("unicode", "/tmp/gate_unicode.log"),
+    ("time", "/tmp/gate_time.log"),
 ]
 
 _GATE_PAT = r"(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"

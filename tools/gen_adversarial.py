@@ -448,6 +448,116 @@ def write_unicode(out: str) -> None:
     print("written", out)
 
 
+def write_time(out: str) -> None:
+    """Time-hostile variant (r10): the timestamp sentinels and calendar
+    edges 100 TB of dirty data actually contains — epoch zero
+    (1970-01-01T00:00:00, the classic null-substitute), pre-1970
+    (negative epoch), the 9999-12-31 far-future sentinel, year/ISO-week
+    boundary instants (Jan 1 falling mid-ISO-week — date_trunc('week')
+    lands in the PREVIOUS year), end-of-month/leap-day (Feb 29),
+    microsecond precision edges (.999999 vs .000001 one tick apart),
+    midnight-exact day boundaries, and a user whose whole history sits
+    in 1969. Order dates/ship dates get the same treatment on the
+    TPC-H side where date arithmetic (date_diff/backlog spans) runs."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    ev = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+          "value": [], "props": []}
+    types = ["view", "click", "purchase", "signup", "error"]
+    specials = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),                    # epoch zero
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),       # pre-epoch tick
+        dt.datetime(1969, 7, 20, 20, 17, 40),                # deep pre-epoch
+        dt.datetime(9999, 12, 31, 23, 59, 59),               # far-future sentinel
+        dt.datetime(2024, 1, 1, 0, 0, 0),                    # year boundary
+        dt.datetime(2023, 12, 31, 23, 59, 59, 999999),       # one tick before
+        dt.datetime(2024, 2, 29, 12, 0, 0),                  # leap day
+        dt.datetime(2024, 3, 31, 23, 59, 59),                # month end
+        dt.datetime(2024, 4, 1, 0, 0, 0),                    # month start
+        dt.datetime(2024, 6, 15, 0, 0, 0, 1),                # .000001 past midnight
+    ]
+    eid = 0
+    # one user frozen in 1969; others mix sentinels with a normal cluster
+    for u in range(1, 25):
+        for k in range(8):
+            eid += 1
+            if u == 1:
+                t = dt.datetime(1969, 6, 1) + dt.timedelta(hours=k * 7)
+            elif k < 3:
+                t = specials[(u + k) % len(specials)]
+            else:
+                t = dt.datetime(2024, 6, 10) + dt.timedelta(
+                    minutes=(u * 97 + k * 31) % 4000
+                )
+            ev["event_id"].append(eid)
+            ev["ts"].append(t)
+            ev["user_id"].append(u)
+            ev["event_type"].append(types[eid % 5])
+            ev["value"].append(round((eid % 9) * 1.5, 2))
+            ev["props"].append('{"k": %d}' % (eid % 50))
+    # coverage block: EVERY sentinel instant × EVERY event type, so the
+    # purchase-keyed time-series family cannot dodge a sentinel day by
+    # type-cycling luck.
+    for si, t in enumerate(specials):
+        for ty in types:
+            eid += 1
+            ev["event_id"].append(eid)
+            ev["ts"].append(t)
+            ev["user_id"].append(90 + si % 5)
+            ev["event_type"].append(ty)
+            ev["value"].append(round((eid % 9) * 1.5, 2))
+            ev["props"].append('{"k": %d}' % (eid % 50))
+    pq.write_table(pa.table(ev), f"{out}/events.parquet")
+
+    o = {"o_orderkey": [], "o_custkey": [], "o_orderstatus": [],
+         "o_totalprice": [], "o_orderdate": [], "o_orderpriority": []}
+    li = {"l_orderkey": [], "l_partkey": [], "l_suppkey": [],
+          "l_linenumber": [], "l_quantity": [], "l_extendedprice": [],
+          "l_discount": [], "l_tax": [], "l_returnflag": [],
+          "l_linestatus": [], "l_shipdate": []}
+    custkeys = [r[0] for r in duckdb.sql(f"SELECT c_custkey FROM '{SRC}/customer.parquet'").fetchall()]
+    partkeys = [r[0] for r in duckdb.sql(f"SELECT p_partkey FROM '{SRC}/part.parquet'").fetchall()]
+    suppkeys = [r[0] for r in duckdb.sql(f"SELECT s_suppkey FROM '{SRC}/supplier.parquet'").fetchall()]
+    odates = [
+        dt.datetime(1970, 1, 1), dt.datetime(1969, 12, 1),
+        dt.datetime(9999, 12, 1), dt.datetime(1992, 2, 29),
+        dt.datetime(1995, 12, 31), dt.datetime(1996, 1, 1),
+        dt.datetime(1994, 6, 15), dt.datetime(1994, 6, 16),
+    ]
+    for ok in range(1, 201):
+        o["o_orderkey"].append(ok)
+        o["o_custkey"].append(custkeys[ok % len(custkeys)])
+        o["o_orderstatus"].append(["O", "F", "P"][ok % 3])
+        o["o_totalprice"].append(1000.0 + (ok % 10) * 123.45)
+        o["o_orderdate"].append(odates[ok % len(odates)])
+        o["o_orderpriority"].append(f"{1 + ok % 5}-X")
+        for ln in range(1, (ok % 3) + 2):
+            li["l_orderkey"].append(ok)
+            li["l_partkey"].append(partkeys[(ok * 3 + ln) % len(partkeys)])
+            li["l_suppkey"].append(suppkeys[(ok + ln) % len(suppkeys)])
+            li["l_linenumber"].append(ln)
+            li["l_quantity"].append(float((ok + ln) % 49 + 1))
+            li["l_extendedprice"].append(100.0 + (ok % 6) * 250.5)
+            li["l_discount"].append((ln % 3) * 0.05)
+            li["l_tax"].append((ln % 2) * 0.04)
+            li["l_returnflag"].append(["A", "N", "R"][ok % 3])
+            li["l_linestatus"].append(["O", "F"][ln % 2])
+            # ship AFTER order, pinned at the 9999 sentinel itself
+            od = odates[ok % len(odates)]
+            li["l_shipdate"].append(
+                dt.datetime(9999, 12, 31)
+                if od.year == 9999
+                else od + dt.timedelta(days=ln * 17)
+            )
+    pq.write_table(pa.table(o), f"{out}/orders.parquet")
+    pq.write_table(pa.table(li), f"{out}/lineitem.parquet")
+    print("written", out)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--sparse" in sys.argv:
@@ -460,5 +570,7 @@ if __name__ == "__main__":
         write_nulls(args[0] if args else "/tmp/nulls-sf")
     elif "--unicode" in sys.argv:
         write_unicode(args[0] if args else "/tmp/unicode-sf")
+    elif "--time" in sys.argv:
+        write_time(args[0] if args else "/tmp/time-sf")
     else:
         write_adversarial(args[0] if args else "/tmp/adversarial-sf")
