@@ -74,3 +74,38 @@ def test_aliases_unique_and_resolvable(paths_versions):
     for alias, full in aliases.items():
         assert full in fulls
         assert alias not in fulls
+
+
+# ---------------------------------------------------------------------------
+# r10: floor-to-seconds epoch extraction (num.epoch_seconds_floor)
+# ---------------------------------------------------------------------------
+
+#: Spark-representable micros range used by the r10 time corpus
+#: (year 1 .. 9999 comfortably inside).
+_MICROS = st.integers(min_value=-62_000_000_000_000_000,
+                      max_value=253_402_300_799_999_999)
+
+
+@given(st.lists(_MICROS, min_size=1, max_size=40, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_epoch_seconds_floor_is_python_floordiv(micros):
+    """For ANY microsecond epoch (sign included), the Spark expression
+    equals Python's // 1_000_000 — true floor division, the contract
+    that replaced unix_timestamp's truncate-toward-zero (r10 time
+    corpus). Runs each batch through one DataFrame pass."""
+    from pyspark.sql import functions as F
+
+    from shelf_spark.queries.num import epoch_seconds_floor
+    from shelf_spark.session import get_spark
+
+    spark = get_spark("props")
+    df = spark.createDataFrame([(m,) for m in micros], "us long")
+    got = {
+        r["us"]: r["s"]
+        for r in df.select(
+            "us",
+            epoch_seconds_floor(F.timestamp_micros("us")).alias("s"),
+        ).collect()
+    }
+    for m in micros:
+        assert got[m] == m // 1_000_000, (m, got[m])
