@@ -240,6 +240,74 @@ def entry(spark: SparkSession) -> DataFrame:
 #     never-checked queue in user-impact order (weighted median,
 #     rollup sketches, the stats tier, the ts tier, scan/sink/set).
 #     After this window the never-checked queue is 35.
+#   r11 window (below): queue-closing round, exactly as prescribed by
+#     the r10 VERDICT ask #1 and the r10-continuation NOTE above. The
+#     50 slots = the 34 oracled never-checked operators (everything in
+#     the r10 NOTE list except ann_pq_topk, rows-only BY DESIGN and
+#     barred from slots) + the 9 empty-corpus fix re-proofs with prior
+#     driver rows + the 4 nulls-corpus fix re-proofs outside the r10
+#     window (vectors_kmeans_assign deferred to r12 as the NOTE
+#     recommends — its change is a provably inert null-vector load
+#     filter) + the 3 time-corpus fix re-proofs outside the r10 window.
+#     After this window lands, cumulative driver coverage is 340/341 —
+#     every registered query except ann_pq_topk has a driver row — and
+#     the never-checked queue is CLOSED.
+#   r11 NOTE (re-proof queue for r12): expressions changed THIS round
+#     after their latest driver row, each local-gate green on all
+#     corpora: embed_cosine_pairs (occupancy-bounded sub-blocking
+#     replacing the whole-label-cell self-join — the registry's last
+#     super-linear plan, VERDICT r10 ask #2; oracle mirrors the
+#     sub-cell key), agg_approx_distinct and rollup_hll_mergeable
+#     (rows-only → ε-bounded oracle rows, VERDICT r10 ask #5: the
+#     query now emits the exact count plus a Spark-side within-ε
+#     assertion column the oracle pins TRUE), plus the deferred
+#     vectors_kmeans_assign nulls fix. These four fill r12 re-proof
+#     slots; remaining r12 slots go to belt-and-braces re-proofs of the
+#     oldest rows.
+_DRIVER_WINDOW_R11 = [
+    # 34 first-ever rows: the entire remaining never-checked queue
+    # (r10 NOTE list, minus rows-only-by-design ann_pq_topk)
+    "clean_rare_category_collapse", "dq_benford_law", "dq_freshness_lag",
+    "events_path_trigrams", "events_time_to_convert",
+    "events_user_lifetime_gini", "join_dynamic_partition_pruning",
+    "ml_brier_score", "ml_cohens_kappa", "ml_expected_calibration_error",
+    "ml_linear_attribution", "ml_mutual_information",
+    "multimodal_audio_spectrogram", "multimodal_image_dhash",
+    "orders_open_backlog_daily", "privacy_dp_count_release",
+    "privacy_t_closeness", "set_except_all", "set_intersect_all",
+    "stats_friedman", "stats_grubbs_outlier", "stats_poisson_bootstrap_ci",
+    "stats_power_analysis", "stream_bitmap_distinct",
+    "stream_cms_frequencies", "stream_dq_expectations",
+    "stream_freshness_lag", "text_bigram_lm_perplexity",
+    "text_bpe_pair_counts", "text_heaps_law_fit", "text_phrase_search",
+    "text_winnowing_fingerprints", "ts_anomaly_seasonal_mad",
+    "ts_sax_symbols",
+    # 9 empty-corpus fix re-proofs (prior driver rows; r10 NOTE)
+    "agg_cube", "agg_rollup", "agg_grouping_sets", "privacy_k_anonymity",
+    "privacy_l_diversity", "dq_expectation_suite",
+    "dq_referential_integrity", "events_retention_halflife",
+    "sink_partitioned_pruning",
+    # 4 nulls-corpus fix re-proofs (prior rows, outside the r10 window)
+    "cdc_apply_changes", "stream_cdc_upsert", "events_anomaly_mad",
+    "ts_ewma",
+    # 3 time-corpus fix re-proofs (prior rows, outside the r10 window)
+    "events_conversion_paths", "stream_dedup", "udf_grouped_regression",
+]
+
+#: Sanctioned re-proof exception for the R11 window (see
+#: tests/test_queries.py test_driver_window_discipline): names with a
+#: prior driver row whose expressions changed afterwards — the r10
+#: empty/nulls/time hostile-corpus fixes enumerated in the
+#: r10-continuation NOTE above.
+_DRIVER_WINDOW_REPROOF = [
+    "agg_cube", "agg_rollup", "agg_grouping_sets", "privacy_k_anonymity",
+    "privacy_l_diversity", "dq_expectation_suite",
+    "dq_referential_integrity", "events_retention_halflife",
+    "sink_partitioned_pruning", "cdc_apply_changes", "stream_cdc_upsert",
+    "events_anomaly_mad", "ts_ewma", "events_conversion_paths",
+    "stream_dedup", "udf_grouped_regression",
+]
+
 _DRIVER_WINDOW_R10 = [
     # slot 1: the r9 driver red row, re-proved on the de-sensitized plan
     "sample_balanced_downsample",
@@ -274,12 +342,12 @@ _DRIVER_WINDOW_R10 = [
     "stats_kendall_tau",
 ]
 
-#: Sanctioned re-proof exception (see tests/test_queries.py
-#: test_driver_window_discipline): names with a prior driver row whose
-#: expressions changed afterwards — r9 hardening sweeps (session-tie
-#: trio, asof/rounding five, divide-by-zero guards, fn_try_arith's
-#: rlike guard) and this round's red-row + ADVICE fixes.
-_DRIVER_WINDOW_REPROOF = [
+#: r10's sanctioned re-proof exception (historical record): names with
+#: a prior driver row whose expressions changed before the r10 window —
+#: r9 hardening sweeps (session-tie trio, asof/rounding five,
+#: divide-by-zero guards, fn_try_arith's rlike guard) and the r10
+#: red-row + ADVICE fixes.
+_DRIVER_WINDOW_REPROOF_R10 = [
     "sample_balanced_downsample", "events_sessionize",
     "stream_session_windows", "fn_try_arith", "window_lag_lead",
     "sort_topk", "events_asof_join", "events_asof_orders",
@@ -411,19 +479,19 @@ _DRIVER_WINDOW_R07 = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the driver's 50-row correctness window lands on the
-    fix-driven re-proofs plus first-ever rows from the never-checked
-    queue (see _DRIVER_WINDOW_R10 above); the rest follow in registry
-    order.
+    Ordered so the driver's 50-row correctness window closes the
+    never-checked queue for good: the 34 remaining first-ever rows plus
+    the 16 hostile-corpus fix re-proofs (see _DRIVER_WINDOW_R11 above);
+    the rest follow in registry order.
     """
     # Window hygiene (r8 verdict ask #6): every windowed entry MUST have
     # a SQL oracle — a rows-only entry in the window produces a
     # guaranteed `err: no_oracle` row, wasting the slot.
-    missing = [n for n in _DRIVER_WINDOW_R10 if n not in ORACLES]
+    missing = [n for n in _DRIVER_WINDOW_R11 if n not in ORACLES]
     assert not missing, f"rows-only entries in driver window: {missing}"
-    unknown = [n for n in _DRIVER_WINDOW_R10 if n not in QUERIES]
+    unknown = [n for n in _DRIVER_WINDOW_R11 if n not in QUERIES]
     assert not unknown, f"unknown names in driver window: {unknown}"
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R10}
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R11}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn
