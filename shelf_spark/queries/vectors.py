@@ -223,28 +223,52 @@ def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_cosine_pairs",
     oracle=f"""
     WITH v AS (
-      SELECT vec_id, label, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm
+      SELECT vec_id, label, {_SQL_VEC} AS vec, {_SQL_NORM} AS nrm,
+             CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % CAST(ceil(count(*) OVER (PARTITION BY label) / {CELL_OCCUPANCY}.0)
+                      AS INTEGER) AS sub
       FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            round(list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
                  / (a.nrm * b.nrm), 4) AS cosine
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+                     AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
           / (a.nrm * b.nrm) >= 0.92
     """,
 )
 def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Embedding near-dup mining: high-cosine pairs within the same label
-    # cell (blocking key bounds the pair space — the same trick LSH
-    # banding generalizes).
-    v = spark.table("embeddings").select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", _norm(F.col("vec")))
+    # Embedding near-dup candidate mining: high-cosine pairs within an
+    # occupancy-bounded blocking cell. r11 replan (VERDICT r10 ask #2):
+    # the r10 plan paired the WHOLE label cell — cell population grows
+    # linearly with the corpus, so pairs grew quadratically (measured
+    # 211× wall at 30× data, the registry's one super-linear plan). Now
+    # the cell key is (label, content-hash sub-cell) via the same
+    # occupancy_blocked() helper the SemDeDup family uses: sub-cell
+    # count scales with label population, so a cell never holds more
+    # than ~CELL_OCCUPANCY vectors in expectation — pair mining is
+    # quadratic in the CAP, linear in the corpus. The oracle mirrors the
+    # engine-independent sha256 sub-key, so equivalence stays
+    # value-exact. Cross-sub-cell pairs are forgone by construction —
+    # the standard candidate-generation trade every blocked miner makes;
+    # exhaustive semantics live in the ANN brute-force twins. At test
+    # scales every label holds ≤ CELL_OCCUPANCY vectors, so sub == 0
+    # everywhere and results equal the unblocked r10 output.
+    v = occupancy_blocked(
+        spark.table("embeddings")
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
     a, b = v.alias("a"), v.alias("b")
     cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .filter(cos >= 0.92)
         .select(
             F.col("a.vec_id").alias("vec_a"),
