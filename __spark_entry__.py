@@ -260,10 +260,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sub-cell key), agg_approx_distinct and rollup_hll_mergeable
 #     (rows-only → ε-bounded oracle rows, VERDICT r10 ask #5: the
 #     query now emits the exact count plus a Spark-side within-ε
-#     assertion column the oracle pins TRUE), plus the deferred
-#     vectors_kmeans_assign nulls fix. These four fill r12 re-proof
-#     slots; remaining r12 slots go to belt-and-braces re-proofs of the
-#     oldest rows.
+#     assertion column the oracle pins TRUE),
+#     stream_user_running_totals (rows-only → value-exact: state now
+#     sums on the dsum_i integer grid, so the final-state snapshot has
+#     an exact SQL oracle), plus the deferred vectors_kmeans_assign
+#     nulls fix. These five fill r12 re-proof slots; remaining r12
+#     slots go to belt-and-braces re-proofs of the oldest rows.
+#     Rows-only registry residue after r11: ann_ivf_topk, ann_pq_topk,
+#     dedup_minhash_lsh, dedup_simhash — 4 entries, every one
+#     approximate BY DESIGN with a value-exact machinery twin
+#     (ann_ivf_exhaustive / ann_pq_exhaustive_adc /
+#     dedup_minhash_lsh_selfdup / dedup_simhash_sha).
 _DRIVER_WINDOW_R11 = [
     # 34 first-ever rows: the entire remaining never-checked queue
     # (r10 NOTE list, minus rows-only-by-design ann_pq_topk)

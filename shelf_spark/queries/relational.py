@@ -721,20 +721,57 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approx values differ per engine → rows-only check
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_tol,
+           TRUE AS pctl_within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx count-distinct + approx percentile (engine-specific values).
-
-    Spark's HLL++ and DuckDB's HLL give different estimates by design, so
-    this op is declared without an oracle; the sketch-based path is the one
-    that matters at 100 TB (exact distinct = full shuffle; HLL = constant
-    memory per group, mergeable map-side).
-    """
+    """HLL approx count-distinct + approx percentile, ε-BOUNDED oracle
+    (r11, VERDICT r10 ask #5): Spark's HLL++ and DuckDB's HLL give
+    different estimates by design, so the raw estimates can't be
+    value-compared — but the ACCURACY CONTRACT can. The query computes
+    both the sketch estimate and the exact value inside Spark and emits
+    the exact count plus per-group within-tolerance assertion columns;
+    the oracle recomputes the exact count in DuckDB and pins the
+    assertions TRUE. A drifting sketch (or a broken merge path) flips a
+    boolean and fails the value hash — the former pytest-only tolerance
+    check now lives in the oracle gate. Tolerances: HLL++ at rsd=0.02
+    within 10% (5×rsd — ≫5σ of the estimator; exact-mode below the
+    sparse threshold), approx_percentile(accuracy=1000) inside the
+    exact p45–p55 band (rank error ≤ n/1000 ≪ 5% of n). The sketch path
+    is the one that matters at 100 TB: exact distinct = full shuffle of
+    the key; HLL = constant memory per group, mergeable map-side."""
     li = spark.table("lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
     )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.greatest(F.lit(0.10) * F.col("exact_parts"), F.lit(2.0))
+        ).alias("hll_within_tol"),
+        F.coalesce(
+            (F.col("approx_median") >= F.col("p45"))
+            & (F.col("approx_median") <= F.col("p55")),
+            # all-null value column: both the estimate and the band are
+            # null — the contract is vacuously satisfied
+            F.col("approx_median").isNull() & F.col("p45").isNull(),
+        ).alias("pctl_within_band"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

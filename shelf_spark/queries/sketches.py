@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .num import sane_ts, sql_sane_ts
 from .registry import query
 
 #: Heavy-hitter threshold: report tokens with count > N / _HH_K.
@@ -114,26 +115,82 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_heavy_hitters.__doc__ = agg_heavy_hitters.__doc__.format(K=_HH_K)
 
 
-@query("rollup_hll_mergeable")  # rows-only: HLL estimates are engine-specific
+def _hll_within_tol(est: F.Column, exact: F.Column) -> F.Column:
+    """ε-bound assertion for an HLL estimate vs the exact distinct count:
+    within 10% (≫5σ at the default lgConfigK=12, rsd≈1.6%; exact-mode
+    below the sparse threshold) with an absolute grace of 2 for tiny
+    groups. A null estimate (merge over zero sketches) satisfies the
+    contract only when the exact count is 0."""
+    return F.when(est.isNull(), exact == 0).otherwise(
+        F.abs(est - exact) <= F.greatest(F.lit(0.10) * exact, F.lit(2.0))
+    )
+
+
+@query(
+    "rollup_hll_mergeable",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events WHERE {sql_sane_ts('ts')}
+    )
+    SELECT CAST(day AS VARCHAR) AS grain,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_tol
+    FROM ev GROUP BY day
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM ev
+    ORDER BY grain
+    """,
+)
 def rollup_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day distinct-user estimates from stored HLL sketches, plus an
-    'ALL' row whose estimate comes from merging the daily sketches —
+    'ALL' row whose estimate comes from MERGING the daily sketches —
     never re-scanning raw events. The persist-sketches-merge-later
     contract is what makes 100 TB rollup hierarchies cheap: day→month→
-    year each aggregates ~365 small binary blobs, not 10^12 raw rows."""
-    daily_sk = (
+    year each aggregates ~365 small binary blobs, not 10^12 raw rows.
+
+    ε-BOUNDED oracle (r11, VERDICT r10 ask #5): Spark's DataSketches HLL
+    and DuckDB's HLL estimate differently by design, so the raw
+    estimates stay Spark-side — the query emits the exact per-grain
+    count plus a within-tolerance assertion on each estimate (the ALL
+    row's assertion checks the UNION-MERGED sketch against the exact
+    overall distinct, pinning mergeability itself), and the oracle
+    recomputes the exact counts and pins the assertions TRUE. The
+    event-time sanity window matches the engine-limit convention of the
+    other per-day event rollups (r10 time corpus)."""
+    keyed = (
         spark.table("events")
+        .filter(sane_ts(F.col("ts")))
         .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    daily_sk = keyed.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
     )
     daily = daily_sk.select(
         F.col("day").cast("string").alias("grain"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+        _hll_within_tol(
+            F.hll_sketch_estimate("sk"), F.col("exact_users")
+        ).alias("est_within_tol"),
     )
-    merged = daily_sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
-    ).select(F.lit("ALL").alias("grain"), "est_users")
+    merged = (
+        daily_sk.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        )
+        .crossJoin(
+            keyed.agg(
+                F.count_distinct("user_id").cast("bigint").alias("exact_users")
+            )
+        )
+        .select(
+            F.lit("ALL").alias("grain"),
+            "exact_users",
+            _hll_within_tol(
+                F.col("est_users"), F.col("exact_users")
+            ).alias("est_within_tol"),
+        )
+    )
     return daily.unionByName(merged).orderBy("grain")
 
 

@@ -6,8 +6,10 @@ result as a batch DataFrame. In a single pass watermarks drop nothing, so
 ``stream_tumbling_window`` is exactly the batch tumbling query — it gets
 the same DuckDB oracle (full value-hash check, not rows-only).
 
-The stateful ops (`applyInPandasWithState` running totals) are
-rows-only-checked: their update-mode output shape has no SQL equivalent.
+The stateful `applyInPandasWithState` running totals are value-checked
+too (r11): the update-mode emissions reduce to the final per-user state
+snapshot, which has an exact SQL equivalent now that state accumulates
+on the dsum_i integer grid.
 """
 
 from __future__ import annotations
@@ -51,8 +53,28 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_user_running_totals")  # rows-only: stateful update-mode output
+@query(
+    "stream_user_running_totals",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           coalesce({SQL_DSUM_VALUE}, 0.0) AS total_value
+    FROM events WHERE {SQL_SANE_TS}
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful running totals (``applyInPandasWithState``),
+    value-exact (r11, VERDICT r10 ask #5 — formerly the last
+    rows-only-without-a-twin entry): the raw update-mode emissions are
+    reduced to each user's LAST emission (``max_by`` on the strictly
+    increasing running count), i.e. the final state snapshot, which IS
+    SQL-expressible. The state machinery stays fully exercised — counts
+    and sums accumulate across micro-batches inside the operator — and
+    became oracle-checkable because the state now sums on the dsum_i
+    integer grid (see streaming.user_running_totals), so the total is
+    independent of batch boundaries and accumulation order."""
     from .. import streaming as S
 
     # Sanity window: the state rows cross the Arrow/pandas bridge, whose
@@ -61,8 +83,16 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = S.events_stream(spark, _events_path(sf_dir)).filter(
         stream_sane_ts(F.col("ts"))
     )
-    return S.run_available_now(
+    raw = S.run_available_now(
         S.user_running_totals(stream), "q_stream_user_totals", output_mode="update"
+    )
+    return (
+        raw.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("bigint").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
     )
 
 

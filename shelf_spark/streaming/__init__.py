@@ -325,7 +325,7 @@ _USER_TOTALS_SCHEMA = StructType(
 )
 
 _USER_STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_c", LongType())]
 )
 
 
@@ -334,24 +334,37 @@ def user_running_totals(stream: DataFrame, timeout_minutes: int = 0) -> DataFram
     via ``applyInPandasWithState`` (Arrow-batched; the custom-operator
     escape hatch when built-in windowed aggs can't express the logic).
 
-    State is one (count, sum) pair per user. With ``timeout_minutes`` > 0
-    idle users are evicted on processing-time timeout — the state-size
-    guardrail for unbounded key spaces.
+    State is one (count, scaled-int sum) pair per user. The value sum
+    accumulates on the 10^-2 integer grid (``floor(x·100 + 0.5)`` per
+    row, the num.dsum_i convention) so the running total is EXACT and
+    independent of batch boundaries and within-batch order — float
+    accumulation order would otherwise make the emitted total depend on
+    how the source chunked the data. All-null users total 0.0 by
+    convention. With ``timeout_minutes`` > 0 idle users are evicted on
+    processing-time timeout — the state-size guardrail for unbounded
+    key spaces.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (user_id,) = key
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_c = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            vals = pdf["value"].dropna().to_numpy(dtype="float64")
+            if len(vals):
+                total_c += int(
+                    np.floor(vals * 100.0 + 0.5).astype("int64").sum()
+                )
+        total = total_c / 100.0
+        state.update((n, total_c))
         if timeout_minutes:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(

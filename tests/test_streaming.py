@@ -74,13 +74,23 @@ def test_user_running_totals(spark, stream):
     register_views(spark, SF_DIR)
     from pyspark.sql import functions as F
 
+    # State sums on the dsum_i 10^-2 integer grid (exact, order-free) —
+    # mirror it, not float F.sum, whose accumulation order differs.
     want = (
         spark.table("events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.coalesce(
+                    F.sum(F.floor(F.col("value") * 100.0 + 0.5)), F.lit(0)
+                )
+                / 100.0
+            ).alias("total_value"),
+        )
     )
-    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
-    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    g = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], r["total_value"]) for r in want.collect()}
     assert g == w
 
 
