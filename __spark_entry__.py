@@ -263,9 +263,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     assertion column the oracle pins TRUE),
 #     stream_user_running_totals (rows-only → value-exact: state now
 #     sums on the dsum_i integer grid, so the final-state snapshot has
-#     an exact SQL oracle), plus the deferred vectors_kmeans_assign
-#     nulls fix. These five fill r12 re-proof slots; remaining r12
-#     slots go to belt-and-braces re-proofs of the oldest rows.
+#     an exact SQL oracle), events_asof_orders and stream_asof_enrich
+#     (oracle-side only: floor(epoch()) → the exact-integer sql_epoch_s
+#     path, closing the r10 ADVICE far-future double-resolution
+#     exposure; Spark-side expressions untouched), plus the deferred
+#     vectors_kmeans_assign nulls fix. udf_grouped_regression's oracle
+#     also moved to the interpolated sql_sane_ts (r10 ADVICE) but sits
+#     IN the r11 window, so its slot proves the new pair. These seven
+#     fill r12 re-proof slots; remaining r12 slots go to belt-and-braces
+#     re-proofs of the oldest rows.
 #     Rows-only registry residue after r11: ann_ivf_topk, ann_pq_topk,
 #     dedup_minhash_lsh, dedup_simhash — 4 entries, every one
 #     approximate BY DESIGN with a value-exact machinery twin

@@ -141,6 +141,11 @@ def main() -> None:
         {
             **base,
             "queries": top,
+            "note": (
+                f"'queries' shows only the slowest {len(top)} of "
+                f"{len(timings)} benched queries (driver stdout cap); "
+                "the full per-query map is in BENCH_local.json"
+            ),
             "queries_omitted_below": round(min(top.values()), 3) if top else 0,
             "queries_full": "BENCH_local.json",
         }

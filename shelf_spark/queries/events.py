@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .num import (_round_ieee, davg_i, dsum_i, epoch_seconds_floor,
-                  sql_davg_i, sql_dsum_i)
+                  sql_davg_i, sql_dsum_i, sql_epoch_s)
 from .registry import query
 
 SQL_DSUM_VALUE = sql_dsum_i("value", 2)
@@ -333,7 +333,7 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_asof_orders",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT o_custkey AS user_id, o_orderdate AS o_ts,
              max(o_orderkey) AS o_key,
@@ -347,8 +347,8 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            o.o_key AS asof_orderkey,
            floor(o.o_price * 100 + 0.5) / 100 AS asof_totalprice,
            o.o_ts AS asof_orderdate,
-           CAST((CAST(floor(epoch(p.ts)) AS BIGINT)
-                 - CAST(floor(epoch(o.o_ts)) AS BIGINT)) // 86400 AS BIGINT)
+           CAST(({sql_epoch_s('p.ts')} - {sql_epoch_s('o.o_ts')}) // 86400
+                AS BIGINT)
              AS staleness_days
     FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts >= o.o_ts
     ORDER BY purchase_id
@@ -439,10 +439,14 @@ def asof_enrich_orders(purchases: DataFrame, orders: DataFrame) -> DataFrame:
         carry("ots").alias("asof_orderdate"),
     )
     # epoch_seconds_floor, not unix_timestamp: Spark truncates the
-    # sub-second toward zero, which diverges from the oracle's
-    # floor(epoch()) on pre-1970 fractional instants (r10 time corpus).
-    # The day division floors via pmod (exact; non-negative by the
-    # as-of guarantee, but floor-safe either way, matching DuckDB //).
+    # sub-second toward zero, which diverges from the oracle's exact
+    # floor-to-seconds on pre-1970 fractional instants (r10 time
+    # corpus). The day division floors via pmod. CAUTION before reusing
+    # this idiom against a DuckDB `//` oracle: DuckDB `//` TRUNCATES
+    # toward zero (-7 // 2 = -3), it does not floor — the two agree
+    # ONLY because as-of staleness is guaranteed non-negative here. A
+    # possibly-negative difference needs the oracle floored explicitly
+    # (the sql_epoch_s pattern), not `//` (r10 ADVICE).
     stale_secs = epoch_seconds_floor(F.col("t")) - epoch_seconds_floor(
         F.col("asof_orderdate")
     )

@@ -213,6 +213,19 @@ def epoch_seconds_floor(col: Column) -> Column:
     return (floored / F.lit(1_000_000)).cast("long")
 
 
+def sql_epoch_s(expr: str) -> str:
+    """DuckDB twin of :func:`epoch_seconds_floor`, exact at any
+    timestamp magnitude. DuckDB's ``epoch()`` returns a DOUBLE whose
+    resolution exceeds 1µs past ~year 2255 — e.g.
+    ``floor(epoch(TIMESTAMP '9999-12-31 23:59:58.999999'))`` lands one
+    second HIGH (r10 ADVICE) — so this goes through ``epoch_us``
+    (exact BIGINT) and floors with pure integer ops: subtract the
+    non-negative remainder, after which ``//`` is exact because the
+    numerator is divisible by 10^6."""
+    us = f"epoch_us({expr})"
+    return f"(({us} - (({us} % 1000000) + 1000000) % 1000000) // 1000000)"
+
+
 #: Event-time sanity window for operators whose machinery cannot span
 #: sentinel timestamps: Python's datetime dies at year 10000 (session
 #: ends / forecast days computed past 9999-12-31), pandas' ns epoch

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .events import SQL_DSUM_VALUE, SQL_OHLC_DAILY, _BUCKET_10M
-from .num import sql_stream_sane_ts, stream_sane_ts
+from .num import sql_epoch_s, sql_stream_sane_ts, stream_sane_ts
 from .registry import query
 
 #: Shared oracle-side event-time sanity predicate for WATERMARKED
@@ -353,7 +353,7 @@ def stream_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_asof_enrich",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT o_custkey AS user_id, o_orderdate AS o_ts,
              max(o_orderkey) AS o_key,
@@ -367,8 +367,8 @@ def stream_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
            o.o_key AS asof_orderkey,
            floor(o.o_price * 100 + 0.5) / 100 AS asof_totalprice,
            o.o_ts AS asof_orderdate,
-           CAST((CAST(floor(epoch(p.ts)) AS BIGINT)
-                 - CAST(floor(epoch(o.o_ts)) AS BIGINT)) // 86400 AS BIGINT)
+           CAST(({sql_epoch_s('p.ts')} - {sql_epoch_s('o.o_ts')}) // 86400
+                AS BIGINT)
              AS staleness_days
     FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts >= o.o_ts
     ORDER BY purchase_id

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .num import sane_ts
+from .num import sane_ts, sql_sane_ts
 from .registry import query
 
 
@@ -68,12 +68,14 @@ def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_grouped_regression",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
       -- sanity window (r10 time corpus): rows cross the Arrow/pandas
-      -- bridge, whose ns timestamps die at year 2262
+      -- bridge, whose ns timestamps die at year 2262. Interpolated from
+      -- num.sql_sane_ts so a TS_SANE_* change can't desynchronize this
+      -- oracle from the Spark-side sane_ts filter (r10 ADVICE).
       SELECT user_id, epoch_us(ts) / 1000000.0 AS x, value AS y FROM events
-      WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2200-01-01'
+      WHERE {sql_sane_ts('ts')}
     ),
     g AS (
       SELECT user_id, avg(x) AS mx, avg(y) AS my, count(*) AS n

@@ -50,9 +50,30 @@ def _conf_overrides() -> dict[str, str]:
     return out
 
 
+#: One-shot flag so the override warning prints once per process, not
+#: once per per-query re-tune.
+_WARNED_OVERRIDES = False
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
-    confs = {**RUNTIME_CONFS, **_conf_overrides()}
+    overrides = _conf_overrides()
+    if overrides:
+        # Always-visible breadcrumb (r10 ADVICE): a stale
+        # SHELF_SPARK_CONF_OVERRIDES left in the shell from a
+        # plan-invariance sweep would otherwise perturb every subsequent
+        # "default" bench/gate run invisibly.
+        global _WARNED_OVERRIDES
+        if not _WARNED_OVERRIDES:
+            _WARNED_OVERRIDES = True
+            import sys
+
+            print(
+                "shelf_spark: SHELF_SPARK_CONF_OVERRIDES active: "
+                + "; ".join(f"{k}={v}" for k, v in sorted(overrides.items())),
+                file=sys.stderr,
+            )
+    confs = {**RUNTIME_CONFS, **overrides}
     for k, v in confs.items():
         try:
             spark.conf.set(k, v)
