@@ -2,7 +2,17 @@
 headline, checking that per-query time grows ~linearly (no plan cliff:
 a broadcast flipping to a blowup, a sort spilling pathologically, etc).
 
-Usage: python tools/scale_smoke.py [factor]   (default 10)
+Usage: python tools/scale_smoke.py [factor] [--top N] [--cap SECONDS]
+
+--top N   restrict to the N priciest queries per BENCH_local.json (the
+          r11 100× point runs the top quartile; exhaustive stays the
+          default for 10×/30×). The selection is recorded in the output
+          so a truncated sweep can never read as exhaustive.
+--cap S   per-query watchdog at the scaled run: if a query exceeds S
+          seconds its jobs are cancelled and it is recorded as a
+          CAP_EXCEEDED failure with the elapsed time — a super-linear
+          plan surfaces as a flagged entry instead of stalling the
+          whole sweep.
 
 Replication multiplies fact tables (lineitem, orders, events, documents,
 embeddings) with key-shifted copies so join fan-outs stay realistic
@@ -108,7 +118,29 @@ def replicate(spark, factor: int, dest: str) -> None:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("factor", nargs="?", type=int, default=10)
+    ap.add_argument("--top", type=int, default=0,
+                    help="restrict to the N priciest queries per BENCH_local.json")
+    ap.add_argument("--cap", type=float, default=0,
+                    help="per-query watchdog seconds at the scaled run")
+    args = ap.parse_args()
+    factor = args.factor
+
+    names = list(HEADLINE)
+    if args.top:
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BENCH_local.json")) as fh:
+            ref = json.loads(fh.read().strip().splitlines()[-1])["queries"]
+        ranked = sorted((n for n in names if n in ref), key=lambda n: -ref[n])
+        names = ranked[: args.top]
+        print(f"top-{args.top} selection by BENCH_local.json "
+              f"(cutoff {ref[names[-1]]:.3f}s); "
+              f"{len(HEADLINE) - len(names)} cheaper queries excluded",
+              file=sys.stderr)
+
     dest = f"/tmp/shelf-scale-{factor}x"
     spark = get_spark("scale-smoke")
     if not os.path.exists(os.path.join(dest, "lineitem.parquet")):
@@ -117,26 +149,65 @@ def main() -> None:
         replicate(spark, factor, dest)
         print(f"replicated {factor}x in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    def run_once(name: str, sf_dir: str) -> float:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    class CapExceeded(Exception):
+        pass
+
+    def run_once(name: str, sf_dir: str, cap: float = 0) -> float:
+        import threading
+
+        def noop_run():
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        def capped():
+            done = threading.Event()
+            err: list[BaseException] = []
+
+            def body():
+                try:
+                    noop_run()
+                except BaseException as e:  # surfaced after join
+                    err.append(e)
+                finally:
+                    done.set()
+
+            t = threading.Thread(target=body, daemon=True)
+            t.start()
+            if not done.wait(cap):
+                spark.sparkContext.cancelAllJobs()
+                done.wait(30)
+                raise CapExceeded(f"exceeded {cap}s cap")
+            if err:
+                raise err[0]
+
+        runner = (lambda: capped()) if cap else noop_run
+        runner()  # warm
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runner()
         return round(time.perf_counter() - t0, 3)
 
     results = {}
     failures = []
     for sf_dir, label in ((SRC, "1x"), (dest, f"{factor}x")):
+        cap = args.cap if sf_dir == dest else 0
         timings = {}
-        for name in HEADLINE:
+        for name in names:
             # One retry per query: ~150 queries × 2 scales run >10⁴ jobs
             # in one JVM, and Spark's ContextCleaner can GC an
             # accumulator still referenced by a running stage (observed
             # once late in a full sweep) — transient, not a plan defect.
             try:
-                timings[name] = run_once(name, sf_dir)
+                timings[name] = run_once(name, sf_dir, cap)
+            except CapExceeded as exc:  # flagged, never retried
+                failures.append({"query": name, "scale": label,
+                                 "error": f"CAP_EXCEEDED: {exc}"})
+                print(f"  CAP_EXCEEDED {name} at {label}", file=sys.stderr)
             except Exception:
                 try:
-                    timings[name] = run_once(name, sf_dir)
+                    timings[name] = run_once(name, sf_dir, cap)
+                except CapExceeded as exc:
+                    failures.append({"query": name, "scale": label,
+                                     "error": f"CAP_EXCEEDED: {exc}"})
+                    print(f"  CAP_EXCEEDED {name} at {label}", file=sys.stderr)
                 except Exception as exc:  # record, don't abort the sweep
                     failures.append({"query": name, "scale": label,
                                      "error": str(exc)[:200]})
@@ -149,10 +220,15 @@ def main() -> None:
 
     ratios = {
         n: round(results[f"{factor}x"][n] / max(results["1x"][n], 1e-9), 1)
-        for n in HEADLINE
+        for n in names
         if n in results["1x"] and n in results[f"{factor}x"]
     }
-    print(json.dumps({"factor": factor, "timings": results,
+    print(json.dumps({"factor": factor,
+                      "selection": (f"top-{args.top}" if args.top
+                                    else "exhaustive"),
+                      "n_queries": len(names),
+                      "cap_seconds": args.cap or None,
+                      "timings": results,
                       "ratio": ratios, "failures": failures}))
 
 
