@@ -181,15 +181,16 @@ def test_sf_dir_switching_reregisters_views(spark):
 
 
 def test_hll_rollup_estimates_close_to_exact(spark):
-    """Driver checks rows-only (HLL estimates are engine-specific); pin
-    here that every sketch estimate is within 5% of the exact distinct
-    count, and that the merged ALL sketch matches a direct global one."""
+    """Since r11 the driver value-checks the ε-bounded output (exact
+    count + within-10% asserts); keep the TIGHTER 5% pin here on the raw
+    sketch estimates (recomputed directly — the query no longer emits
+    them), and that the query's exact counts and assertion columns hold."""
     from pyspark.sql import functions as F
 
     from shelf_spark.queries import QUERIES
 
     out = {
-        r.grain: r.est_users
+        r.grain: (r.exact_users, r.est_within_tol)
         for r in QUERIES["rollup_hll_mergeable"](spark, SF_SMALL).collect()
     }
     e = spark.table("events").select(
@@ -202,19 +203,34 @@ def test_hll_rollup_estimates_close_to_exact(spark):
     }
     exact["ALL"] = e.select("user_id").distinct().count()
     assert set(out) == set(exact)
-    for grain, est in out.items():
+    for grain, (n, ok) in out.items():
+        assert n == exact[grain], grain
+        assert ok is True, grain
+    # raw estimates, recomputed: the tighter 5% band still holds
+    ests = {
+        r.grain: r.est
+        for r in e.groupBy("grain")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    ests["ALL"] = (
+        e.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        ).first()["est"]
+    )
+    for grain, est in ests.items():
         assert abs(est - exact[grain]) <= max(1, 0.05 * exact[grain]), grain
 
 
 def test_approx_distinct_estimates_close_to_exact(spark):
-    """agg_approx_distinct is rows-only at the driver (Spark HLL++ vs DuckDB
-    HLL differ by design); pin locally that each per-returnflag estimate is
-    within 5% of the exact distinct count and the approx median within 5%
-    of the exact median."""
+    """Since r11 the driver value-checks the ε-bounded output (exact
+    count + within-tolerance asserts); keep the TIGHTER 5% pin here on
+    the raw estimates (recomputed directly — the query now emits the
+    assertion columns instead), and that the query's columns hold."""
     from pyspark.sql import functions as F
 
     out = {
-        r.l_returnflag: (r.approx_parts, r.approx_median_price)
+        r.l_returnflag: (r.exact_parts, r.hll_within_tol, r.pctl_within_band)
         for r in QUERIES["agg_approx_distinct"](spark, SF_SMALL).collect()
     }
     li = spark.table("lineitem")
@@ -228,7 +244,21 @@ def test_approx_distinct_estimates_close_to_exact(spark):
         .collect()
     }
     assert set(out) == set(exact)
-    for flag, (est_n, est_med) in out.items():
+    for flag, (n_out, hll_ok, pctl_ok) in out.items():
+        assert n_out == exact[flag][0], flag
+        assert hll_ok is True and pctl_ok is True, flag
+    ests = {
+        r.l_returnflag: (r.est_n, r.est_med)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("est_n"),
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.5, 1000)"
+            ).alias("est_med"),
+        )
+        .collect()
+    }
+    for flag, (est_n, est_med) in ests.items():
         n, med = exact[flag]
         assert abs(est_n - n) <= max(1, 0.05 * n), (flag, est_n, n)
         assert abs(est_med - med) <= 0.05 * med, (flag, est_med, med)
