@@ -277,6 +277,52 @@ def entry(spark: SparkSession) -> DataFrame:
 #     approximate BY DESIGN with a value-exact machinery twin
 #     (ann_ivf_exhaustive / ann_pq_exhaustive_adc /
 #     dedup_minhash_lsh_selfdup / dedup_simhash_sha).
+#   r12 window (below): the re-proof round the r11 NOTE queued, plus
+#     belt-and-braces rotation now that the never-checked queue is
+#     CLOSED (cumulative driver coverage 340/341; only rows-only-BY-
+#     DESIGN ann_pq_topk has no row, barred from slots by window
+#     hygiene). Slots 1–9 = fix re-proofs (expressions changed after
+#     their latest driver row): the seven the r11 NOTE queued —
+#     embed_cosine_pairs (occupancy-bounded sub-blocking replan),
+#     agg_approx_distinct (r12: split sketch/exact/band arms — the
+#     r11 verdict's one scale-killer — AND the discrete-rank band
+#     replacing the falsely-failing interpolated band, r11 ADVICE),
+#     rollup_hll_mergeable (r12: exact arm split off the sketch agg),
+#     stream_user_running_totals (integer-grid state; r12: explicit
+#     isfinite filter both sides, r11 ADVICE), events_asof_orders and
+#     stream_asof_enrich (r11 oracle-side sql_epoch_s change),
+#     vectors_kmeans_assign (deferred r11 nulls fix) — plus two whose
+#     expressions changed THIS round: agg_median_percentile and
+#     clean_winsorize (compressed-domain order statistics replacing
+#     the values-per-group percentile() buffers, VERDICT r11 ask #5).
+#     Slots 10–50 = the 41 oldest driver rows (every remaining r03/r04
+#     row), re-proved on current expressions, exactly as the r11 NOTE
+#     prescribed. After this window no query's latest row predates r05
+#     except via its own r12 slot.
+_DRIVER_WINDOW_R12 = [
+    # 9 fix re-proofs (prior driver rows; expressions changed since)
+    "embed_cosine_pairs", "agg_approx_distinct", "rollup_hll_mergeable",
+    "stream_user_running_totals", "events_asof_orders",
+    "stream_asof_enrich", "vectors_kmeans_assign",
+    "agg_median_percentile", "clean_winsorize",
+    # 14 belt-and-braces: every r03-era row not already re-proved above
+    "set_union_all", "set_intersect", "set_except", "dedup_distinct",
+    "q21_sole_late_supplier", "fn_string", "fn_datetime", "fn_math",
+    "fn_hash", "fn_conditional", "fn_json", "fn_array",
+    "fn_explode_words", "fn_map_struct",
+    # 27 belt-and-braces: every r04-era row not already re-proved above
+    "window_rank", "window_ntile", "window_first_last",
+    "window_cume_nth", "window_nth_value", "text_token_count",
+    "text_lang_id", "text_quality_score", "text_token_count_bpe",
+    "dedup_exact", "dedup_events_exact", "sample_bernoulli_hash",
+    "sample_stratified_hash", "sample_train_valid_split",
+    "interleave_weighted_sources", "ann_cosine_topk",
+    "embed_norm_stats", "multimodal_decode", "multimodal_filter_resize",
+    "multimodal_decode_wav_bmp", "stream_tumbling_window",
+    "stream_sliding_window", "udf_pandas_zscore", "udtf_ngrams",
+    "udf_arrow_scalar", "text_repetition_stats", "mba_item_pairs",
+]
+
 _DRIVER_WINDOW_R11 = [
     # 34 first-ever rows: the entire remaining never-checked queue
     # (r10 NOTE list, minus rows-only-by-design ann_pq_topk)
@@ -307,18 +353,18 @@ _DRIVER_WINDOW_R11 = [
     "events_conversion_paths", "stream_dedup", "udf_grouped_regression",
 ]
 
-#: Sanctioned re-proof exception for the R11 window (see
+#: Sanctioned FIX-driven re-proof exception for the R12 window (see
 #: tests/test_queries.py test_driver_window_discipline): names with a
-#: prior driver row whose expressions changed afterwards — the r10
-#: empty/nulls/time hostile-corpus fixes enumerated in the
-#: r10-continuation NOTE above.
+#: prior driver row whose expressions changed afterwards — the r11
+#: NOTE queue plus this round's compressed-domain order-statistics
+#: replans. The window's other 41 slots are belt-and-braces re-proofs
+#: of the OLDEST rows, sanctioned by the queue-closed regime the
+#: discipline test checks for.
 _DRIVER_WINDOW_REPROOF = [
-    "agg_cube", "agg_rollup", "agg_grouping_sets", "privacy_k_anonymity",
-    "privacy_l_diversity", "dq_expectation_suite",
-    "dq_referential_integrity", "events_retention_halflife",
-    "sink_partitioned_pruning", "cdc_apply_changes", "stream_cdc_upsert",
-    "events_anomaly_mad", "ts_ewma", "events_conversion_paths",
-    "stream_dedup", "udf_grouped_regression",
+    "embed_cosine_pairs", "agg_approx_distinct", "rollup_hll_mergeable",
+    "stream_user_running_totals", "events_asof_orders",
+    "stream_asof_enrich", "vectors_kmeans_assign",
+    "agg_median_percentile", "clean_winsorize",
 ]
 
 _DRIVER_WINDOW_R10 = [
@@ -492,19 +538,19 @@ _DRIVER_WINDOW_R07 = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the driver's 50-row correctness window closes the
-    never-checked queue for good: the 34 remaining first-ever rows plus
-    the 16 hostile-corpus fix re-proofs (see _DRIVER_WINDOW_R11 above);
-    the rest follow in registry order.
+    Ordered so the driver's 50-row correctness window lands the queued
+    fix re-proofs (nine expressions changed since their latest driver
+    rows) and then rotates the 41 oldest rows onto current expressions
+    (see _DRIVER_WINDOW_R12 above); the rest follow in registry order.
     """
     # Window hygiene (r8 verdict ask #6): every windowed entry MUST have
     # a SQL oracle — a rows-only entry in the window produces a
     # guaranteed `err: no_oracle` row, wasting the slot.
-    missing = [n for n in _DRIVER_WINDOW_R11 if n not in ORACLES]
+    missing = [n for n in _DRIVER_WINDOW_R12 if n not in ORACLES]
     assert not missing, f"rows-only entries in driver window: {missing}"
-    unknown = [n for n in _DRIVER_WINDOW_R11 if n not in QUERIES]
+    unknown = [n for n in _DRIVER_WINDOW_R12 if n not in QUERIES]
     assert not unknown, f"unknown names in driver window: {unknown}"
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R11}
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R12}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn

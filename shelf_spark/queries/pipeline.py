@@ -437,18 +437,61 @@ def vectors_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization: clip each event's value to its type's
     exact [p5, p95] band — the standard outlier-taming pass before
-    feature aggregation. Spark's exact `percentile` aggregate and
-    DuckDB's `quantile_cont` share the linear-interpolation formula, so
-    the bounds (and therefore the clipped values) match bitwise.
+    feature aggregation. The interpolated bounds are reconstructed with
+    ``percentile``/``quantile_cont``'s shared formula (``h = p·(n−1)``,
+    linear between the straddling elements), so the clipped values
+    match both engines bitwise.
 
-    Scale shape: one partial+final percentile agg on the group key (the
-    bounds relation is |types| rows → broadcast back), then a map-only
-    clip — the fact table shuffles zero times.
+    Scale shape (r12, VERDICT r11 ask #5 pattern): the exact
+    ``percentile`` AGGREGATE buffers every group value in unspillable
+    ObjectHashAggregate state — linear in group size. The bounds now
+    come from the compressed (type, value) domain + a rank window
+    (agg_median_percentile's machinery): facts touched once, state is
+    the distinct-value domain in a spillable sort. The bounds relation
+    stays |types| rows → broadcast back, then a map-only clip — the
+    fact table still shuffles zero times.
     """
+    from pyspark.sql.window import Window as W
+
     e = spark.table("events")
-    bounds = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+    dom = e.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.sum(
+            F.when(F.col("value").isNotNull() & ~F.isnan("value"), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("w")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = (
+        dom.withColumn("cw", F.sum("w").over(wcum))
+        .withColumn("n", F.sum("w").over(W.partitionBy("event_type")))
+        .withColumn("h05", F.lit(0.05) * (F.col("n") - 1).cast("double"))
+        .withColumn("h95", F.lit(0.95) * (F.col("n") - 1).cast("double"))
+    )
+
+    def pick(rank: F.Column) -> F.Column:
+        # the domain row whose cumulative-weight interval covers the rank
+        return F.max(
+            F.when(
+                (F.col("cw") >= rank) & (F.col("cw") - F.col("w") < rank),
+                F.col("v"),
+            )
+        )
+
+    bounds = c.groupBy("event_type").agg(
+        pick(F.floor("h05") + 1).alias("lo_a"),
+        pick(F.ceil("h05") + 1).alias("lo_b"),
+        F.max(F.col("h05") - F.floor("h05")).alias("f05"),
+        pick(F.floor("h95") + 1).alias("hi_a"),
+        pick(F.ceil("h95") + 1).alias("hi_b"),
+        F.max(F.col("h95") - F.floor("h95")).alias("f95"),
+    ).select(
+        "event_type",
+        (F.col("lo_a") + F.col("f05") * (F.col("lo_b") - F.col("lo_a"))).alias("lo"),
+        (F.col("hi_a") + F.col("f95") * (F.col("hi_b") - F.col("hi_a"))).alias("hi"),
     )
     clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
         F.col("value") > F.col("hi"), F.col("hi")

@@ -710,12 +710,79 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles via the COMPRESSED-DOMAIN pattern
+    (r12, VERDICT r11 ask #5): the naive ``percentile()`` aggregate
+    buffers EVERY group value in its ObjectHashAggregate state — a
+    linear-in-group-size buffer that at 100× holds ~2 GB of doubles per
+    group inside one task. Instead, both measures are stacked into a
+    (group, measure, value) domain, rolled up to distinct values with
+    counts (facts touched once, map-side combinable), and the
+    interpolated quantile is reconstructed from the two straddling
+    domain rows: with ``h = p·(n−1)`` (the exact formula Spark's
+    ``Percentile`` and DuckDB's ``quantile_cont`` share), the values at
+    1-based ranks ``⌊h⌋+1`` and ``⌈h⌉+1`` are picked by the row whose
+    cumulative weight interval covers the rank, then combined as
+    ``v_lo + (h−⌊h⌋)·(v_hi−v_lo)``. State per group is the distinct-
+    value domain, never the row stream; the rank windows run over the
+    domain, partitioned by (group, measure) — same machinery as
+    agg_weighted_median (relational_ext.py)."""
+    li = spark.table("lineitem")
+    # null/NaN measure values stay in the domain as ZERO-WEIGHT rows
+    # (rather than being filtered) so every group survives to the
+    # output in the same single scan — no second pass over the facts to
+    # re-attach groups whose values are all null
+    stacked = li.selectExpr(
+        "l_returnflag AS grp",
+        "stack(2, 'qty',   CAST(l_quantity      AS DOUBLE),"
+        "         'price', CAST(l_extendedprice AS DOUBLE)) AS (m, v)",
+    )
+    dom = stacked.groupBy("grp", "m", "v").agg(
+        F.sum(
+            F.when(F.col("v").isNotNull() & ~F.isnan("v"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("w")
+    )
+    wcum = (
+        W.partitionBy("grp", "m").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("grp", "m")
+    p = F.when(F.col("m") == "qty", F.lit(0.5)).otherwise(F.lit(0.9))
+    c = (
+        dom.withColumn("cw", F.sum("w").over(wcum))
+        .withColumn("n", F.sum("w").over(wall))
+        # h is computed with the same double product percentile() uses
+        # internally, so floor/ceil land on the same straddling ranks
+        .withColumn("h", p * (F.col("n") - 1).cast("double"))
+        .withColumn("r_lo", (F.floor("h") + 1).cast("long"))
+        .withColumn("r_hi", (F.ceil("h") + 1).cast("long"))
+    )
+
+    def covers(rank: F.Column) -> F.Column:
+        # the domain row whose cumulative-weight interval (cw-w, cw]
+        # contains the 1-based rank — exactly one per (grp, m); a
+        # zero-weight (null/NaN) row can never cover
+        return (F.col("cw") >= rank) & (F.col("cw") - F.col("w") < rank)
+
+    q = c.groupBy("grp", "m").agg(
+        F.max(F.when(covers(F.col("r_lo")), F.col("v"))).alias("v_lo"),
+        F.max(F.when(covers(F.col("r_hi")), F.col("v"))).alias("v_hi"),
+        F.max(F.col("h") - F.floor("h")).alias("frac"),
+    )
     return (
-        spark.table("lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        q.withColumn(
+            "val",
+            F.round(
+                F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")), 4
+            ),
+        )
+        .groupBy("grp")
+        .pivot("m", ["qty", "price"])
+        .agg(F.first("val"))
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("qty").alias("median_qty"),
+            F.col("price").alias("p90_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -746,18 +813,80 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     check now lives in the oracle gate. Tolerances: HLL++ at rsd=0.02
     within 10% (5×rsd — ≫5σ of the estimator; exact-mode below the
     sparse threshold), approx_percentile(accuracy=1000) inside the
-    exact p45–p55 band (rank error ≤ n/1000 ≪ 5% of n). The sketch path
-    is the one that matters at 100 TB: exact distinct = full shuffle of
-    the key; HLL = constant memory per group, mergeable map-side."""
+    DISCRETE-RANK p45–p55 band (rank error ≤ n/1000 ≪ 5% of n). The
+    sketch path is the one that matters at 100 TB: exact distinct =
+    full shuffle of the key; HLL = constant memory per group,
+    mergeable map-side.
+
+    Plan shape (r12, VERDICT r11 ask #1): the r11 version put the
+    sketches, two exact ``percentile()`` buffers and ``countDistinct``
+    in ONE ``.agg()``, which Catalyst's distinct rewrite expands into
+    an aggregation keyed by (flag, partkey) — the exact-percentile
+    value buffers and HLL state rode the distinct-key exchange and got
+    merged per (flag, partkey) group (~8× a comparable agg at sf0.1;
+    unbounded at 100 TB). Split into three arms joined on ≤|groups|
+    rows: (a) sketch-only pass — constant state per group, map-side
+    combinable; (b) ``countDistinct`` ALONE — the only pass keyed by
+    the distinct key, no value buffers riding it; (c) the p45/p55 band
+    from the compressed integer-cents domain (the agg_weighted_median
+    pattern). Band semantics moved from INTERPOLATED to DISCRETE-RANK
+    (r11 ADVICE): for a 2-row group [1.0, 2.0] the element-valued
+    estimate is 1.0 but interpolated p45 = 1.45, falsely failing the
+    old band. The new band [element at rank max(1,⌊0.45n⌋), element at
+    rank min(n,⌈0.55n⌉)] contains every element whose rank error is
+    ≤ n/1000, at every n."""
     li = spark.table("lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+    # arm (a): sketches only — no distinct rewrite, partial agg map-side
+    sk = li.groupBy(F.col("l_returnflag").alias("rf_sk")).agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
+            "approx_median"
+        ),
     )
-    return g.select(
+    # arm (b): the exact distinct count ALONE on the (flag, partkey) exchange
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts")
+    )
+    # arm (c): discrete-rank band endpoints from the compressed cents domain
+    dom = (
+        li.filter(
+            F.col("l_extendedprice").isNotNull() & ~F.isnan("l_extendedprice")
+        )
+        .groupBy(
+            F.col("l_returnflag").alias("rf_bd"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wcum = (
+        W.partitionBy("rf_bd").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = (
+        dom.withColumn("cw", F.sum("w").over(wcum))
+        .withColumn("n", F.sum("w").over(W.partitionBy("rf_bd")))
+        .withColumn(
+            "r_lo", F.greatest(F.lit(1).cast("long"), F.floor(0.45 * F.col("n")))
+        )
+        .withColumn("r_hi", F.least(F.col("n"), F.ceil(0.55 * F.col("n"))))
+    )
+
+    def covers(rank: F.Column) -> F.Column:
+        # the domain row whose cumulative-weight interval (cw-w, cw]
+        # contains the 1-based rank — exactly one per group
+        return (F.col("cw") >= rank) & (F.col("cw") - F.col("w") < rank)
+
+    band = c.groupBy("rf_bd").agg(
+        F.max(F.when(covers(F.col("r_lo")), F.col("cents"))).alias("lo_c"),
+        F.max(F.when(covers(F.col("r_hi")), F.col("cents"))).alias("hi_c"),
+    )
+    j = ex.join(
+        F.broadcast(sk), F.col("l_returnflag").eqNullSafe(F.col("rf_sk")), "left"
+    ).join(
+        F.broadcast(band), F.col("l_returnflag").eqNullSafe(F.col("rf_bd")), "left"
+    )
+    return j.select(
         "l_returnflag",
         "exact_parts",
         (
@@ -765,11 +894,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(0.10) * F.col("exact_parts"), F.lit(2.0))
         ).alias("hll_within_tol"),
         F.coalesce(
-            (F.col("approx_median") >= F.col("p45"))
-            & (F.col("approx_median") <= F.col("p55")),
+            # compare on the same integer grid the band lives on — the
+            # estimate is an actual element, and rounding to cents is
+            # monotone, so its cents value is in [lo_c, hi_c] whenever
+            # its rank is in-band
+            F.floor(F.col("approx_median") * 100 + F.lit(0.5))
+            .cast("long")
+            .between(F.col("lo_c"), F.col("hi_c")),
             # all-null value column: both the estimate and the band are
             # null — the contract is vacuously satisfied
-            F.col("approx_median").isNull() & F.col("p45").isNull(),
+            F.col("approx_median").isNull() & F.col("lo_c").isNull(),
         ).alias("pctl_within_band"),
     ).orderBy("l_returnflag")
 

@@ -157,17 +157,35 @@ def rollup_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall distinct, pinning mergeability itself), and the oracle
     recomputes the exact counts and pins the assertions TRUE. The
     event-time sanity window matches the engine-limit convention of the
-    other per-day event rollups (r10 time corpus)."""
+    other per-day event rollups (r10 time corpus).
+
+    Plan shape (r12, VERDICT r11 ask #5): the r11 version put
+    ``count_distinct`` in the SAME ``.agg()`` as ``hll_sketch_agg``,
+    so Catalyst's distinct rewrite keyed the first aggregation by
+    (day, user_id) with the HLL sketch buffers riding the distinct-key
+    exchange. The exact-verification arm is now a separate
+    dedupe-then-count pass — ``(day, user_id).distinct()`` is a pure
+    hash dedupe with NO aggregate state (map-side combinable), the
+    per-day count over it is trivial — left-joined onto the sketch arm
+    (a day whose user_ids are all null stays present with exact 0 and
+    a null estimate, which the tolerance treats as satisfied-iff-0)."""
     keyed = (
         spark.table("events")
         .filter(sane_ts(F.col("ts")))
         .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
     )
-    daily_sk = keyed.groupBy("day").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    # arm (a): sketches only — constant-size state, no distinct rewrite
+    daily_sk = keyed.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # arm (b): exact counts via explicit dedupe-then-count (count_distinct
+    # ignores nulls; mirror that before the dedupe)
+    pairs = keyed.filter(F.col("user_id").isNotNull()).distinct()
+    daily_ex = pairs.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("exact_users")
     )
-    daily = daily_sk.select(
+    daily_j = daily_sk.join(daily_ex, "day", "left").withColumn(
+        "exact_users", F.coalesce(F.col("exact_users"), F.lit(0).cast("bigint"))
+    )
+    daily = daily_j.select(
         F.col("day").cast("string").alias("grain"),
         "exact_users",
         _hll_within_tol(
@@ -179,9 +197,9 @@ def rollup_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
         )
         .crossJoin(
-            keyed.agg(
-                F.count_distinct("user_id").cast("bigint").alias("exact_users")
-            )
+            pairs.select("user_id")
+            .distinct()
+            .agg(F.count("*").cast("bigint").alias("exact_users"))
         )
         .select(
             F.lit("ALL").alias("grain"),

@@ -55,10 +55,16 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_user_running_totals",
+    # the state operator sums FINITE values only (pandas dropna drops
+    # NaN too; see streaming.user_running_totals) — the oracle carries
+    # the matching isfinite filter inside the sum so a NaN/inf value
+    # diverges on neither side (r12, r11 ADVICE)
     oracle=f"""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           coalesce({SQL_DSUM_VALUE}, 0.0) AS total_value
+           coalesce((CAST(sum(CASE WHEN isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0))
+                  END) AS DOUBLE) / 100.0), 0.0) AS total_value
     FROM events WHERE {SQL_SANE_TS}
     GROUP BY user_id
     ORDER BY user_id

@@ -359,10 +359,23 @@ def user_running_totals(stream: DataFrame, timeout_minutes: int = 0) -> DataFram
         for pdf in pdfs:
             n += len(pdf)
             vals = pdf["value"].dropna().to_numpy(dtype="float64")
+            # Value-domain convention (r12, r11 ADVICE): pandas dropna()
+            # drops NaN as well as nulls, while a SQL sum only skips
+            # NULLs — so NaN/±inf are excluded EXPLICITLY on this side
+            # (the SQL oracle twin carries the matching isfinite filter),
+            # and the scaled value is asserted to fit int64 instead of
+            # silently wrapping at |value| ≳ 9.2e16.
+            vals = vals[np.isfinite(vals)]
             if len(vals):
-                total_c += int(
-                    np.floor(vals * 100.0 + 0.5).astype("int64").sum()
+                scaled = np.floor(vals * 100.0 + 0.5)
+                # the dsum_i contract accumulates DECIMAL(18,0) terms;
+                # enforce the same per-term bound here instead of letting
+                # astype('int64') wrap silently, and sum as Python ints so
+                # the per-batch accumulator can never overflow either
+                assert np.abs(scaled).max() < 1e18, (
+                    "value outside the dsum_i DECIMAL(18,0) term domain"
                 )
+                total_c += int(scaled.astype("int64").sum(dtype=object))
         total = total_c / 100.0
         state.update((n, total_c))
         if timeout_minutes:

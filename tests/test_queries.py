@@ -64,8 +64,32 @@ def test_driver_window_discipline():
     # expression changed after its last driver row may re-enter the
     # window if the entry module lists it explicitly.
     reproof = set(getattr(entry_mod, "_DRIVER_WINDOW_REPROOF", ()))
-    already = [n for n in window if n in seen and n not in reproof]
-    assert not already, f"window wastes slots on already-checked: {already}"
+    if any(n not in seen for n in ORACLES):
+        # never-checked queue still open: every non-reproof slot must be
+        # a first-ever row
+        already = [n for n in window if n in seen and n not in reproof]
+        assert not already, f"window wastes slots on already-checked: {already}"
+    else:
+        # queue CLOSED (r11): belt-and-braces rotation regime — every
+        # non-reproof slot must go to the OLDEST rows: no non-window
+        # oracled query may have an older latest-row than any windowed
+        # belt-and-braces entry
+        latest: dict[str, int] = {}
+        for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+            rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+            if rnd >= window_round:
+                continue
+            with open(path) as fh:
+                for name in json.load(fh):
+                    latest[name] = rnd
+        windowed = max(latest[n] for n in window if n not in reproof)
+        skipped = min(
+            latest[n] for n in ORACLES if n not in window and n in latest
+        )
+        assert windowed <= skipped, (
+            f"belt-and-braces slots skip older rows: newest windowed row "
+            f"r{windowed} > oldest skipped row r{skipped}"
+        )
 
 
 def test_q1_golden_vs_duckdb(spark):

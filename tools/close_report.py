@@ -68,7 +68,26 @@ def main() -> int:
         "five-corpus ritual (default: the five canonical /tmp paths)",
     )
     ap.add_argument("--pytest-log", default="/tmp/pytest_r10.log")
+    ap.add_argument(
+        "--allow-busy", action="store_true",
+        help="skip the idle-box assertion (ONLY for summarizing historical "
+        "logs while unrelated work runs)",
+    )
     args = ap.parse_args()
+
+    # Close-ritual guard (r12, VERDICT r11 ask #4): the r11 round was
+    # closed with a 64 GB background job still in flight, corrupting the
+    # official bench artifact. Assert the box is idle before blessing a
+    # close-out.
+    from bench import _foreign_jvms
+
+    busy = _foreign_jvms()
+    if busy and not args.allow_busy:
+        sys.exit(
+            "close_report: foreign JVM(s) still running — finish or kill "
+            "them before closing the round (or pass --allow-busy):\n  "
+            + "\n  ".join(busy[:5])
+        )
 
     from shelf_spark.queries import ORACLES, QUERIES
 

@@ -135,6 +135,10 @@ def main() -> None:
                 os.path.abspath(__file__))), "BENCH_local.json")) as fh:
             ref = json.loads(fh.read().strip().splitlines()[-1])["queries"]
         ranked = sorted((n for n in names if n in ref), key=lambda n: -ref[n])
+        if not ranked:  # a stale/foreign BENCH_local must fail loudly,
+            sys.exit(   # not IndexError on an empty selection
+                "--top: no HEADLINE query appears in BENCH_local.json; "
+                "refresh it with `python bench.py` first")
         names = ranked[: args.top]
         print(f"top-{args.top} selection by BENCH_local.json "
               f"(cutoff {ref[names[-1]]:.3f}s); "
@@ -150,7 +154,12 @@ def main() -> None:
         print(f"replicated {factor}x in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     class CapExceeded(Exception):
-        pass
+        def __init__(self, msg: str, runaway: bool = False):
+            super().__init__(msg)
+            #: True when the cancelled job's thread was still alive after
+            #: the post-cancel grace — the session must be recreated or
+            #: the runaway keeps executing under the NEXT query's timer
+            self.runaway = runaway
 
     def run_once(name: str, sf_dir: str, cap: float = 0) -> float:
         import threading
@@ -174,8 +183,8 @@ def main() -> None:
             t.start()
             if not done.wait(cap):
                 spark.sparkContext.cancelAllJobs()
-                done.wait(30)
-                raise CapExceeded(f"exceeded {cap}s cap")
+                dead = done.wait(30)
+                raise CapExceeded(f"exceeded {cap}s cap", runaway=not dead)
             if err:
                 raise err[0]
 
@@ -190,6 +199,20 @@ def main() -> None:
     for sf_dir, label in ((SRC, "1x"), (dest, f"{factor}x")):
         cap = args.cap if sf_dir == dest else 0
         timings = {}
+        def flag_cap(name: str, exc: "CapExceeded") -> None:
+            nonlocal spark
+            failures.append({"query": name, "scale": label,
+                             "error": f"CAP_EXCEEDED: {exc}"})
+            print(f"  CAP_EXCEEDED {name} at {label}", file=sys.stderr)
+            if exc.runaway:
+                # the cancelled job outlived the grace period: a fresh
+                # session is the only way to keep it from executing
+                # concurrently with the next query's timed run
+                print("  runaway job survived cancel — recreating session",
+                      file=sys.stderr)
+                spark.stop()
+                spark = get_spark("scale-smoke")
+
         for name in names:
             # One retry per query: ~150 queries × 2 scales run >10⁴ jobs
             # in one JVM, and Spark's ContextCleaner can GC an
@@ -198,16 +221,12 @@ def main() -> None:
             try:
                 timings[name] = run_once(name, sf_dir, cap)
             except CapExceeded as exc:  # flagged, never retried
-                failures.append({"query": name, "scale": label,
-                                 "error": f"CAP_EXCEEDED: {exc}"})
-                print(f"  CAP_EXCEEDED {name} at {label}", file=sys.stderr)
+                flag_cap(name, exc)
             except Exception:
                 try:
                     timings[name] = run_once(name, sf_dir, cap)
                 except CapExceeded as exc:
-                    failures.append({"query": name, "scale": label,
-                                     "error": f"CAP_EXCEEDED: {exc}"})
-                    print(f"  CAP_EXCEEDED {name} at {label}", file=sys.stderr)
+                    flag_cap(name, exc)
                 except Exception as exc:  # record, don't abort the sweep
                     failures.append({"query": name, "scale": label,
                                      "error": str(exc)[:200]})
