@@ -299,6 +299,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     row), re-proved on current expressions, exactly as the r11 NOTE
 #     prescribed. After this window no query's latest row predates r05
 #     except via its own r12 slot.
+#   r12 NOTE (re-proof queue for r13): EMPTY — every expression that
+#     changed this round (agg_approx_distinct, agg_median_percentile,
+#     clean_winsorize, rollup_hll_mergeable,
+#     stream_user_running_totals) sits IN the r12 window, so its slot
+#     proves the current expression. r13 slots should go to the
+#     next-oldest rows (the r05 era) unless r13 changes expressions.
+#     Rows-only registry residue unchanged: ann_ivf_topk, ann_pq_topk,
+#     dedup_minhash_lsh, dedup_simhash — approximate BY DESIGN, each
+#     with a value-exact machinery twin.
 _DRIVER_WINDOW_R12 = [
     # 9 fix re-proofs (prior driver rows; expressions changed since)
     "embed_cosine_pairs", "agg_approx_distinct", "rollup_hll_mergeable",
