@@ -172,7 +172,19 @@ def main() -> None:
         _is_default_sf = os.path.realpath(sf_dir) == os.path.realpath(_default_sf)
     except OSError:
         _is_default_sf = sf_dir == _default_sf
-    if not args.pattern and not args.session_every and _is_default_sf:
+    if (not args.pattern and not args.session_every and _is_default_sf
+            and contaminated_by):
+        # A run that survived the grace window but saw foreign JVMs must
+        # not become the steady-state record: scale_smoke --top and
+        # close_report read BENCH_local.json without checking the stamp,
+        # so a contaminated overwrite would silently drive top-N
+        # selection and close-outs (r12 ADVICE). Print-only.
+        print(
+            "# BENCH_local.json not updated: run contaminated by "
+            f"{contaminated_by[:3]}",
+            file=sys.stderr,
+        )
+    elif not args.pattern and not args.session_every and _is_default_sf:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as fh:
             fh.write(json.dumps({**base, "queries": timings}) + "\n")

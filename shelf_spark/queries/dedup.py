@@ -134,8 +134,21 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "shingle", "n_sh", "pos")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # positional filter (PPJoin, r13, VERDICT r12 ask #5): a matching
+    # prefix token at positions (i, j) bounds the overlap by
+    # 1 + min(|A|−i, |B|−j); J ≥ t needs overlap ≥ t·(|A|+|B|)/(1+t).
+    # LOSSLESS under the trailing distinct: a true pair's FIRST common
+    # token (global df-order) sits inside both prefixes (else the suffix
+    # can't hold the t·|A| common tokens J ≥ t forces) and every common
+    # token lies at positions ≥ (i, j), so that row always passes — only
+    # redundant generator rows and false candidates are pruned. The
+    # +1e-9 keeps the integer-threshold boundary on the KEEP side of
+    # float error (relaxing, never over-pruning).
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
@@ -145,7 +158,11 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
             # t·|A| ≤ |B| ≤ |A|/t — prunes candidates BEFORE the
             # distinct+verify, exactness unchanged.
             & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            & (
+                ubound * F.lit(1.0 + threshold) + F.lit(1e-9)
+                >= F.lit(threshold) * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

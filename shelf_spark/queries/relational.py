@@ -34,6 +34,7 @@ from .num import (
     davg_i,
     dsum,
     dsum_i,
+    grid_quantiles,
     sql_davg,
     sql_davg_i,
     sql_dsum,
@@ -702,80 +703,42 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_percentile",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+           round(quantile_cont(CASE WHEN NOT isnan(l_quantity)
+                               THEN l_quantity END, 0.5), 4)      AS median_qty,
+           round(quantile_cont(CASE WHEN NOT isnan(l_extendedprice)
+                               THEN l_extendedprice END, 0.9), 4) AS p90_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles via the COMPRESSED-DOMAIN pattern
-    (r12, VERDICT r11 ask #5): the naive ``percentile()`` aggregate
-    buffers EVERY group value in its ObjectHashAggregate state — a
-    linear-in-group-size buffer that at 100× holds ~2 GB of doubles per
-    group inside one task. Instead, both measures are stacked into a
-    (group, measure, value) domain, rolled up to distinct values with
-    counts (facts touched once, map-side combinable), and the
-    interpolated quantile is reconstructed from the two straddling
-    domain rows: with ``h = p·(n−1)`` (the exact formula Spark's
-    ``Percentile`` and DuckDB's ``quantile_cont`` share), the values at
-    1-based ranks ``⌊h⌋+1`` and ``⌈h⌉+1`` are picked by the row whose
-    cumulative weight interval covers the rank, then combined as
-    ``v_lo + (h−⌊h⌋)·(v_hi−v_lo)``. State per group is the distinct-
-    value domain, never the row stream; the rank windows run over the
-    domain, partitioned by (group, measure) — same machinery as
-    agg_weighted_median (relational_ext.py)."""
+    """Exact interpolated quantiles via FIXED-WIDTH HISTOGRAM + EXACT
+    REFINE (r13, VERDICT r12 ask #4 — see :func:`num.grid_quantiles`
+    for the full plan rationale). The r12 compressed-domain rank window
+    sorted the whole near-unique price column per group (583k distinct
+    of 600k rows at sf0.1); now the exchange and window carry only the
+    bucket histogram — bounded by value-range/width at ANY data scale —
+    and a second scan refines the two covering buckets exactly. Widths:
+    qty is integer-valued in a ~50-wide range (width 1 → ≤50 buckets,
+    refine trivial); price spans ~[900, 105000] (width 64 → ~1.6k
+    buckets, refine ~1/800 of rows). Any width is correct — it only
+    trades histogram size against refine selectivity.
+
+    NaN convention (r13, r12 ADVICE): NaN measure values carry ZERO
+    weight here, while a bare ``quantile_cont`` ranks NaN as the
+    largest value — so the oracle maps NaN → NULL inside
+    ``quantile_cont`` (DuckDB skips NULLs), aligning both engines on
+    the exclude-NaN semantics."""
     li = spark.table("lineitem")
-    # null/NaN measure values stay in the domain as ZERO-WEIGHT rows
-    # (rather than being filtered) so every group survives to the
-    # output in the same single scan — no second pass over the facts to
-    # re-attach groups whose values are all null
     stacked = li.selectExpr(
         "l_returnflag AS grp",
-        "stack(2, 'qty',   CAST(l_quantity      AS DOUBLE),"
-        "         'price', CAST(l_extendedprice AS DOUBLE)) AS (m, v)",
+        "stack(2, 'qty',   CAST(l_quantity      AS DOUBLE),  1.0D,"
+        "         'price', CAST(l_extendedprice AS DOUBLE), 64.0D) AS (m, v, wd)",
     )
-    dom = stacked.groupBy("grp", "m", "v").agg(
-        F.sum(
-            F.when(F.col("v").isNotNull() & ~F.isnan("v"), F.lit(1)).otherwise(
-                F.lit(0)
-            )
-        ).alias("w")
-    )
-    wcum = (
-        W.partitionBy("grp", "m").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    )
-    wall = W.partitionBy("grp", "m")
-    p = F.when(F.col("m") == "qty", F.lit(0.5)).otherwise(F.lit(0.9))
-    c = (
-        dom.withColumn("cw", F.sum("w").over(wcum))
-        .withColumn("n", F.sum("w").over(wall))
-        # h is computed with the same double product percentile() uses
-        # internally, so floor/ceil land on the same straddling ranks
-        .withColumn("h", p * (F.col("n") - 1).cast("double"))
-        .withColumn("r_lo", (F.floor("h") + 1).cast("long"))
-        .withColumn("r_hi", (F.ceil("h") + 1).cast("long"))
-    )
-
-    def covers(rank: F.Column) -> F.Column:
-        # the domain row whose cumulative-weight interval (cw-w, cw]
-        # contains the 1-based rank — exactly one per (grp, m); a
-        # zero-weight (null/NaN) row can never cover
-        return (F.col("cw") >= rank) & (F.col("cw") - F.col("w") < rank)
-
-    q = c.groupBy("grp", "m").agg(
-        F.max(F.when(covers(F.col("r_lo")), F.col("v"))).alias("v_lo"),
-        F.max(F.when(covers(F.col("r_hi")), F.col("v"))).alias("v_hi"),
-        F.max(F.col("h") - F.floor("h")).alias("frac"),
-    )
+    q = grid_quantiles(stacked, {"qty": 0.5, "price": 0.9})
     return (
-        q.withColumn(
-            "val",
-            F.round(
-                F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")), 4
-            ),
-        )
+        q.withColumn("val", F.round("val", 4))
         .groupBy("grp")
         .pivot("m", ["qty", "price"])
         .agg(F.first("val"))

@@ -235,7 +235,7 @@ def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
                      AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(list_zip(a.vec, b.vec), s -> s[1] * s[2]))
-          / (a.nrm * b.nrm) >= 0.92
+          / (a.nrm * b.nrm) >= 0.30
     """,
 )
 def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +255,13 @@ def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exhaustive semantics live in the ANN brute-force twins. At test
     # scales every label holds ≤ CELL_OCCUPANCY vectors, so sub == 0
     # everywhere and results equal the unblocked r10 output.
+    # Threshold 0.30 (r13, r12 ADVICE): the fixture's within-label
+    # cosines top out near 0.47, so the former 0.92 cut emitted ZERO
+    # pairs at every SF and the driver's value check was vacuous; 0.30
+    # emits ~80-110 pairs at sf0.001/sf0.01 (nearest observed cosine
+    # >= 2e-4 from the cut — far outside float-order divergence) while
+    # leaving the plan and candidate cost untouched (the cut is a
+    # post-join filter).
     v = occupancy_blocked(
         spark.table("embeddings")
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
@@ -269,7 +276,7 @@ def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.92)
+        .filter(cos >= 0.30)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

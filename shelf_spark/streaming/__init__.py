@@ -371,10 +371,14 @@ def user_running_totals(stream: DataFrame, timeout_minutes: int = 0) -> DataFram
                 # the dsum_i contract accumulates DECIMAL(18,0) terms;
                 # enforce the same per-term bound here instead of letting
                 # astype('int64') wrap silently, and sum as Python ints so
-                # the per-batch accumulator can never overflow either
-                assert np.abs(scaled).max() < 1e18, (
-                    "value outside the dsum_i DECIMAL(18,0) term domain"
-                )
+                # the per-batch accumulator can never overflow either.
+                # ValueError, not assert: workers under `python -O` strip
+                # asserts, which would silently restore the int64 wrap
+                # this guard exists to eliminate (r12 ADVICE).
+                if np.abs(scaled).max() >= 1e18:
+                    raise ValueError(
+                        "value outside the dsum_i DECIMAL(18,0) term domain"
+                    )
                 total_c += int(scaled.astype("int64").sum(dtype=object))
         total = total_c / 100.0
         state.update((n, total_c))

@@ -227,7 +227,12 @@ def main() -> int:
             failures.append(name)
             n_fail += 1
         else:
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            # A 0-row/0-row match proves nothing about the expression's
+            # VALUES (r12 ADVICE: embed_cosine_pairs' re-proof slot was
+            # vacuous) — still a pass, but flagged so a sweep log or a
+            # re-proof slot can never silently rest on one.
+            vac = " (VACUOUS: 0 rows both sides)" if not srows else ""
+            print(f"ok    {name}: {len(srows)} rows{vac} [{time.time()-t0:.1f}s]")
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL of {len(names)}")

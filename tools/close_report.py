@@ -67,7 +67,11 @@ def main() -> int:
         help="a check_correctness log to summarize; repeat for the "
         "five-corpus ritual (default: the five canonical /tmp paths)",
     )
-    ap.add_argument("--pytest-log", default="/tmp/pytest_r10.log")
+    ap.add_argument(
+        "--pytest-log", default=None,
+        help="pytest log to summarize (default: the newest "
+        "/tmp/pytest_r*.log — a fixed round default went stale twice)",
+    )
     ap.add_argument(
         "--allow-busy", action="store_true",
         help="skip the idle-box assertion (ONLY for summarizing historical "
@@ -103,6 +107,13 @@ def main() -> int:
     if os.path.exists("BENCH_local.json"):
         with open("BENCH_local.json") as fh:
             b = json.loads(fh.readline())
+        if b.get("contaminated_by") and not args.allow_busy:
+            # bench.py no longer writes contaminated records; refuse an
+            # inherited one rather than blessing a busy-box close-out
+            # (r12 ADVICE)
+            sys.exit(
+                "close_report: BENCH_local.json is stamped contaminated_by="
+                f"{b['contaminated_by']}; re-run `python bench.py` idle")
         parts.append(
             f"bench {b['value']:.1f} s over {b['n_queries']} queries "
             f"at sf{b['sf']} ({b.get('methodology', '?')})"
@@ -142,6 +153,12 @@ def main() -> int:
     for label, path in gate_logs:
         parts.append(_gate_line(label, path))
 
+    if args.pytest_log is None:
+        import glob
+
+        cands = sorted(glob.glob("/tmp/pytest_r*.log"), key=os.path.getmtime)
+        args.pytest_log = cands[-1] if cands else "/tmp/pytest.log"
+        parts.append(f"pytest log auto-selected: {args.pytest_log}")
     if os.path.exists(args.pytest_log):
         with open(args.pytest_log) as fh:
             hits = re.findall(_PYTEST_PAT, fh.read())

@@ -133,7 +133,16 @@ def main() -> None:
     if args.top:
         with open(os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "BENCH_local.json")) as fh:
-            ref = json.loads(fh.read().strip().splitlines()[-1])["queries"]
+            rec = json.loads(fh.read().strip().splitlines()[-1])
+        if rec.get("contaminated_by"):
+            # bench.py no longer writes contaminated records, but refuse
+            # an inherited one outright: a busy-box timing record must
+            # never drive the top-N selection (r12 ADVICE)
+            sys.exit(
+                "--top: BENCH_local.json is stamped contaminated_by="
+                f"{rec['contaminated_by']}; refresh it on an idle box "
+                "with `python bench.py` first")
+        ref = rec["queries"]
         ranked = sorted((n for n in names if n in ref), key=lambda n: -ref[n])
         if not ranked:  # a stale/foreign BENCH_local must fail loudly,
             sys.exit(   # not IndexError on an empty selection
