@@ -308,6 +308,52 @@ def entry(spark: SparkSession) -> DataFrame:
 #     Rows-only registry residue unchanged: ann_ivf_topk, ann_pq_topk,
 #     dedup_minhash_lsh, dedup_simhash — approximate BY DESIGN, each
 #     with a value-exact machinery twin.
+#   r13 window (below): the r12 NOTE's rotation onto the next-oldest
+#     rows, plus this round's fix re-proofs. Slots 1–6 = expressions
+#     changed in r13: agg_median_percentile and clean_winsorize (the
+#     fixed-width-histogram + exact-refine replan, VERDICT r12 ask #4,
+#     plus the NaN→NULL oracle alignment, r12 ADVICE),
+#     embed_cosine_pairs (threshold 0.92 → 0.30 so the driver slot is
+#     no longer a vacuous 0-vs-0 match, r12 ADVICE), and the three
+#     consumers of jaccard_pairs_exact's new PPJoin positional filter
+#     (VERDICT r12 ask #5): dedup_ngram_jaccard,
+#     dedup_near_dup_clusters, dedup_keep_best_per_cluster.
+#     Slots 7–39 = all 33 oracled r05-era rows (the 35 the r12 NOTE
+#     queued minus rows-only-BY-DESIGN ann_ivf_topk and dedup_simhash,
+#     barred from slots by window hygiene). Slots 40–50 = the first 11
+#     r06-era rows in name order not already re-proved above.
+#   r13 NOTE (re-proof queue for r14): EMPTY — every expression that
+#     changed this round sits IN the r13 window. 21 r06-era rows
+#     remain the oldest outside the window; r14 slots should go there,
+#     then the r07 era. Rows-only registry residue unchanged:
+#     ann_ivf_topk, ann_pq_topk, dedup_minhash_lsh, dedup_simhash —
+#     approximate BY DESIGN, each with a value-exact machinery twin.
+_DRIVER_WINDOW_R13 = [
+    # 6 fix re-proofs (prior driver rows; expressions changed in r13)
+    "agg_median_percentile", "clean_winsorize", "embed_cosine_pairs",
+    "dedup_ngram_jaccard", "dedup_near_dup_clusters",
+    "dedup_keep_best_per_cluster",
+    # 33 belt-and-braces: every oracled r05-era row
+    "agg_bitwise", "agg_boolean", "agg_grouped_regr_jvm",
+    "agg_heavy_hitters", "agg_histogram", "agg_mode_deterministic",
+    "agg_string_agg", "ann_hard_negatives", "docs_dataset_card",
+    "dq_profile", "er_fuzzy_name_match", "events_daily_gapfill",
+    "events_funnel", "events_retention_cohorts",
+    "events_rolling_active_users", "events_transition_matrix",
+    "incr_merge_partials", "join_lateral_topn", "pack_token_shards",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q19_discounted_revenue", "q2_min_cost_supplier", "q8_market_share",
+    "q9_profit_by_nation_year", "reshape_unpivot", "sample_cap_per_group",
+    "scd2_merge_customers", "text_decontaminate", "text_lm_score",
+    "text_pii_scan", "text_vocab_topk", "ts_anomaly_zscore",
+    # 11 belt-and-braces: the first r06-era rows in name order
+    "agg_pivot", "events_asof_tolerance", "events_attribution_last_touch",
+    "events_rate_per_user", "events_sliding_window",
+    "events_tumbling_window", "filter_quality_percentile",
+    "graph_pagerank", "graph_triangle_count", "join_range_bucketed",
+    "mix_temperature_weights",
+]
+
 _DRIVER_WINDOW_R12 = [
     # 9 fix re-proofs (prior driver rows; expressions changed since)
     "embed_cosine_pairs", "agg_approx_distinct", "rollup_hll_mergeable",
@@ -362,18 +408,18 @@ _DRIVER_WINDOW_R11 = [
     "events_conversion_paths", "stream_dedup", "udf_grouped_regression",
 ]
 
-#: Sanctioned FIX-driven re-proof exception for the R12 window (see
+#: Sanctioned FIX-driven re-proof exception for the R13 window (see
 #: tests/test_queries.py test_driver_window_discipline): names with a
-#: prior driver row whose expressions changed afterwards — the r11
-#: NOTE queue plus this round's compressed-domain order-statistics
-#: replans. The window's other 41 slots are belt-and-braces re-proofs
-#: of the OLDEST rows, sanctioned by the queue-closed regime the
-#: discipline test checks for.
+#: prior driver row whose expressions changed afterwards — this
+#: round's histogram-refine quantile replans, the de-vacuated
+#: embed_cosine_pairs threshold, and the three consumers of the PPJoin
+#: positional filter. The window's other 44 slots are belt-and-braces
+#: re-proofs of the OLDEST rows, sanctioned by the queue-closed regime
+#: the discipline test checks for.
 _DRIVER_WINDOW_REPROOF = [
-    "embed_cosine_pairs", "agg_approx_distinct", "rollup_hll_mergeable",
-    "stream_user_running_totals", "events_asof_orders",
-    "stream_asof_enrich", "vectors_kmeans_assign",
-    "agg_median_percentile", "clean_winsorize",
+    "agg_median_percentile", "clean_winsorize", "embed_cosine_pairs",
+    "dedup_ngram_jaccard", "dedup_near_dup_clusters",
+    "dedup_keep_best_per_cluster",
 ]
 
 _DRIVER_WINDOW_R10 = [
@@ -547,19 +593,20 @@ _DRIVER_WINDOW_R07 = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the driver's 50-row correctness window lands the queued
-    fix re-proofs (nine expressions changed since their latest driver
-    rows) and then rotates the 41 oldest rows onto current expressions
-    (see _DRIVER_WINDOW_R12 above); the rest follow in registry order.
+    Ordered so the driver's 50-row correctness window lands this
+    round's six fix re-proofs (expressions changed since their latest
+    driver rows) and then rotates the 44 oldest rows (the full r05 era
+    plus the first r06 names) onto current expressions (see
+    _DRIVER_WINDOW_R13 above); the rest follow in registry order.
     """
     # Window hygiene (r8 verdict ask #6): every windowed entry MUST have
     # a SQL oracle — a rows-only entry in the window produces a
     # guaranteed `err: no_oracle` row, wasting the slot.
-    missing = [n for n in _DRIVER_WINDOW_R12 if n not in ORACLES]
+    missing = [n for n in _DRIVER_WINDOW_R13 if n not in ORACLES]
     assert not missing, f"rows-only entries in driver window: {missing}"
-    unknown = [n for n in _DRIVER_WINDOW_R12 if n not in QUERIES]
+    unknown = [n for n in _DRIVER_WINDOW_R13 if n not in QUERIES]
     assert not unknown, f"unknown names in driver window: {unknown}"
-    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R12}
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_R13}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn
