@@ -18,6 +18,20 @@ Replication multiplies fact tables (lineitem, orders, events, documents,
 embeddings) with key-shifted copies so join fan-outs stay realistic
 (each copy joins within itself, like extra partitions of the same
 logical table). Dimensions stay as-is.
+
+--dense (r13, VERDICT r12 ask #2) switches to DENSITY-PRESERVING
+replication: the default mode keeps dimension key spaces and the events
+time span fixed, so N× data means N× events per user IN THE SAME time
+window, N× orders over the SAME parts, etc. — some queries' OUTPUT then
+grows ~N² (stream-stream joins within a horizon, co-occurrence graphs,
+near-dup pair mining), and their wall ratio measures output blowup, not
+plan scaling. Dense mode keeps every density constant instead: each
+copy of events is time-shifted past the previous copy's span and gets
+its own user_id namespace; customer/part/supplier key spaces replicate
+alongside orders/lineitem (copy i joins copy i's dimensions). That is
+the realistic 100-TB shape — more users, more SKUs, a longer history —
+and under it a sound plan's wall should scale ~linearly in N even for
+the output-quadratic-under-densification queries.
 """
 
 from __future__ import annotations
@@ -43,6 +57,20 @@ FACTS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+#: --dense key shifts: every foreign key moves WITH its dimension, so
+#: copy i's facts join copy i's dimensions and all per-key densities
+#: (orders/customer, lineitems/part, events/user, time density) stay
+#: constant as the corpus grows.
+DENSE_FACTS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
 # Exhaustive by construction: smoke the same list bench.py benches (the
 # full registry minus its reasoned exclude set). A literal list here
 # drifted to 244/340 between r8 and r10 while the documented methodology
@@ -52,12 +80,23 @@ FACTS = {
 from bench import HEADLINE  # noqa: E402
 
 
-def replicate(spark, factor: int, dest: str) -> None:
+def replicate(spark, factor: int, dest: str, dense: bool = False) -> None:
+    facts = DENSE_FACTS if dense else FACTS
+    ts_span_days = None
+    if dense:
+        # time-shift stride: each events copy starts at least a full day
+        # past the previous copy's end, so event-time horizons
+        # (stream-stream joins, sessionization gaps) never straddle
+        # copies; whole-day intervals add exactly to TIMESTAMP_NTZ
+        lohi = load_table(spark, SRC, "events").select(
+            F.min("ts"), F.max("ts")
+        ).first()
+        ts_span_days = (lohi[1].date() - lohi[0].date()).days + 2
     for name in TABLES:
         out = os.path.join(dest, f"{name}.parquet")
         df = load_table(spark, SRC, name)
-        if name in FACTS:
-            shift_cols = FACTS[name]
+        if name in facts:
+            shift_cols = facts[name]
             copies = []
             # key-shift each copy so keys stay unique but join selectivity
             # per logical row is unchanged
@@ -100,17 +139,25 @@ def replicate(spark, factor: int, dest: str) -> None:
                             ).otherwise(-x),
                         ),
                     )
+                if dense and name == "events" and i > 0:
+                    c = c.withColumn(
+                        "ts",
+                        F.col("ts")
+                        + F.expr(f"INTERVAL {i * ts_span_days} DAY"),
+                    )
                 copies.append(c)
             df = copies[0]
             for c in copies[1:]:
                 df = df.unionAll(c)
-            # orders.o_custkey must still hit customer: wrap back into range
-            if name == "orders":
+            # orders.o_custkey must still hit customer: wrap back into
+            # range (default mode only — dense replicates customer with
+            # matching shifted keys instead)
+            if name == "orders" and not dense:
                 n_cust = load_table(spark, SRC, "customer").count()
                 df = df.withColumn(
                     "o_custkey", (F.col("o_custkey") % F.lit(n_cust)) + 1
                 )
-            if name == "events":
+            if name == "events" and not dense:
                 # keep user_id cardinality fixed: sessionization load grows
                 # per-user, the realistic shape for more traffic
                 pass
@@ -126,10 +173,27 @@ def main() -> None:
                     help="restrict to the N priciest queries per BENCH_local.json")
     ap.add_argument("--cap", type=float, default=0,
                     help="per-query watchdog seconds at the scaled run")
+    ap.add_argument("--dense", action="store_true",
+                    help="density-preserving replication (time-shifted "
+                    "events, per-copy user/dimension key namespaces) — "
+                    "measures plan scaling for queries whose OUTPUT "
+                    "grows super-linearly under the default densifying "
+                    "replicas")
+    ap.add_argument("--only", default=None, metavar="NAME[,NAME...]",
+                    help="restrict to these query names (for targeted "
+                    "re-measures; recorded in the output)")
     args = ap.parse_args()
     factor = args.factor
+    if args.only and args.top:
+        sys.exit("--only and --top are mutually exclusive")
 
     names = list(HEADLINE)
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in QUERIES]
+        if unknown:
+            sys.exit(f"--only: unknown queries {unknown}")
+        names = wanted
     if args.top:
         with open(os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "BENCH_local.json")) as fh:
@@ -154,13 +218,14 @@ def main() -> None:
               f"{len(HEADLINE) - len(names)} cheaper queries excluded",
               file=sys.stderr)
 
-    dest = f"/tmp/shelf-scale-{factor}x"
+    dest = f"/tmp/shelf-scale-{factor}x" + ("-dense" if args.dense else "")
     spark = get_spark("scale-smoke")
     if not os.path.exists(os.path.join(dest, "lineitem.parquet")):
         t0 = time.perf_counter()
         os.makedirs(dest, exist_ok=True)
-        replicate(spark, factor, dest)
-        print(f"replicated {factor}x in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        replicate(spark, factor, dest, dense=args.dense)
+        print(f"replicated {factor}x{' dense' if args.dense else ''} in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     class CapExceeded(Exception):
         def __init__(self, msg: str, runaway: bool = False):
@@ -263,7 +328,9 @@ def main() -> None:
         if n in results["1x"] and n in results[f"{factor}x"]
     }
     print(json.dumps({"factor": factor,
-                      "selection": (f"top-{args.top}" if args.top
+                      "mode": "dense" if args.dense else "densifying",
+                      "selection": (f"only={args.only}" if args.only
+                                    else f"top-{args.top}" if args.top
                                     else "exhaustive"),
                       "n_queries": len(names),
                       "cap_seconds": args.cap or None,
