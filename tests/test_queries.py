@@ -1163,3 +1163,61 @@ def test_conf_overrides_survive_retune(spark, monkeypatch):
     monkeypatch.delenv("SHELF_SPARK_CONF_OVERRIDES")
     tune(spark)  # env cleared -> defaults restored for the other tests
     assert spark.conf.get(key) == RUNTIME_CONFS[key]
+
+
+def test_grid_quantiles_matches_reference_any_width(spark):
+    """grid_quantiles (r13: fixed-width histogram + exact refine) must be
+    EXACT for any positive bucket width — the width only tunes histogram
+    size vs refine selectivity, never the result. Checked on randomized
+    value sets (duplicates, negatives, all-in-one-bucket degenerate
+    widths, NaN/null riders) against a pure-Python h = p·(n−1)
+    interpolation, the formula Spark's percentile and DuckDB's
+    quantile_cont share."""
+    import math
+    import random
+
+    from shelf_spark.queries.num import grid_quantiles
+
+    def ref_quantile(vals, p):
+        vals = sorted(v for v in vals if v is not None and not math.isnan(v))
+        if not vals:
+            return None
+        h = p * (len(vals) - 1)
+        lo, hi = vals[math.floor(h)], vals[math.ceil(h)]
+        return lo + (h - math.floor(h)) * (hi - lo)
+
+    for seed, width in ((3, 1.0), (11, 64.0), (19, 1e9), (42, 0.001)):
+        rng = random.Random(seed)
+        rows = []
+        expect = {}
+        for grp in ("a", "b", "c"):
+            vals = [
+                round(rng.uniform(-500, 500), rng.choice((0, 2, 6)))
+                for _ in range(rng.randint(1, 40))
+            ]
+            vals += rng.choices(vals, k=rng.randint(0, 10))  # duplicates
+            riders = [None] * rng.randint(0, 2) + [float("nan")] * rng.randint(0, 2)
+            for v in vals + riders:
+                rows.append((grp, "q", v, width))
+            expect[grp] = ref_quantile(vals, 0.35)
+        d = spark.createDataFrame(rows, "grp string, m string, v double, wd double")
+        got = {
+            r.grp: r.val for r in grid_quantiles(d, {"q": 0.35}).collect()
+        }
+        assert set(got) == set(expect), (seed, width)
+        for grp in expect:
+            if expect[grp] is None:
+                assert got[grp] is None, (seed, width, grp, got[grp])
+            else:
+                assert got[grp] is not None and math.isclose(
+                    got[grp], expect[grp], rel_tol=0, abs_tol=0.0
+                ), (seed, width, grp, got[grp], expect[grp])
+
+    # all-NaN/null group: must SURVIVE to the output with a NULL value
+    d = spark.createDataFrame(
+        [("z", "q", None, 1.0), ("z", "q", float("nan"), 1.0),
+         ("y", "q", 5.0, 1.0)],
+        "grp string, m string, v double, wd double",
+    )
+    got = {r.grp: r.val for r in grid_quantiles(d, {"q": 0.5}).collect()}
+    assert got == {"z": None, "y": 5.0}, got
