@@ -172,22 +172,48 @@ def main() -> None:
         _is_default_sf = os.path.realpath(sf_dir) == os.path.realpath(_default_sf)
     except OSError:
         _is_default_sf = sf_dir == _default_sf
+    _record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_local.json")
+    _is_ritual = os.environ.get("SPARK_GRAFT_BENCH_RITUAL") == "1"
     if (not args.pattern and not args.session_every and _is_default_sf
             and contaminated_by):
         # A run that survived the grace window but saw foreign JVMs must
-        # not become the steady-state record: scale_smoke --top and
-        # close_report read BENCH_local.json without checking the stamp,
-        # so a contaminated overwrite would silently drive top-N
-        # selection and close-outs (r12 ADVICE). Print-only.
+        # not become the steady-state record (scale_smoke --top and
+        # close_report also refuse a contaminated_by-stamped record, as
+        # defense-in-depth for readers predating this write guard —
+        # r12 ADVICE). Print-only.
         print(
             "# BENCH_local.json not updated: run contaminated by "
             f"{contaminated_by[:3]}",
             file=sys.stderr,
         )
     elif not args.pattern and not args.session_every and _is_default_sf:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_local.json"), "w") as fh:
-            fh.write(json.dumps({**base, "queries": timings}) + "\n")
+        # Overwrite policy (r13 VERDICT ask #5): the durable committed
+        # record is the builder's idle-ritual capture. A clean full run
+        # WITHOUT the ritual stamp (e.g. the driver's per-round harness
+        # bench) must not replace a stamped idle-ritual record — set
+        # SPARK_GRAFT_BENCH_RITUAL=1 for the intentional close-of-round
+        # refresh. An unstamped existing record (or none) is fair game,
+        # so a fresh clone still bootstraps.
+        _prior_ritual = False
+        try:
+            with open(_record_path) as fh:
+                _prior_ritual = (json.loads(fh.read().strip().splitlines()[-1])
+                                 .get("captured") == "idle-ritual")
+        except (OSError, ValueError, IndexError):
+            pass
+        if _prior_ritual and not _is_ritual:
+            print(
+                "# BENCH_local.json not updated: existing record is an "
+                "idle-ritual capture; set SPARK_GRAFT_BENCH_RITUAL=1 to "
+                "intentionally replace it",
+                file=sys.stderr,
+            )
+        else:
+            if _is_ritual:
+                base["captured"] = "idle-ritual"
+            with open(_record_path, "w") as fh:
+                fh.write(json.dumps({**base, "queries": timings}) + "\n")
     elif not args.pattern and not args.session_every:
         print(
             f"# BENCH_local.json not updated: sf_dir {sf_dir!r} is not the "

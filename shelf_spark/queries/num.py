@@ -304,10 +304,18 @@ def grid_quantiles(stacked, probs: dict[str, float]):
        weights (one tiny window) → broadcast.
     3. refine: a second fact scan keeps only rows in a covering bucket
        (~2 buckets per group), builds the in-bucket distinct-value
-       sub-domain, and picks the residual ranks exactly — so ANY
-       positive ``wd`` is correct; ``wd`` only tunes histogram size
-       against refine selectivity (degenerate widths fall back to the
-       r12 domain cost, never worse).
+       sub-domain, and picks the residual ranks exactly — so any
+       positive ``wd`` satisfying the precondition below is correct;
+       ``wd`` only tunes histogram size against refine selectivity
+       (degenerate widths fall back to the r12 domain cost, never
+       worse).
+
+    CALLER CONTRACT: ``|v| / wd < 2^63`` for every value — the bucket
+    id ``floor(v/wd).cast('long')`` wraps silently past int64, breaking
+    bucket-order monotonicity and thus the quantile itself (r13
+    ADVICE). In practice pick ``wd`` within ~15 orders of magnitude of
+    the value scale; current callers (qty/price/events.value, widths
+    1–64) sit at |v|/wd ≤ ~1e6.
 
     NaN/null values ride as zero-weight null-bucket rows so every
     observed group reaches the output (no second pass to re-attach

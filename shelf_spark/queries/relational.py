@@ -463,14 +463,14 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey
-        AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
     )
     """,
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.table("customer")
     orders = spark.table("orders").filter(
-        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
     )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
@@ -501,7 +501,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey
-        AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
     )
     """,
 )
@@ -510,10 +510,11 @@ def join_anti_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     `join_anti` (customers with no orders at all) has returned 0 rows on
     every sf0.01 driver run since r01 — 0-vs-0 proves the plan runs but
-    not that anti semantics are right. Filtering the build side to 1998+
-    orders guarantees thousands of survivors at sf0.01 (the exact
-    complement of `join_semi`), so a wrong join type or null-handling
-    bug can no longer hide behind an empty result.
+    not that anti semantics are right. Filtering the build side to 2001+
+    orders guarantees survivors at EVERY corpus SF (65 at sf0.001, 615
+    at sf0.01 — the r13 1998 cutoff was itself vacuous at sf0.001,
+    r13 VERDICT ask #6), so a wrong join type or null-handling bug can
+    no longer hide behind an empty result.
 
     Scale shape: identical to `join_anti` — one hash exchange per side
     on the join key (the date filter prunes the build side before the
@@ -521,7 +522,7 @@ def join_anti_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     small)."""
     cust = spark.table("customer")
     orders = spark.table("orders").filter(
-        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
     )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
@@ -960,7 +961,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     ).select("o_custkey")
     later = orders.filter(
-        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
     ).select("o_custkey")
     # subtract == EXCEPT DISTINCT (exceptAll would keep surplus duplicates)
     return y97.subtract(later)

@@ -32,6 +32,15 @@ from shelf_spark.data import TABLES, table_path  # noqa: E402
 from shelf_spark.queries import ORACLES, QUERIES  # noqa: E402
 from shelf_spark.session import get_spark  # noqa: E402
 
+#: Queries that legitimately emit 0 rows on the tiniest corpus (sf0.001),
+#: each mapped to the value-exact twin that proves the same machinery on
+#: real rows. A VACUOUS result for a key passes only if its twin was
+#: non-vacuous in the same sweep (r13 VERDICT ask #6).
+VACUOUS_TWINS = {
+    "join_anti": "join_anti_survivors",
+    "dedup_semantic_clusters": "dedup_semantic_clusters_t40",
+}
+
 
 def _norm_cell(v):
     """Normalize a cell for order-insensitive comparison."""
@@ -182,8 +191,16 @@ def main() -> int:
     if args.shard:
         i, n = (int(x) for x in args.shard.split("/"))
         names = names[i::n]
+        # Co-shard each VACUOUS-prone query with its declared twin so the
+        # twin check never degrades to "not in this run" under --workers;
+        # the twin may also run in its own shard (cheap, harmless).
+        names += [VACUOUS_TWINS[q] for q in names
+                  if q in VACUOUS_TWINS and VACUOUS_TWINS[q] not in names
+                  and VACUOUS_TWINS[q] in QUERIES]
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    vacuous: list[str] = []
+    rowcounts: dict[str, int] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -232,10 +249,36 @@ def main() -> int:
             # vacuous) — still a pass, but flagged so a sweep log or a
             # re-proof slot can never silently rest on one.
             vac = " (VACUOUS: 0 rows both sides)" if not srows else ""
+            if not srows:
+                vacuous.append(name)
+            rowcounts[name] = len(srows)
             print(f"ok    {name}: {len(srows)} rows{vac} [{time.time()-t0:.1f}s]")
             n_pass += 1
 
-    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL of {len(names)}")
+    # A VACUOUS row is acceptable only when its declared value-exact twin
+    # exercised the same machinery non-vacuously (r13 VERDICT ask #6);
+    # anything else is UNEXPLAINED — zero of these is the gate target on
+    # the standard corpora (hostile corpora may legitimately empty more
+    # queries; the label still surfaces them for review).
+    n_unexplained_vac = 0
+    for name in vacuous:
+        twin = VACUOUS_TWINS.get(name)
+        if twin is None:
+            n_unexplained_vac += 1
+            print(f"VACUOUS-UNEXPLAINED  {name}: no declared twin")
+        elif rowcounts.get(twin, 0) > 0:
+            print(f"vacuous-ok  {name}: twin {twin} non-vacuous "
+                  f"({rowcounts[twin]} rows)")
+        elif twin in rowcounts:
+            n_unexplained_vac += 1
+            print(f"VACUOUS-UNEXPLAINED  {name}: twin {twin} also vacuous")
+        else:
+            print(f"vacuous-?  {name}: twin {twin} not in this run "
+                  "(filtered) — unverified")
+
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL of {len(names)}"
+          + (f" ({n_unexplained_vac} unexplained-vacuous)"
+             if n_unexplained_vac else ""))
     if failures:
         print("failures:", " ".join(failures))
     return 1 if n_fail else 0

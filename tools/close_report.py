@@ -156,7 +156,14 @@ def main() -> int:
     if args.pytest_log is None:
         import glob
 
-        cands = sorted(glob.glob("/tmp/pytest_r*.log"), key=os.path.getmtime)
+        # Prefer the highest round number in the filename — mtime alone
+        # can pick a stale prior-round log that was merely touched later
+        # (r13 ADVICE); mtime breaks ties / non-numeric names.
+        def _round_key(p):
+            m = re.search(r"pytest_r(\d+)", os.path.basename(p))
+            return (int(m.group(1)) if m else -1, os.path.getmtime(p))
+
+        cands = sorted(glob.glob("/tmp/pytest_r*.log"), key=_round_key)
         args.pytest_log = cands[-1] if cands else "/tmp/pytest.log"
         parts.append(f"pytest log auto-selected: {args.pytest_log}")
     if os.path.exists(args.pytest_log):

@@ -91,6 +91,9 @@ def replicate(spark, factor: int, dest: str, dense: bool = False) -> None:
         lohi = load_table(spark, SRC, "events").select(
             F.min("ts"), F.max("ts")
         ).first()
+        if lohi[0] is None or lohi[1] is None:
+            sys.exit("--dense: events table is empty — no time span to "
+                     "shift copies past; use the default densifying mode")
         ts_span_days = (lohi[1].date() - lohi[0].date()).days + 2
     for name in TABLES:
         out = os.path.join(dest, f"{name}.parquet")
