@@ -961,7 +961,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     ).select("o_custkey")
     later = orders.filter(
-        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     ).select("o_custkey")
     # subtract == EXCEPT DISTINCT (exceptAll would keep surplus duplicates)
     return y97.subtract(later)
