@@ -240,33 +240,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     # SHUFFLE_HASH: both sides are edges/nodes-sized; sort-merge would
     # sort the array-carrying fat rows by v for no benefit.
-    per_edge = (
-        fat.join(adj_v.hint("SHUFFLE_HASH"), "v")
-        .select("u", "v", F.array_intersect("nbrs_u", "nbrs_v").alias("ws"))
-        .withColumn("k", F.size("ws"))
-        .filter(F.col("k") > 0)
+    per_edge = fat.join(adj_v.hint("SHUFFLE_HASH"), "v").select(
+        "u", "v", F.array_intersect("nbrs_u", "nbrs_v").alias("ws")
     )
-    # Per-node counts: u and v each join k triangles on this edge; every
-    # closing node w joins one. The explode volume is the triangle count
-    # itself — output-sized, not wedge-sized.
-    contrib = (
-        per_edge.select(
-            F.col("u").alias("node"), F.col("k").cast("long").alias("n")
-        )
-        .union(
-            per_edge.select(
-                F.col("v").alias("node"), F.col("k").cast("long").alias("n")
+    # Per-node counts in ONE pass over per_edge (r14): each closing node
+    # w yields the contribution trio (u,1), (v,1), (w,1), flattened
+    # map-side — u and v end up counted once per triangle on this edge
+    # and every w once, exactly the weights of the former 3-way union,
+    # whose three branches re-evaluated the join+intersect subtree per
+    # branch (no pin → 3 executions of the hottest stage; measured
+    # 6.0 → 4.0 s at sf0.1). The explode volume is 3·triangles —
+    # output-sized, not wedge-sized; an empty intersection flattens to
+    # an empty array and explodes to nothing, so the former k > 0
+    # filter is implicit.
+    contrib = per_edge.select(
+        F.explode(
+            F.flatten(
+                F.transform("ws", lambda w: F.array(F.col("u"), F.col("v"), w))
             )
-        )
-        .union(
-            per_edge.select(
-                F.explode("ws").alias("node"), F.lit(1).cast("long").alias("n")
-            )
-        )
+        ).alias("node")
     )
     return (
         contrib.groupBy("node")
-        .agg(F.sum("n").cast("bigint").alias("n_triangles"))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )

@@ -5489,7 +5489,17 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("decimal(19,0)").alias("cn"))
         .localCheckpoint()  # grid relation, consumed by 4 passes below
     )
-    a = cells.select(
+    # The pair pass is a broadcast NESTED-LOOP join: its cost is
+    # |probe partition| × |grid| predicate evaluations per task, and the
+    # pinned grid arrives AQE-coalesced to ~1 partition (it is tiny), so
+    # without the repartition the whole ~15M-pair loop ran in ONE task
+    # (r14; measured 4.0 s → 1.6 s at sf0.1). Round-robin over the
+    # session's parallelism is scale-free here: the grid is BOUNDED
+    # (≤ ~5.5k cells at any corpus size), so this only spreads a
+    # constant-sized loop, never a data-sized shuffle.
+    a = cells.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("cn").alias("na")
     )
     b = cells.select(
