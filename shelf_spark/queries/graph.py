@@ -907,6 +907,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _norm(raw: DataFrame) -> DataFrame:
+        # Pin the NODE-sized raw table before referencing it twice (the
+        # L1 total and the scale-back both consume it). Without the pin
+        # each half-step's plan contained its input's plan TWICE (sum +
+        # crossJoin), so the 3-deep push nesting re-evaluated the first
+        # authority pass up to 2^3 times — 66 Exchange / 22 BNLJ in the
+        # r14 before-plan, collapsed to a linear chain by pinning
+        # (lazy: all pins materialize inside the one final job).
+        raw = raw.localCheckpoint(eager=False)
         tot = raw.agg(F.sum("raw").alias("s"))
         return raw.crossJoin(F.broadcast(tot)).select(
             "node",
@@ -1299,6 +1307,10 @@ def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once, one degree aggregate, one dst-keyed join to carry
     degrees back, two bounded rollups; output is |distinct degrees|
     rows."""
+    # NOT pinned (r14): the 17 static Exchanges / 6 scans in the plan
+    # dedup at runtime via ReusedExchange; both eager and lazy
+    # localCheckpoint were measured SLOWER (2.2 → 3.4 s) because the
+    # cache materialization costs more than the reuse saves.
     und = _basket_pairs(spark).select("p1", "p2").distinct()
     direct = und.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
