@@ -1324,7 +1324,10 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q")
         )
-        .localCheckpoint()
+        # lazy (r14): the wins collect below is the job that
+        # materializes all three pinned tables at once — the three
+        # eager pins were three separate job submissions.
+        .localCheckpoint(eager=False)
     )
     a, b = per_order.alias("a"), per_order.alias("b")
     duel = a.join(
@@ -1343,7 +1346,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i", "j")
         .agg(F.sum("n").cast("double").alias("n"))
-        .localCheckpoint()  # K²-bounded state, materialized once per run
+        .localCheckpoint(eager=False)  # K²-bounded state, materialized once per run
     )
     wtot = (
         m.join(
@@ -1353,7 +1356,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("i").alias("brand"))
         .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("double").alias("wins"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # wins is K-bounded (≤25 brands) — collect once into a literal map so
     # each MM round is ONE K-keyed aggregate (the Markov `states.count()`
@@ -1395,6 +1398,15 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "brand",
                 F.round(wins_map[F.col("brand")] / F.col("den"), 9).alias("p"),
             )
+            # NOT pinned per round (r14): p does feed the next round
+            # twice (pi + pj) so the K-row round subtree appears 2^3·2
+            # times in the plan — but every copy is a tiny K-row
+            # broadcast build that the runtime dedups, and a per-round
+            # localCheckpoint measured SLOWER (3.43 → 3.86 s median):
+            # the pin barrier costs more than the duplicated K-row
+            # work. Contrast events_markov_attribution, where the
+            # duplicated subtree held K²-sized aggregates and pinning
+            # won.
         )
     s = p.agg(
         F.sum(F.round("p", 9).cast("decimal(28,9)")).cast("double").alias("s")
@@ -1652,7 +1664,15 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .unionAll(conv_rows)
         )
-    starts = v.filter(F.col("state") == _MRA_START)
+    # Pin the end of the 8-hop chain (r14): `starts` is consumed twice
+    # (pf + the channels join) and `res` twice more (tot + the final
+    # select), so unpinned the whole value-iteration lineage appeared
+    # up to 4x in the plan — 417 nodes / 38 Exchange / 32 broadcast
+    # joins (= 8 hops x 4). Both pins are K-row relations; lazy, so
+    # they materialize inside the one final job.
+    starts = v.filter(F.col("state") == _MRA_START).localCheckpoint(
+        eager=False
+    )
     pf = starts.filter(F.col("variant") == "__FULL__").select(
         F.col("v").alias("pfull")
     )
@@ -1671,6 +1691,7 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1.0 - F.try_divide(F.col("conv_without"), F.col("pfull")), 9
             ),
         )
+        .localCheckpoint(eager=False)
     )
     tot = res.agg(
         F.sum(F.round("removal_effect", 9).cast("decimal(28,9)"))

@@ -204,7 +204,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical output (DuckDB oracle: 16.9 s on the same machine)."""
     und = _basket_pairs(spark).select("p1", "p2").distinct()
     # One materialization feeds degrees AND the orientation join.
-    und = und.localCheckpoint()
+    # Lazy (r14): the eager pin was a whole separate job before the
+    # real work; eager=False keeps the truncation + single
+    # materialization inside the one final job (3.69 -> 3.37 s median;
+    # pinning adj too measured neutral — ReusedExchange already dedups
+    # the two adjacency consumers here).
+    und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("p1").alias("node"))
         .union(und.select(F.col("p2").alias("node")))
@@ -1041,11 +1046,22 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = pinned[0]
         for p in pinned[1:]:
             visited = visited.unionAll(p)
+        # Anti BEFORE distinct (r14, guide §2.3 "project/filter before
+        # the exchange"): the broadcast anti-join is map-side, so
+        # running it first means the distinct's exchange carries only
+        # NEW nodes instead of every candidate dst (at sf0.1 the d=2
+        # frontier is 10.8k of 20k nodes — half the candidates are
+        # already visited). The broadcast hint ships the visited set,
+        # bounded by the node set — the same object the frontier join
+        # above already ships per level (AQE broadcasts it), and the
+        # repo's standing node-sized-broadcast idiom (graph_hits
+        # pushes, kmeans centroids). Measured 5.27 → 3.99 s median
+        # (reorder alone, unhinted: 4.63 s).
         nxt = (
             edges.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"))
+            .join(F.broadcast(visited), "node", "left_anti")
             .distinct()
-            .join(visited, "node", "left_anti")
             .localCheckpoint(eager=False)
         )
         levels.append(nxt.select(F.lit(d).alias("distance"), "node"))
@@ -1117,14 +1133,19 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge denominator is a closed-form sum over the NODE-sized degree
     table — no wedge enumeration ever happens. Exact integer carriers,
     one IEEE division."""
+    # Lazy pins (r14): the two eager localCheckpoints were one job
+    # submission EACH before the real work started; eager=False keeps
+    # the identical lineage truncation and single materialization but
+    # runs everything inside the one final job. Measured with the adj
+    # pin below: 3.99 -> 3.44 s median at sf0.1.
     pairs = _basket_pairs(spark).select("p1", "p2")
-    und = pairs.distinct().localCheckpoint()
+    und = pairs.distinct().localCheckpoint(eager=False)
     edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
         und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
     lower1 = (F.struct("d1", "p1") < F.struct("d2", "p2"))
@@ -1135,7 +1156,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower1, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         )
     )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # Pin the adjacency (r14): it feeds both the exploded fat side and
+    # the probe side of the wedge join; the pin guarantees one
+    # materialization instead of leaning on ReusedExchange through the
+    # two d1/d2 joins above.
+    adj = oriented.groupBy("src").agg(
+        F.collect_list("dst").alias("nbrs")
+    ).localCheckpoint(eager=False)
     fat = adj.select(
         F.col("src").alias("u"),
         F.col("nbrs").alias("nbrs_u"),

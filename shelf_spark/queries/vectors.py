@@ -827,7 +827,9 @@ def vectors_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.zip_with("vec", "mvec", lambda x, y: x - y).alias("cvec"),
         )
-        .localCheckpoint()  # reused every iteration; vectors never shuffle
+        # lazy (r14): reused every iteration; vectors never shuffle —
+        # eager=False folds the pin's job into the final action.
+        .localCheckpoint(eager=False)
     )
     v = spark.range(1).select(
         F.transform(F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0.125)).alias(
@@ -855,6 +857,12 @@ def vectors_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("wd")
             )
+            # Pin per iteration (r14): w is consumed twice (the n2
+            # norm and the v update), and each w holds a full pass
+            # over the VECTOR-sized centered table — unpinned, that
+            # pass doubled per iteration. d-row state; lazy, so it
+            # materializes inside the one final job.
+            .localCheckpoint(eager=False)
         )
         n2 = w.agg(
             F.sum(
@@ -985,7 +993,9 @@ def vectors_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.zip_with("vec", "mvec", lambda x, y: x - y).alias("cvec"),
         )
-        .localCheckpoint()
+        # lazy (r14): the eager pin was one extra job submission; the
+        # final action materializes it at first touch instead.
+        .localCheckpoint(eager=False)
     )
     v = spark.range(1).select(
         F.transform(
@@ -1011,6 +1021,12 @@ def vectors_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("wd")
             )
+            # Pin per iteration (r14): w is consumed twice (the n2
+            # norm and the v update), and each w holds a full pass
+            # over the VECTOR-sized centered table — unpinned, that
+            # pass doubled per iteration. d-row state; lazy, so it
+            # materializes inside the one final job.
+            .localCheckpoint(eager=False)
         )
         n2 = w.agg(
             F.sum(
