@@ -888,7 +888,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = pairs.withColumn(
         "nf", F.sum("n").over(W.partitionBy("from_type"))
-    ).localCheckpoint()  # K²-sized; reused every iteration
+    ).localCheckpoint(eager=False)  # K²-sized; reused every iteration
     states = m.select(F.col("from_type").alias("state")).distinct()
     k = states.count()  # bounded type catalog (driver-side by design)
     if k == 0:
@@ -1002,7 +1002,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         ).alias("m"),
-    ).localCheckpoint()  # feeds three domain aggs + the score pass
+    ).localCheckpoint(eager=False)  # feeds three domain aggs + the score pass
     n = u.agg(F.count("*").alias("n"))
 
     def bounds(metric: str):
@@ -1983,7 +1983,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(base, "cents")
         .withColumn("rk", F.col("base") + F.row_number().over(wtie))
         .select("c_custkey", "c_nationkey", "cents", "rk")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     probe = r.select(
         F.col("c_custkey").alias("key_a"),

@@ -338,7 +338,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union needs no second dedup and both directions read the same
     # materialized scan. Without the pin every consumer re-derives the
     # whole basket pipeline and the per-iteration plan grows into a tower.
-    und = pairs.distinct().localCheckpoint()
+    und = pairs.distinct().localCheckpoint(eager=False)
     edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
         und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
@@ -352,7 +352,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # millions of rows, tens of MB); past that, fall back to shuffle
     # joins with edges pre-partitioned by src so all iterations reuse
     # one exchange.
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=False)
     nn = deg.agg(F.count("*").alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),
@@ -456,7 +456,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation fits, hash at scale), then ONE map-side-combined moment
     aggregate produces six numbers. No windows, no sorts; the same
     single-pass shape at any edge count."""
-    und = _basket_pairs(spark).select("p1", "p2").distinct().localCheckpoint()
+    und = _basket_pairs(spark).select("p1", "p2").distinct().localCheckpoint(eager=False)
     deg = (
         und.select(F.col("p1").alias("node"))
         .unionAll(und.select(F.col("p2").alias("node")))
@@ -1259,7 +1259,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("node")
         .join(comm.withColumnRenamed("c", "cb"), und.p2 == F.col("node"))
         .select("ca", "cb")
-        .localCheckpoint()  # consumed by m, a_in, and the degree union
+        .localCheckpoint(eager=False)  # consumed by m, a_in, and the degree union
     )
     m = edges.agg(F.count("*").cast("long").alias("m"))
     a_in = edges.where(F.col("ca") == F.col("cb")).agg(

@@ -2430,7 +2430,7 @@ def text_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = pairs.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c12")
-    ).localCheckpoint()  # LM base relation: consumed by 4 rollups + join
+    ).localCheckpoint(eager=False)  # LM base relation: consumed by 4 rollups + join
     firsts = big.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count("*").cast("long").alias("nf"),

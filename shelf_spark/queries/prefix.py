@@ -74,7 +74,7 @@ def attach_prefix_sums(
         n_parts, *[F.col(c) for c in order_cols]
     ).withColumn("__pid", F.spark_partition_id())
     if checkpoint:
-        base = base.localCheckpoint()
+        base = base.localCheckpoint(eager=False)
     subtotals = base.groupBy("__pid").agg(
         *[F.sum(c).alias(c) for c in value_cols]
     )

@@ -283,7 +283,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = (
         numbered.groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
-        .localCheckpoint()  # feeds the domain agg, both lookups, and N
+        .localCheckpoint(eager=False)  # feeds the domain agg, both lookups, and N
     )
     # Distinct-time domain with per-time boundary multiplicities.
     domain = (

@@ -201,7 +201,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _support_edges(spark)
     edges = pairs.selectExpr("p1 AS src", "p2 AS dst").unionAll(
         pairs.selectExpr("p2 AS src", "p1 AS dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     edges.createOrReplaceTempView("rcte_edges")
     return spark.sql(_RCTE_WALK_SQL)
 

@@ -493,13 +493,15 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with fact volume since the checkpoint is domain-sized).
     pc = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
         F.count("*").alias("cnt")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     from .prefix import attach_prefix_sums
 
     cum = attach_prefix_sums(pc, ["price"], ["cnt"]).select(
         "price", F.col("cnt_upto").alias("c")
     )
-    total = li.agg(F.count("*").alias("n"))  # Σ cnt = fact row count
+    # Total from the pinned domain (r14): Σ cnt == count(*), without a
+    # second pass over the facts.
+    total = pc.agg(F.sum("cnt").alias("n"))
     bounds = cum.crossJoin(F.broadcast(total)).agg(
         *[
             F.min(
@@ -514,19 +516,33 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bin_expr = F.lit(1)
     for i in range(1, _N_BINS):
-        bin_expr = bin_expr + F.when(
-            F.col("l_extendedprice") > F.col(f"b{i}"), 1
-        ).otherwise(0)
-    from .num import dsum_i
-
+        bin_expr = bin_expr + F.when(F.col("price") > F.col(f"b{i}"), 1).otherwise(
+            0
+        )
+    # Per-bin stats from the COMPRESSED domain (r14): every output
+    # aggregate is a function of price alone, so the former second fact
+    # scan (+ broadcast join per fact row) collapses onto the pinned
+    # (price, cnt) table — n_rows = Σ cnt, min/max over member prices,
+    # and the dsum_i money sum carries multiplicity as an exact
+    # decimal product (Σ cnt·floor(price·100+.5) == the per-row sum).
+    # Identical integers → identical doubles. Facts are now scanned
+    # ONCE at any corpus size.
     return (
-        li.crossJoin(F.broadcast(bounds))
+        pc.crossJoin(F.broadcast(bounds))
         .groupBy(bin_expr.cast("long").alias("bin"))
         .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            dsum_i(F.col("l_extendedprice")).alias("sum_price"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            (
+                F.sum(
+                    F.col("cnt").cast("decimal(18,0)")
+                    * F.floor(F.col("price") * 100.0 + F.lit(0.5)).cast(
+                        "decimal(18,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
         )
         .orderBy("bin")
     )
@@ -955,7 +971,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).alias("yi"),
         )
-        .localCheckpoint()  # day-domain relation, consumed by both join sides
+        .localCheckpoint(eager=False)  # day-domain relation, consumed by both join sides
     )
     # Build the lag grid from the tuple VALUES (not its length) so a
     # non-contiguous / non-zero-based _XCORR_LAGS stays in sync with the
@@ -1317,7 +1333,7 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
             ).alias("yi")
         )
-        .localCheckpoint()  # both pair-join sides + the n_days count
+        .localCheckpoint(eager=False)  # both pair-join sides + the n_days count
     )
     a = daily.select(F.col("d").alias("di"), F.col("yi").alias("yi"))
     b = daily.select(F.col("d").alias("dj"), F.col("yi").alias("yj"))
@@ -4723,7 +4739,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     vdom = daily.groupBy("cents").agg(F.count("*").cast("long").alias("t"))
     vcum = attach_prefix_sums(vdom, ["cents"], ["t"])
@@ -4745,7 +4761,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
         "s", F.col("t_upto").alias("rk")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("s").alias("s2"))
     trans = (
         ranked.join(nxt, "rk")
@@ -4970,14 +4986,14 @@ def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ddom = daily.groupBy("day").agg(
         F.count("*").cast("long").alias("t"), F.max("cents").alias("cents")
     )
     ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
         F.col("t_upto").alias("rk"), "cents"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("cents").alias("c2"))
     mrs = ranked.join(nxt, "rk").agg(
         F.count("*").cast("long").alias("nmr"),
@@ -5052,7 +5068,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
         "day", "cents", F.col("t_upto").alias("rk")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev = ranked.select((F.col("rk") + 1).alias("rk"), F.col("cents").alias("pc"))
     nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("cents").alias("nc"))
     return (
@@ -5115,7 +5131,7 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     fc = daily.select(F.date_add("day", 7).alias("day"), F.col("cents").alias("f"))
     joined = daily.join(fc, "day").select(
@@ -5487,7 +5503,7 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         f.groupBy("x", "y")
         .agg(F.count("*").cast("decimal(19,0)").alias("cn"))
-        .localCheckpoint()  # grid relation, consumed by 4 passes below
+        .localCheckpoint(eager=False)  # grid relation, consumed by 4 passes below
     )
     # The pair pass is a broadcast NESTED-LOOP join: its cost is
     # |probe partition| × |grid| predicate evaluations per task, and the
@@ -5600,7 +5616,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,0)")
             .alias("rev")
         )
-        .localCheckpoint()  # day-domain relation, consumed by 3 passes
+        .localCheckpoint(eager=False)  # day-domain relation, consumed by 3 passes
     )
     a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
     b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
@@ -5707,7 +5723,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(19,0)")
             .alias("rev")
         )
-        .localCheckpoint()  # day domain, consumed by glob + both join sides
+        .localCheckpoint(eager=False)  # day domain, consumed by glob + both join sides
     )
     glob = daily.agg(
         F.count("*").cast("decimal(19,0)").alias("n"),
@@ -6165,7 +6181,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(19,0)")
             .alias("rev")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     gmom = daily.agg(
         F.count("*").cast("decimal(19,0)").alias("n"),
@@ -6265,7 +6281,14 @@ def stats_median_ci_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = spark.table("lineitem").select(
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("v")
     )
-    dom = f.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    # Pinned (r14): dom feeds the prefix-sum ranking AND the n/rank
+    # aggregate — unpinned, the fact scan + price-grid groupBy ran
+    # twice (the ml_quantile_bins pc-pin rationale).
+    dom = (
+        f.groupBy("v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cum = attach_prefix_sums(dom, ["v"], ["c"]).select(
         "v", F.col("c_upto").alias("cc")
     )
@@ -6371,7 +6394,7 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_g"),
         F.sum(c38).alias("s_g"),
         F.sum(c38 * F.col("c")).alias("q_g"),
-    ).localCheckpoint()  # 5-row domain, consumed by pairs + carriers
+    ).localCheckpoint(eager=False)  # 5-row domain, consumed by pairs + carriers
     one = bygrp.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.sum("s_g").alias("s"),
@@ -6835,7 +6858,7 @@ def ts_anomaly_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.join(F.broadcast(dow_avg), "dow")
         .crossJoin(F.broadcast(tot))
         .select("day", "rev_c", F.expr(_SRA_RESID).alias("r"))
-        .localCheckpoint()  # day-domain residuals, consumed by 3 passes
+        .localCheckpoint(eager=False)  # day-domain residuals, consumed by 3 passes
     )
     n1 = resid.agg(
         F.expr("CAST((count(*) + 1) div 2 AS BIGINT)").alias("med_rank")

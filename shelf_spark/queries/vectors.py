@@ -262,6 +262,12 @@ def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >= 2e-4 from the cut — far outside float-order divergence) while
     # leaving the plan and candidate cost untouched (the cut is a
     # post-join filter).
+    # NOT pinned (r14): both join sides do re-derive v (2 scans in the
+    # plan), but pinning measured NEUTRAL over 8 A/B rounds (4.35 vs
+    # 4.37 s median) — the parse is cheap next to the pair join — and
+    # a corpus-sized cache is the scale-worse shape vs two
+    # column-pruned parquet scans. Contrast _semantic_clusters, where
+    # the same pin measured a win and was kept.
     v = occupancy_blocked(
         spark.table("embeddings")
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
@@ -394,11 +400,13 @@ def semantic_pairs(v: DataFrame, threshold: float) -> DataFrame:
 def _semantic_clusters(spark: SparkSession, threshold: float) -> DataFrame:
     from .sampling import star_components
 
+    # Pinned (r14): semantic_pairs self-joins v — same double-scan
+    # rationale as embed_cosine_pairs above.
     v = occupancy_blocked(
         spark.table("embeddings")
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("vec"))
         .withColumn("nrm", _norm(F.col("vec")))
-    )
+    ).localCheckpoint(eager=False)
     lab = star_components(semantic_pairs(v, threshold), "va", "vb").select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
@@ -1157,6 +1165,12 @@ def _pq_topk(spark: SparkSession, k: int) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
         .withColumn("nrm", _norm(F.col("vec")))
+        # Pin the parsed corpus (r14): v feeds the subvector slicing,
+        # the query set AND the rerank join — unpinned, the parquet
+        # scan + array-double parse + norm ran three times (3 scans in
+        # the before-plan). Same corpus-sized pin class as `sub` just
+        # below, which this pipeline already holds.
+        .localCheckpoint(eager=False)
     )
     # (vec_id, m, subvec): the m-th contiguous 8-dim slice of each vector.
     sub = v.select(
