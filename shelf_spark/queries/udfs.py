@@ -125,7 +125,22 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sanity window (num.TS_SANE_*): the Arrow/pandas bridge's ns-epoch
     # timestamps overflow at year 2262 — a 9999 sentinel would kill the
     # whole job before ols() even runs (r10 time corpus).
-    e = spark.table("events").filter(sane_ts(F.col("ts")))
+    #
+    # r14: project to the three columns ols() reads BEFORE the grouped
+    # exchange (guide §4.1 — Spark cannot see inside the pandas function,
+    # so unprojected it ships event_id/event_type/props through the
+    # shuffle and the Arrow bridge), and pin the exchange width at
+    # defaultParallelism: the projected shuffle is small enough that AQE
+    # coalesces it to ~1 partition, serializing every per-group Python
+    # call on one core (measured 2.1 s full-width vs 4.0 s projected-
+    # but-coalesced vs 0.65 s projected+pinned at sf0.1). The width is
+    # derived from the session's core count, never a constant.
+    e = (
+        spark.table("events")
+        .filter(sane_ts(F.col("ts")))
+        .select("user_id", "ts", "value")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+    )
     return e.groupBy("user_id").applyInPandas(
         ols, "user_id bigint, slope double, intercept double, n bigint"
     )
