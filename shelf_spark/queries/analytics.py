@@ -1324,10 +1324,17 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q")
         )
-        # lazy (r14): the wins collect below is the job that
-        # materializes all three pinned tables at once — the three
-        # eager pins were three separate job submissions.
-        .localCheckpoint(eager=False)
+        # EAGER (r14, measured twice): per_order is the one FACT-sized
+        # pin here and it feeds BOTH sides of the duel self-join. With
+        # eager=False the first materializing job schedules the two join
+        # branches concurrently, each computes this aggregate from
+        # scratch and they race on the block store ("Block rdd_N already
+        # exists" warnings) — event-log task metrics showed the lazy
+        # variant at ~11-14 s total executor CPU vs ~5.6-6 s eager, i.e.
+        # the duplicated fact aggregate costs far more than the one
+        # extra job submission. The K-/K²-row pins below stay lazy (their
+        # recompute is trivia; the barrier is the expensive part).
+        .localCheckpoint(eager=True)
     )
     a, b = per_order.alias("a"), per_order.alias("b")
     duel = a.join(
@@ -1336,7 +1343,16 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.p_brand") != F.col("b.p_brand"))
         & (F.col("a.q") > F.col("b.q")),
     ).select(F.col("a.p_brand").alias("wb"), F.col("b.p_brand").alias("lb"))
-    wmat = duel.groupBy("wb", "lb").agg(F.count("*").alias("w"))
+    # EAGER pin (r14): wmat is consumed THREE times downstream (both
+    # branches of m's union + wtot's join); unpinned, every consumption
+    # re-ran the duel self-join — the O(B²·orders) step. K²-bounded rows,
+    # so the pin itself is tiny; with per_order and wmat both eager the
+    # duel join runs exactly once per query.
+    wmat = (
+        duel.groupBy("wb", "lb")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
     m = (
         wmat.select(F.col("wb").alias("i"), F.col("lb").alias("j"), F.col("w").alias("n"))
         .unionAll(

@@ -70,6 +70,25 @@ def _basket_pairs(spark: SparkSession) -> DataFrame:
     )
 
 
+def _directed_edges(und: DataFrame) -> DataFrame:
+    """Both edge directions in ONE scan of the canonical (p1<p2) pairs.
+
+    r14: the former ``und.select(p1,p2).union(und.select(p2,p1))`` read
+    the und checkpoint blocks TWICE per consumer — per-job event metrics
+    showed every PageRank iteration reading 4x the und block bytes and
+    every BFS level paying the same double scan. The explode emits the
+    identical directed multiset from a single pass over the blocks.
+    """
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+                F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 _SQL_BASKETS = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
 _SQL_PAIRS = """
       SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
@@ -339,9 +358,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized scan. Without the pin every consumer re-derives the
     # whole basket pipeline and the per-iteration plan grows into a tower.
     und = pairs.distinct().localCheckpoint(eager=False)
-    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
-        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    edges = _directed_edges(und)
     # The degree table is NODE-sized (parts ≪ edges) — pin it eagerly
     # (one groupBy over the pinned pairs) and from here on nothing
     # node-sized is ever shuffled: each iteration probes a broadcast of
@@ -1032,9 +1049,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order) but collapses the whole traversal into ONE job.
     pairs = _basket_pairs(spark).select("p1", "p2")
     und = pairs.distinct().localCheckpoint(eager=False)
-    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
-        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    edges = _directed_edges(und)
     root = edges.agg(F.min("src").alias("node"))
     frontier = root.localCheckpoint(eager=False)
     # visited = union of the ALREADY-PINNED frontiers: each is a
@@ -1140,9 +1155,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin below: 3.99 -> 3.44 s median at sf0.1.
     pairs = _basket_pairs(spark).select("p1", "p2")
     und = pairs.distinct().localCheckpoint(eager=False)
-    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
-        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    edges = _directed_edges(und)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("d")
     ).localCheckpoint(eager=False)
