@@ -230,8 +230,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two adjacency consumers here).
     und = und.localCheckpoint(eager=False)
     deg = (
-        und.select(F.col("p1").alias("node"))
-        .union(und.select(F.col("p2").alias("node")))
+        # Both endpoints from one scan of the pinned pairs (r14): the
+        # union-of-two-selects read the und checkpoint blocks twice.
+        und.select(F.explode(F.array("p1", "p2")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
@@ -277,6 +278,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output-sized, not wedge-sized; an empty intersection flattens to
     # an empty array and explodes to nothing, so the former k > 0
     # filter is implicit.
+    # (A weighted-contribution variant — struct(u, k)/struct(v, k) plus
+    # transform(ws, w -> struct(w, 1)), summing weights instead of
+    # exploding 3·tri single-node rows — was tried in r14 and measured
+    # MORE executor CPU (~27 s vs ~23.6 s total): the per-row struct
+    # construction in the higher-order transform costs more than the
+    # extra exploded rows it saves. Kept the flat explode.)
     contrib = per_edge.select(
         F.explode(
             F.flatten(
@@ -474,15 +481,22 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate produces six numbers. No windows, no sorts; the same
     single-pass shape at any edge count."""
     und = _basket_pairs(spark).select("p1", "p2").distinct().localCheckpoint(eager=False)
+    # Single-scan endpoint/direction expansion (r14, the _directed_edges
+    # rationale): each former unionAll-of-selects read the pinned und
+    # blocks twice.
     deg = (
-        und.select(F.col("p1").alias("node"))
-        .unionAll(und.select(F.col("p2").alias("node")))
+        und.select(F.explode(F.array("p1", "p2")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
     edges = und.select(
-        F.col("p1").alias("u"), F.col("p2").alias("v")
-    ).unionAll(und.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("u"), F.col("p2").alias("v")),
+                F.struct(F.col("p2").alias("u"), F.col("p1").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     d0 = "decimal(18,0)"
@@ -611,9 +625,10 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined; nothing is quadratic, the histogram domain is
     max-degree-bounded."""
     support = _support_edges(spark)
+    # Single scan (r14): the unionAll-of-selects evaluated the unpinned
+    # support aggregate twice.
     deg = (
-        support.select(F.col("p1").alias("node"))
-        .unionAll(support.select(F.col("p2").alias("node")))
+        support.select(F.explode(F.array("p1", "p2")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
@@ -700,8 +715,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
     )
     e = (
-        supp.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .union(supp.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        # Single scan for both directions (r14, the _directed_edges
+        # rationale): the union-of-two-selects evaluated the unpinned
+        # supp aggregate twice before the pin.
+        supp.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+                    F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         # peeling rounds re-read this, never the basket join; lazy —
         # the bounded round count keeps the single final job flat (r10)
@@ -797,9 +822,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the integer common-neighbor count, so the score is one IEEE
     division of exact ints. Top-k is TakeOrderedAndProject."""
     supp = _support_edges(spark)
-    und = supp.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
-        supp.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    # Single scan (r14): the unionAll evaluated the unpinned supp
+    # aggregate twice.
+    und = supp.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+                F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # Hub cap rides the SAME groupBy that builds the adjacency arrays —
     # no extra exchange: collect, then drop arrays over the cap.
     adj = (
@@ -1279,8 +1311,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("a_in")
     )
     degs = (
-        edges.select(F.col("ca").alias("c"))
-        .unionAll(edges.select(F.col("cb").alias("c")))
+        # Single scan of the pinned edges (r14): unionAll read the
+        # checkpoint blocks twice.
+        edges.select(F.explode(F.array("ca", "cb")).alias("c"))
         .groupBy("c")
         .agg(F.count("*").cast("decimal(19,0)").alias("d"))
     )
@@ -1352,9 +1385,17 @@ def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint were measured SLOWER (2.2 → 3.4 s) because the
     # cache materialization costs more than the reuse saves.
     und = _basket_pairs(spark).select("p1", "p2").distinct()
+    # Single scan per consumer (r14): the unionAll evaluated the
+    # unpinned und subtree twice per consumer (deg + nbrsum = 4 basket
+    # pipelines); the explode halves that to one per consumer.
     direct = und.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionAll(und.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+                F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = direct.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("d")
     )
