@@ -109,7 +109,12 @@ def jaccard_pairs_exact(d: DataFrame, threshold: float) -> DataFrame:
     # once and truncates lineage (at cluster scale this is the standard
     # "materialize the tokenization once" step; executor-local storage,
     # cleaned by the ContextCleaner when unreferenced).
-    # spread first: the shingle build is the hottest map in the query
+    # spread first: the shingle build is the hottest map in the query.
+    # (r14: an eager flip of this pin was tried and REJECTED by
+    # event-log metrics — tasks 144 → 208, executor CPU no better, and
+    # the documents scan ran twice; unlike star_components' edges pin,
+    # the downstream stages here consume sets serially enough that the
+    # lazy pin materializes once.)
     sets = (
         _spread(d)
         .select("doc_id", _shingles(_words()).alias("sh_set"))

@@ -69,9 +69,15 @@ def star_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 12) -> D
             F.greatest(F.col(a), F.col(b)).alias("u"),
             F.least(F.col(a), F.col(b)).alias("v"),
         )
-        # Lazy: the first round's signature action materializes it —
-        # an eager pin here would be a whole extra job (r10).
-        .localCheckpoint(eager=False)
+        # EAGER (r14): the first round's materializing job consumes this
+        # on TWO branches at once (edges ∪ edges.swap inside bidir), so a
+        # lazy pin let both branches recompute the whole upstream pairs
+        # pipeline concurrently and race on the block store — for the
+        # dedup callers that upstream is the full Jaccard verify join
+        # (event-log metrics: dedup_keep_best_per_cluster ~25 s executor
+        # CPU lazy vs ~17 s eager). One extra job submission is far
+        # cheaper than a second run of the pairs pipeline.
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for _ in range(max_rounds):
