@@ -1351,6 +1351,10 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmat = (
         duel.groupBy("wb", "lb")
         .agg(F.count("*").alias("w"))
+        # coalesce(1) (r14): K²-bounded (≤625 rows) pinned as 32 mostly
+        # empty partitions otherwise — every MM-round stage then
+        # schedules 32 near-empty tasks.
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     m = (
@@ -1362,6 +1366,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i", "j")
         .agg(F.sum("n").cast("double").alias("n"))
+        .coalesce(1)
         .localCheckpoint(eager=False)  # K²-bounded state, materialized once per run
     )
     wtot = (
@@ -1372,6 +1377,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("i").alias("brand"))
         .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("double").alias("wins"))
+        .coalesce(1)
         .localCheckpoint(eager=False)
     )
     # wins is K-bounded (≤25 brands) — collect once into a literal map so
@@ -1639,6 +1645,12 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("src", "dst", "p")
+        # coalesce(1) (r14): the window exchange above leaves 32 mostly
+        # empty partitions; pinned that way, every hop stage below
+        # schedules 32 near-empty tasks (330 tasks/run measured). The
+        # relation is K²-bounded by the state domain, so one partition
+        # is the scale-correct layout at any corpus size.
+        .coalesce(1)
         .localCheckpoint(eager=False)  # K²-bounded; every variant/hop reads this
     )
     channels = probs.filter(F.col("src") != _MRA_START).select(
@@ -1648,6 +1660,7 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1)
         .select(F.lit("__FULL__").alias("variant"))
         .unionAll(channels.select(F.col("ch").alias("variant")))
+        .coalesce(1)
         .localCheckpoint(eager=False)
     )
     edges_all = (
@@ -1659,7 +1672,9 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("variant", "src", "dst", "p")
         # lazy (r10): the hop loop references this K-times inside ONE
         # final job — first touch materializes, later hops read cache;
-        # the eager pin was a whole extra job of pure submission cost
+        # the eager pin was a whole extra job of pure submission cost.
+        # coalesce(1) (r14): K²·K-bounded rows; see probs above.
+        .coalesce(1)
         .localCheckpoint(eager=False)
     )
     conv_rows = variants.select(
