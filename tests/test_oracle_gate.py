@@ -124,3 +124,22 @@ def test_driver_window_names_valid():
     missing = [n for n in w if n not in QUERIES]
     assert not missing, missing
     assert list(entry_mod.queries())[:50] == w
+
+
+def test_worker_summary_parser_tolerates_vacuous_suffix():
+    """r14 regression pin: the fan-out merge must parse shard summaries
+    both with and without the r13 "(N unexplained-vacuous)" suffix.
+    Before the fix, a suffix-carrying shard was silently dropped from
+    the merged totals (a 343-query hostile-corpus run merged to
+    "0 ok ... of 0" because every shard carried the suffix)."""
+    from tools.check_correctness import _SUMMARY_RE
+
+    plain = _SUMMARY_RE.match("85 ok, 1 rows-only, 0 FAIL of 86")
+    assert plain and plain.group(5) is None
+    assert [int(plain.group(i)) for i in range(1, 5)] == [85, 1, 0, 86]
+
+    suffixed = _SUMMARY_RE.match(
+        "84 ok, 1 rows-only, 2 FAIL of 85 (9 unexplained-vacuous)"
+    )
+    assert suffixed and int(suffixed.group(5)) == 9
+    assert [int(suffixed.group(i)) for i in range(1, 5)] == [84, 1, 2, 85]

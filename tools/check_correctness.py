@@ -72,7 +72,17 @@ def _normalize(rows, cols):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
-_SUMMARY_RE = re.compile(r"^(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)$")
+#: Worker-summary parser. The optional "(N unexplained-vacuous)" suffix
+#: (r13 advice gate) must be tolerated: before r14 a shard that reported
+#: any unexplained-vacuous rows was silently DROPPED from the merged
+#: totals (the sf0.001 merge printed "254 ... of 257" for a 343-query
+#: run), and a hostile-corpus run where every shard carried the suffix
+#: merged to "0 ok of 0". The vacuous count is also surfaced in the
+#: merged line now so the signal is not lost in the fan-out path.
+_SUMMARY_RE = re.compile(
+    r"^(\d+) ok, (\d+) rows-only, (\d+) FAIL of (\d+)"
+    r"(?: \((\d+) unexplained-vacuous\))?$"
+)
 
 
 def _run_workers(args) -> int:
@@ -98,7 +108,7 @@ def _run_workers(args) -> int:
             cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True,
         ))
-    tot = [0, 0, 0, 0]
+    tot = [0, 0, 0, 0, 0]
     failures: list[str] = []
     rc = 0
     for i, p in enumerate(procs):
@@ -107,14 +117,15 @@ def _run_workers(args) -> int:
         for line in out.splitlines():
             m = _SUMMARY_RE.match(line)
             if m:
-                for j in range(4):
-                    tot[j] += int(m.group(j + 1))
+                for j in range(5):
+                    tot[j] += int(m.group(j + 1) or 0)
             elif line.startswith("failures:"):
                 failures += line.split()[1:]
             elif line and not line.startswith("#"):
                 print(f"[w{i}] {line}")
+    vac = f" ({tot[4]} unexplained-vacuous)" if tot[4] else ""
     print(f"\n{tot[0]} ok, {tot[1]} rows-only, {tot[2]} FAIL of {tot[3]} "
-          f"({n} workers)")
+          f"({n} workers){vac}")
     if failures:
         print("failures:", " ".join(failures))
     return 1 if (rc or tot[2]) else 0
