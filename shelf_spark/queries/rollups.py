@@ -306,6 +306,17 @@ def rollup_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.date_trunc("month", "day")).alias("month"), "bin"
         ).agg(F.sum("c").alias("c"))
     )
+    # ONE pass over the facts (r15, VERDICT ask #3): the mq-union-aq
+    # epilogue consumes `month` on two concurrent branches, so the
+    # unpinned relation evaluated the whole fact reduction once per
+    # branch (before-plan: 2 lineitem scans). EAGER pin: a lazy pin
+    # would be materialized by that same two-branch union and race
+    # (the pref_bradley_terry failure shape). The pinned relation is
+    # domain-bounded — months x ~210 price bins, regardless of corpus
+    # size — so one coalesced partition is the right width at any scale
+    # (the dbb2c4d markov-matrix precedent); everything after this line
+    # touches only bounded partials.
+    month = month.coalesce(1).localCheckpoint(eager=True)
     allg = month.groupBy("bin").agg(F.sum("c").alias("c"))
 
     def readout(hist: DataFrame, key, grain: str) -> DataFrame:
@@ -341,6 +352,9 @@ def rollup_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         if key:
             out = rows.groupBy(key).agg(*aggs)
         else:
+            # global aggregate: exactly one output row even on an empty
+            # corpus (the oracle's aq branch does the same) — do not
+            # fold this into a groupBy(grain) which would emit zero
             out = rows.groupBy().agg(*aggs).withColumn(
                 "month", F.lit(None).cast("date")
             )

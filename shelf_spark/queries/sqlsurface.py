@@ -191,7 +191,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (graph_connected_components) remains the right tool —
     O(log² n) rounds vs O(diameter); this entry pins the SQL surface
     itself."""
-    from .graph import _support_edges
+    from .graph import _directed_edges, _support_edges
 
     # The walk relation is hop-bounded but grows with data (paths ×
     # frontier); the default 1e6-row recursion safety valve trips at the
@@ -199,9 +199,12 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound — the hop guard, not this valve, is the semantic limit.
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     pairs = _support_edges(spark)
-    edges = pairs.selectExpr("p1 AS src", "p2 AS dst").unionAll(
-        pairs.selectExpr("p2 AS src", "p1 AS dst")
-    ).localCheckpoint(eager=False)
+    # Both directions in ONE evaluation of the support aggregate (r15,
+    # VERDICT r14 ask #2): the union-of-two-selects evaluated the
+    # unpinned _support_edges subtree once per branch — the same shape
+    # 56fe310 removed at ten graph.py sites; the explode derives the
+    # identical directed multiset map-side from a single pass.
+    edges = _directed_edges(pairs).localCheckpoint(eager=False)
     edges.createOrReplaceTempView("rcte_edges")
     return spark.sql(_RCTE_WALK_SQL)
 

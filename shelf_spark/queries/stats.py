@@ -2979,8 +2979,18 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches = " ".join(
         f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
     )
+    # Spread before the replicate loop (r15, VERDICT ask #3): the
+    # {B} SHA-256 evaluations per row all run in the SCAN stage, and a
+    # single-row-group local file pins that stage to one task — the
+    # whole ~{B}x-hash loop ran on one core (guide §2.5 input skew: one
+    # huge unsplittable input; the dedup._spread rationale). The
+    # round-robin exchange moves ~16 bytes/row once, orders of magnitude
+    # cheaper than the per-row hashing it parallelizes — at cluster
+    # scale, where the scan already supplies splits, it degrades to a
+    # cheap narrow rebalance of an (id, value) projection.
     rep = (
-        e.crossJoin(
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(
             F.broadcast(
                 spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
             )
