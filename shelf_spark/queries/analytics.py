@@ -888,7 +888,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = pairs.withColumn(
         "nf", F.sum("n").over(W.partitionBy("from_type"))
-    ).localCheckpoint(eager=False)  # K²-sized; reused every iteration
+    # K²-sized; reused every iteration. EAGER (r15 lazy-pin audit): the
+    # states distinct + the driver count + iteration reads raced the
+    # lazy materialization (probe: wall 2.2-4.8 s lazy vs 1.3-1.5 s)
+    ).localCheckpoint(eager=True)
     states = m.select(F.col("from_type").alias("state")).distinct()
     k = states.count()  # bounded type catalog (driver-side by design)
     if k == 0:
@@ -2014,7 +2017,10 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(base, "cents")
         .withColumn("rk", F.col("base") + F.row_number().over(wtie))
         .select("c_custkey", "c_nationkey", "cents", "rk")
-        .localCheckpoint(eager=False)
+        # EAGER (r15 lazy-pin audit): the window-pair probe consumes
+        # this on multiple branches; the lazy pin raced (probe: wall
+        # 1.9-2.5 s lazy vs 1.6-1.8 s eager)
+        .localCheckpoint(eager=True)
     )
     probe = r.select(
         F.col("c_custkey").alias("key_a"),

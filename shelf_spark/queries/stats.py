@@ -971,7 +971,11 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).alias("yi"),
         )
-        .localCheckpoint(eager=False)  # day-domain relation, consumed by both join sides
+        # EAGER (r15 lazy-pin audit, VERDICT r14 ask #1): both lag-join
+        # sides raced the lazy materialization inside one job and each
+        # recomputed the fact reduction (probe: wall 3.3-3.6 s lazy vs
+        # 1.1-1.8 s eager, Σ task run 8.8-9.8 → ~7.2 s)
+        .localCheckpoint(eager=True)
     )
     # Build the lag grid from the tuple VALUES (not its length) so a
     # non-contiguous / non-zero-based _XCORR_LAGS stays in sync with the
@@ -1333,7 +1337,10 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
             ).alias("yi")
         )
-        .localCheckpoint(eager=False)  # both pair-join sides + the n_days count
+        # EAGER (r15 lazy-pin audit): both pair-join sides + the n_days
+        # count raced the lazy materialization (probe: wall never worse,
+        # 1.19-1.21 s lazy vs 0.87-1.16 s eager)
+        .localCheckpoint(eager=True)
     )
     a = daily.select(F.col("d").alias("di"), F.col("yi").alias("yi"))
     b = daily.select(F.col("d").alias("dj"), F.col("yi").alias("yj"))
@@ -2781,7 +2788,11 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("x1"),
         F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    ).localCheckpoint(eager=False)  # two passes: moments + deviations
+    # EAGER (r15 lazy-pin audit): the moments pass and the deviations
+    # pass raced the lazy materialization — the probe showed ~20
+    # lineitem-scans' worth of duplicate input and wall 2.2-4.4 s lazy
+    # vs 1.3-1.6 s eager
+    ).localCheckpoint(eager=True)
     d38 = _ATTR_D38
     m = g.agg(
         F.count("*").alias("n"),
@@ -4749,7 +4760,9 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint(eager=False)
+        # EAGER (r15 lazy-pin audit): the value-domain build, the n_days
+        # count and the signs pass raced the lazy materialization
+        .localCheckpoint(eager=True)
     )
     vdom = daily.groupBy("cents").agg(F.count("*").cast("long").alias("t"))
     vcum = attach_prefix_sums(vdom, ["cents"], ["t"])
@@ -4771,7 +4784,9 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
         "s", F.col("t_upto").alias("rk")
-    ).localCheckpoint(eager=False)
+    # EAGER (r15): ranked and its shifted twin race the lazy pin inside
+    # the flips join (same audit as daily above)
+    ).localCheckpoint(eager=True)
     nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("s").alias("s2"))
     trans = (
         ranked.join(nxt, "rk")
@@ -4996,14 +5011,19 @@ def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint(eager=False)
+        # EAGER (r15 lazy-pin audit): the moving-range chain, the moments
+        # agg and the violations pass raced the lazy materialization
+        # (probe: Σ task run 2.0-2.2 s lazy vs 1.0-1.6 s eager)
+        .localCheckpoint(eager=True)
     )
     ddom = daily.groupBy("day").agg(
         F.count("*").cast("long").alias("t"), F.max("cents").alias("cents")
     )
     ranked = attach_prefix_sums(ddom, ["day"], ["t"]).select(
         F.col("t_upto").alias("rk"), "cents"
-    ).localCheckpoint(eager=False)
+    # EAGER (r15): ranked and its shifted twin race the lazy pin inside
+    # the moving-range join (same audit as daily above)
+    ).localCheckpoint(eager=True)
     nxt = ranked.select((F.col("rk") - 1).alias("rk"), F.col("cents").alias("c2"))
     mrs = ranked.join(nxt, "rk").agg(
         F.count("*").cast("long").alias("nmr"),
@@ -5626,7 +5646,10 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,0)")
             .alias("rev")
         )
-        .localCheckpoint(eager=False)  # day-domain relation, consumed by 3 passes
+        # EAGER (r15 lazy-pin audit): the S-statistic pair join (both
+        # sides), the tie groups and the count raced the lazy
+        # materialization (probe: wall 0.68-0.83 s lazy vs 0.57-0.62 s)
+        .localCheckpoint(eager=True)
     )
     a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
     b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
