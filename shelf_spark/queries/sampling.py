@@ -83,7 +83,18 @@ def star_components(pairs: DataFrame, a: str, b: str, max_rounds: int = 12) -> D
     for _ in range(max_rounds):
         # Large-star: over both directions, hook every neighbor larger
         # than u to m = min(N(u) ∪ {u}).  m ≤ u < v keeps (bigger, smaller).
-        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # Both directions from ONE scan of the pinned edges (r15, the
+        # _directed_edges idiom): the union-of-two-selects read the
+        # checkpoint blocks twice per consumer, and bidir has two
+        # consumers below (mins + large) — 4 block reads per round -> 2.
+        bidir = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
         mins = (
             bidir.groupBy("u")
             .agg(F.min("v").alias("mn"))
