@@ -392,7 +392,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, frame_idx bigint, n_frames bigint, "
             "width bigint, height bigint, mean_pixel_ppm bigint"
         ),
-    ).orderBy("doc_id", "frame_idx")
+    # Pin before the presentation sort (r15): the range exchange's
+    # sampling pass recomputes its child, so the Python decode chain ran
+    # TWICE per query (two identical mapInPandas stages in the event
+    # log). The sampling job materializes the pin once; the real pass
+    # reads the cached doc-level (tiny) output.
+    ).localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +509,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_energy bigint, n_zero_crossings bigint, "
             "peak_frame_idx bigint, peak_frame_energy bigint"
         ),
-    ).orderBy("doc_id")
+    # pin-before-sort: decode-once, see multimodal_frame_sample (r15)
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -642,7 +648,11 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: see :func:`_ahash_signatures` — map-only; at 100 TB the
     encode stage is replaced by binaryFile splits; downstream grouping
     shuffles only the 8-byte signatures, never pixels."""
-    return _ahash_signatures(spark).orderBy("doc_id")
+    return (
+        _ahash_signatures(spark)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -794,7 +804,8 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_frames bigint, n_cuts bigint, "
             "total_abs_diff bigint"
         ),
-    ).orderBy("doc_id")
+    # pin-before-sort: decode-once, see multimodal_frame_sample (r15)
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -929,7 +940,8 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_id bigint, n_frames bigint, n_voiced bigint, "
             "n_segments bigint, longest_segment bigint"
         ),
-    ).orderBy("doc_id")
+    # pin-before-sort: decode-once, see multimodal_frame_sample (r15)
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @query(
@@ -1040,7 +1052,8 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         dhash_batches,
         schema="doc_id bigint, width bigint, height bigint, dhash string",
-    ).orderBy("doc_id")
+    # pin-before-sort: decode-once, see multimodal_frame_sample (r15)
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -313,7 +313,17 @@ def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays value-exact; mean chunk length is {CDC_MOD} tokens with the
     min/max-length clamps a production pipeline would add left out to
     keep both engines' expressions trivially identical."""
-    return cdc_chunks(spark.table("documents")).orderBy("doc_id", "chunk_idx")
+    # Pin before the presentation sort (r15): the range exchange's
+    # sampling pass recomputes its child, so the whole per-token
+    # SHA-256 boundary map ran TWICE (per-stage event metrics: two
+    # identical chunk-compute stages). The lazy pin's first and only
+    # materializer is the sampling job; the real pass then reads the
+    # cached chunks — digest work once.
+    return (
+        cdc_chunks(spark.table("documents"))
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id", "chunk_idx")
+    )
 
 
 def cdc_chunks(d: DataFrame) -> DataFrame:

@@ -402,6 +402,10 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "array_min(transform(sel, p -> element_at(hs, p)))"
             ).alias("min_fp"),
         )
+        # pin-before-sort (r15): the range exchange's sampling pass
+        # recomputes its child, running the winnow selection twice;
+        # the pin makes the sampling job materialize it once
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
