@@ -133,11 +133,38 @@ def mba_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shuffle array-combination shape (see _basket_pairs); per-item
     counts are parts-sized (AQE broadcasts them while small); the
     total-orders scalar crossJoins."""
-    pairs = _basket_pairs(spark)
-    b = _baskets(spark)
+    # ONE fact reduction (r15): pairs, per-item counts and the order
+    # count all derive from the same basket part-set relation — the
+    # former `_basket_pairs + 2x _baskets` shape ran the lineitem
+    # scan + distinct three times. item_cnt == per-part count of
+    # distinct containing orders == explode of the per-order part sets;
+    # n_orders == count of basket rows. EAGER pin: three concurrent
+    # consumers would race a lazy materialization (r15 audit shape).
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
+    )
+    combos = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    pairs = baskets.select("l_orderkey", F.explode(combos).alias("pr")).select(
+        "l_orderkey", "pr.p1", "pr.p2"
+    )
     pair_cnt = pairs.groupBy("p1", "p2").agg(F.count("*").alias("support"))
-    item_cnt = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    total = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_cnt = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = baskets.agg(F.count("*").alias("n_orders"))
     lift = _round_ieee(
         (F.col("support").cast("double") * F.col("n_orders").cast("double"))
         / (F.col("i1.cnt").cast("double") * F.col("i2.cnt").cast("double")),
