@@ -6317,6 +6317,10 @@ def stats_median_ci_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pinned (r14): dom feeds the prefix-sum ranking AND the n/rank
     # aggregate — unpinned, the fact scan + price-grid groupBy ran
     # twice (the ml_quantile_bins pc-pin rationale).
+    # r15 lazy-pin audit: examined, left lazy — per-stage event metrics
+    # show the consumers read the materialized blocks (cached-block
+    # reads count as task input bytes), not duplicate fact scans;
+    # eager measured CPU/wall-neutral and costs one extra job.
     dom = (
         f.groupBy("v")
         .agg(F.count("*").cast("long").alias("c"))
